@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (SURVEY.md §2.B north-star extensions).
+  *
+  * Media payloads are opaque `binary` columns traveling next to typed
+  * metadata; Spark treats them as ordinary columns (parquet binary, column
+  * pruning applies, payload bytes only read when referenced). Real decode
+  * libraries (image/audio codecs) are NOT in this environment, so decode is
+  * a clearly marked deterministic STUB — the Spark-side contract (schema,
+  * partition-parallel execution, batch shape) is real and tested, and the
+  * stub body is the only thing to swap for a JNI/codec implementation.
+  */
+object Multimodal {
+
+  /** Decoded-media feature record produced by the (stub) decoder. */
+  case class MediaFeatures(media_id: Long, n_bytes: Long, width: Int,
+                           height: Int, mean_intensity: Double)
+
+  /** Raw (id, payload) row — public: Spark's generated deserializer code
+    * must be able to reference the class. */
+  case class MediaRow(media_id: Long, payload: Array[Byte])
+
+  /** ======== STUB ========
+    * Deterministic fake "image decode": derives a fake geometry from the
+    * payload length and a mean "pixel intensity" from the raw bytes.
+    * Replace this body with a real codec call (e.g. TwelveMonkeys/FFmpeg
+    * JNI) — the signature and the distributed execution shape stay as-is.
+    */
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+    val n = payload.length
+    val width = math.max(1, math.sqrt(n.toDouble).toInt)
+    val height = math.max(1, n / width)
+    var sum = 0L
+    var i = 0
+    while (i < n) { sum += (payload(i) & 0xFF); i += 1 }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n
+    (width, height, mean)
+  }
+
+  /** Decode + feature-extract over a (id, binary) DataFrame. Runs
+    * partition-parallel via mapPartitions — per-partition imperative logic
+    * is the legitimate use-case for dropping below the DataFrame API
+    * (decoders are black-box byte crunchers, not expressible as Catalyst
+    * expressions). Input partitioning is preserved; no shuffle. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (w, h, mean) = decodeStub(r.payload)
+          MediaFeatures(r.media_id, r.payload.length.toLong, w, h,
+            math.rint(mean * 10000) / 10000)
+        }
+      }
+  }
+
+  /** Frame-sampling stub: split a binary payload into fixed-size "frames"
+    * and keep every `stride`-th — pure expression-level (codegen'd), shows
+    * the chunking plumbing for video-like payloads. */
+  def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
+                   frameBytes: Int, stride: Int): DataFrame = {
+    val nFrames = ceil(octet_length(col(payloadCol)).cast("double") / frameBytes).cast("int")
+    df.select(col(idCol), col(payloadCol).as("payload"), nFrames.as("n_frames"))
+      .select(col(idCol), col("n_frames"),
+        posexplode(transform(sequence(lit(0), col("n_frames") - 1),
+          i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
+      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame")
+      .filter(col("frame_idx") % stride === 0)
+  }
+}

@@ -1,0 +1,63 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.multimodal.Multimodal
+import graft.operators.Dedup
+
+/** Multimodal + hash-based near-dup queries. Binary payloads are derived
+  * deterministically from documents.text (no media libs in this
+  * environment) — the binary-column plumbing is what's under test.
+  */
+object MultimodalPack extends QueryPack {
+
+  val queries: Map[String, QFn] = Map(
+    // -- binary column stats: byte length + content digest (oracle-checked)
+    "mm_binary_stats" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("doc_id"),
+          octet_length(col("payload")).cast("long").as("n_bytes"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- stub decode + feature extraction (mapPartitions path; rows-only)
+    "mm_decode_features" -> ((s, dir) => {
+      val bin = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.extractFeatures(bin, "doc_id", "payload")
+        .toDF().orderBy(col("media_id"))
+    }),
+
+    // -- frame sampling stub over binary payloads (rows-only)
+    "mm_frame_sample" -> ((s, dir) => {
+      val bin = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.sampleFrames(bin, "doc_id", "payload", frameBytes = 64, stride = 2)
+        .select(col("doc_id"), col("frame_idx"), octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // -- MinHash+LSH near-dup candidates (approximate; rows-only)
+    "dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.1)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- SimHash near-dup pairs (approximate; rows-only)
+    "dedup_simhash" -> ((s, dir) => {
+      Dedup.simHashNearDups(Tables(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "mm_binary_stats" ->
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}

@@ -1,0 +1,180 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.{tokens, wordShingles}
+
+/** Text analysis + deduplication over the `documents` table — the
+  * training-data-pipeline surface (SURVEY.md §2.B north-star extensions):
+  * token counting, language ID heuristic, quality scoring, fingerprinting,
+  * exact dedup, n-gram Jaccard near-dup.
+  *
+  * Everything here is built-in codegen'd expressions (split / explode /
+  * higher-order functions) — no UDFs — so the scans stay in whole-stage
+  * codegen and column pruning reaches parquet (only doc_id+text are read).
+  *
+  * Scale notes: the n-gram Jaccard pair join is shingle-partitioned
+  * (explode → shuffle on shingle), which is the standard inverted-index
+  * formulation; hot shingles are the skew risk at 100 TB, handled by AQE
+  * skew-join plus the MinHash-LSH path in graft.operators.Dedup (banded
+  * buckets bound candidate-pair fanout).
+  */
+object Text extends QueryPack {
+
+  private val enStops = Seq("the", "a", "of", "and", "to", "in", "is")
+  private val esStops = Seq("el", "la", "de", "que", "los", "las", "y")
+
+  private def stopCount(toks: Column, stops: Seq[String]): Column =
+    size(filter(toks, t => t.isin(stops: _*))).cast("long")
+
+  /** Whitespace-normalized lowercase body — the canonical form fingerprinted
+    * and exact-dedup'd. */
+  private def normText(c: Column): Column =
+    lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  val queries: Map[String, QFn] = Map(
+    // -- Q24: token counting (split → explode → count), global top-20
+    "q24_token_counts" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(explode(tokens(col("text"))).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    }),
+
+    // -- language-ID heuristic: character-class + stopword evidence
+    "text_langid" -> ((s, dir) => {
+      val toks = tokens(lower(col("text")))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          when(col("text").rlike("[\\x{4E00}-\\x{9FFF}]"), "zh")
+            .when(col("text").rlike("[\\x{0400}-\\x{04FF}]"), "ru")
+            .when(stopCount(toks, enStops) >= stopCount(toks, esStops) &&
+                  stopCount(toks, enStops) > 0, "en")
+            .when(stopCount(toks, esStops) > 0, "es")
+            .otherwise("und").as("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- quality scoring: length / alpha ratio / stopword ratio
+    "text_quality" -> ((s, dir) => {
+      val toks = tokens(lower(col("text")))
+      val nTok = size(toks).cast("long")
+      val alphaRatio =
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double")
+      val stopRatio = stopCount(toks, enStops).cast("double") / nTok.cast("double")
+      Tables(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          nTok.as("n_tokens"),
+          round(alphaRatio, 4).as("alpha_ratio"),
+          round(stopRatio, 4).as("stop_ratio"),
+          round(alphaRatio * 0.5 + stopRatio * 0.5, 4).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- document fingerprint: digest of the whitespace-normalized body
+    "text_fingerprint" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), md5(normText(col("text"))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- exact dedup: hash-groupBy on the normalized body; keeper = min id
+    "dedup_exact" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .groupBy(md5(normText(col("text"))).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
+        .orderBy(col("fp"))
+    }),
+
+    // -- n-gram Jaccard near-dup: inverted index on 2-gram shingles →
+    //    pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|)
+    "dedup_ngram_jaccard" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("sh"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.toDF("id_a", "sh")
+        .join(sh.toDF("id_b", "sh2"),
+          col("sh") === col("sh2") && col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b"))
+        .agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.toDF("id_a", "sz_a"), "id_a")
+        .join(sizes.toDF("id_b", "sz_b"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          round(col("inter").cast("double") /
+            (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q24_token_counts" ->
+      """SELECT token, COUNT(*) AS cnt FROM (
+        |  SELECT UNNEST(string_split_regex(text, '\s+')) AS token FROM documents) t
+        |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "text_langid" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE
+        |    WHEN regexp_matches(text, '[\x{4E00}-\x{9FFF}]') THEN 'zh'
+        |    WHEN regexp_matches(text, '[\x{0400}-\x{04FF}]') THEN 'ru'
+        |    WHEN len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) >=
+        |         len(list_filter(toks, x -> x IN ('el','la','de','que','los','las','y')))
+        |     AND len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) > 0 THEN 'en'
+        |    WHEN len(list_filter(toks, x -> x IN ('el','la','de','que','los','las','y'))) > 0 THEN 'es'
+        |    ELSE 'und'
+        |  END AS lang_pred
+        |FROM t ORDER BY doc_id""".stripMargin,
+
+    "text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text) AS ar,
+        |  CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks) AS sr
+        |  FROM t)
+        |SELECT doc_id, n_tokens, ROUND(ar, 4) AS alpha_ratio, ROUND(sr, 4) AS stop_ratio,
+        |  ROUND(ar * 0.5 + sr * 0.5, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "text_fingerprint" ->
+      """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "dedup_exact" ->
+      """SELECT md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+        |  MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
+        |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    "dedup_ngram_jaccard" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin
+  )
+}
