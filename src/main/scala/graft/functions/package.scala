@@ -5,10 +5,11 @@ import org.apache.spark.sql.functions._
 
 /** Column-level functions for the graft engine.
   *
-  * All of these compose built-in, codegen'd Catalyst expressions
-  * (higher-order array functions) — no Scala UDFs in the hot path, so whole
-  * stage codegen stays intact and the expressions are usable from both the
-  * DataFrame API and SQL.
+  * No Scala UDFs anywhere: string/token helpers compose built-in Catalyst
+  * expressions, and the vector-math hot path is backed by custom codegen'd
+  * expressions ([[DotProductExpr]], [[L2NormSqExpr]]) so all-pairs similarity
+  * joins stay inside whole-stage codegen (the built-in higher-order array
+  * functions are CodegenFallback and were the round-1 bench bottleneck).
   *
   * Vector folds are sequential left-folds, which makes the floating point
   * summation order deterministic (and equal to a single-threaded engine's
@@ -16,19 +17,15 @@ import org.apache.spark.sql.functions._
   */
 package object functions {
 
+  import org.apache.spark.sql.graftglue.Glue.{toColumn, toExpr}
+
   /** Dot product of two numeric array columns, accumulated in Double. */
   def dotProduct(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    toColumn(DotProductExpr(toExpr(a), toExpr(b)))
 
   /** Squared L2 norm of a numeric array column. */
   def l2NormSq(a: Column): Column =
-    aggregate(
-      transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+    toColumn(L2NormSqExpr(toExpr(a)))
 
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(l2NormSq(a))

@@ -10,12 +10,14 @@ import graft.operators.Similarity
 /** Similarity search over the `embeddings` table (`embedding:
   * array<float>`) — SURVEY.md §2.B north-star extensions.
   *
-  * The oracle-checked queries are the exact brute-force formulations
-  * (cosine per DuckDB's list_cosine_similarity: sequential double fold, so
-  * results are bit-identical across engines). The approximate scale path
-  * (random-hyperplane LSH bucketing, graft.operators.Similarity) ships as a
-  * rows-only query: at 100 TB the brute-force pairwise join is infeasible
-  * and LSH bounds the candidate set per bucket.
+  * The oracle-checked queries are the exact brute-force formulations; the
+  * cosine math runs in the codegen'd graft expressions (sequential double
+  * fold — see graft.functions.VectorExpressions), and the DuckDB oracles
+  * spell out the identical fold so results are bit-exact across engines.
+  * The approximate scale path (random-hyperplane LSH bucketing,
+  * graft.operators.Similarity) ships as a rows-only query plus a measured
+  * recall gate: at 100 TB the brute-force pairwise join is infeasible and
+  * LSH bounds the candidate set per bucket.
   */
 object Embeddings extends QueryPack {
 
@@ -37,14 +39,26 @@ object Embeddings extends QueryPack {
 
     // -- embedding-cosine near-dup pairs above a threshold. Brute-force
     //    O(n²) pair join is the exactness baseline; the LSH query below is
-    //    the same semantics at scale (candidates only).
+    //    the same semantics at scale (candidates only). Norms are computed
+    //    once per row *below* the join (Catalyst keeps the projection on
+    //    each join input), so the per-pair work is one codegen'd dot plus
+    //    two multiplies; the double prefilter keeps BigDecimal allocation
+    //    off the 99.9% of pairs that cannot reach the threshold (0.2999 is
+    //    strictly below any double that rounds to >= 0.3000 at 4 digits, so
+    //    the decimal gate below stays the semantic filter).
     "dedup_embedding_cosine" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
-      val a = emb.toDF("id_a", "emb_a", "lbl_a")
-      val b = emb.toDF("id_b", "emb_b", "lbl_b")
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.l2NormSq(col("embedding")).as("nsq"))
+      val a = emb.toDF("id_a", "emb_a", "nsq_a")
+      val b = emb.toDF("id_b", "emb_b", "nsq_b")
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          cosineSim(col("emb_a"), col("emb_b")).cast(DecimalType(9, 4)).as("sim"))
+          (graft.functions.dotProduct(col("emb_a"), col("emb_b")) /
+            (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
+        .filter(col("sim_d") >= 0.2999)
+        .select(col("id_a"), col("id_b"),
+          col("sim_d").cast(DecimalType(9, 4)).as("sim"))
         .filter(col("sim") >= 0.3)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -59,18 +73,36 @@ object Embeddings extends QueryPack {
     })
   )
 
+  // Oracle note: round 1 used DuckDB's list_cosine_similarity, whose internal
+  // accumulation is NOT the sequential double fold Spark performs → 1-ulp
+  // differences at DECIMAL(9,4) rounding boundaries (hash_match=false). The
+  // oracles below spell out the *identical* computation — sequential
+  // left-fold dot and norms via list_reduce, then dot/(sqrt(na)*sqrt(nb)) —
+  // so both engines produce bit-identical doubles before the decimal cast.
   val oracles: Map[String, String] = Map(
     "q23_cosine_topk" ->
-      """SELECT vec_id,
-        |  CAST(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
-        |    (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings WHERE vec_id = 0)) AS DECIMAL(9,4)) AS sim
-        |FROM embeddings ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings),
+        |q AS (SELECT v, nsq FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id,
+        |  CAST(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.v[i]), (x, y) -> x + y)
+        |       / (sqrt(e.nsq) * sqrt(q.nsq)) AS DECIMAL(9,4)) AS sim
+        |FROM e, q
+        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
     "dedup_embedding_cosine" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DECIMAL(9,4)) AS sim
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE CAST(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS DECIMAL(9,4)) >= 0.3
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) AS sim
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin
   )
 }
