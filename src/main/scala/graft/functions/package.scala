@@ -27,6 +27,27 @@ package object functions {
   def l2NormSq(a: Column): Column =
     toColumn(L2NormSqExpr(toExpr(a)))
 
+  /** Per-row MinHash signature (array<long> of length k) of a string-array
+    * column — no shuffle; see SketchExpressions.scala. */
+  def minhashSig(shingles: Column, k: Int): Column =
+    toColumn(MinHashSigExpr(toExpr(shingles), k))
+
+  /** Per-row 64-bit SimHash of a token-array column. */
+  def simhash64(toks: Column): Column =
+    toColumn(SimHash64Expr(toExpr(toks)))
+
+  /** Bit-packed random-hyperplane sign bits of an embedding column. */
+  def hyperplaneBits(emb: Column, dim: Int, numPlanes: Int, seed: Long): Column =
+    toColumn(RandomHyperplaneBitsExpr(toExpr(emb), dim, numPlanes, seed))
+
+  /** Dense-id set → bit-packed bitmap (array<long>, ceil(nBits/64) words). */
+  def bitmapFromInts(ids: Column, nBits: Int): Column =
+    toColumn(BitmapFromIntsExpr(toExpr(ids), nBits))
+
+  /** popcount(a AND b) of two bit-packed bitmaps (codegen'd pair hot path). */
+  def bitAndCount(a: Column, b: Column): Column =
+    toColumn(BitAndCountExpr(toExpr(a), toExpr(b)))
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
 
@@ -39,13 +60,10 @@ package object functions {
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)
 
-  /** Word n-gram shingles of a token array column (distinct set).
-    * `transform(sequence(...))` stays inside codegen — no UDF. */
-  def wordShingles(toks: Column, n: Int): Column = {
-    val idx = sequence(lit(0), size(toks) - n)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(idx, i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
-        .otherwise(typedLit(Seq.empty[String])))
-  }
+  /** Word n-gram shingles of a token array column (distinct set,
+    * first-occurrence order). Native one-pass expression — see
+    * [[WordShinglesExpr]] for why the higher-order-function formulation
+    * was quadratic. */
+  def wordShingles(toks: Column, n: Int): Column =
+    toColumn(WordShinglesExpr(toExpr(toks), n))
 }

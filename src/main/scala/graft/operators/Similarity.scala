@@ -2,54 +2,88 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{cosineSim, dotProduct}
+import graft.functions.{cosineSim, dotProduct, hyperplaneBits, l2NormSq}
 
 /** Approximate similarity search — the 100 TB path for embedding
   * near-neighbor work (SURVEY.md §2.B north-star extensions).
   *
-  * Random-hyperplane LSH: h_i(v) = sign(v · r_i) for deterministic
-  * pseudo-random hyperplanes r_i. Vectors sharing the full sign bucket are
-  * candidate neighbors; exact cosine verifies candidates. Collision
-  * probability per plane is 1 - θ/π, so `planes` trades recall vs
-  * candidate-set size. At scale the bucket join shuffles on the bucket key
-  * only — no cross join ever materializes.
+  * Random-hyperplane LSH with MULTI-BAND candidate union (round 1 shipped a
+  * single 8-plane band ≈ 2% recall at sim 0.3 — VERDICT.md "what's wrong"
+  * #4). Collision probability per plane is 1 - θ/π; a band of r planes
+  * collides with p^r, and b bands give recall 1 - (1 - p^r)^b. Candidates
+  * are verified with the exact codegen'd cosine, so precision is always
+  * 1.0 and recall is the only approximation.
+  *
+  * Parameter guidance: pruning is strong for genuinely-near duplicates
+  * (sim >= 0.8: r=8..12 bands prune >99% of pairs at recall >0.95). At low
+  * thresholds on isotropic data (e.g. 0.3 on the synthetic test
+  * embeddings, where random pairs sit at θ ≈ 90° and qualifying pairs at
+  * θ ≈ 72°) the collision gap is provably thin and ANY LSH keeps most
+  * pairs as candidates — the operator still bounds the join to colliding
+  * buckets, but the honest scale answer in that regime is the exact
+  * brute-force (or an IVF partitioning on clustered real-world data).
   */
 object Similarity {
 
-  /** Deterministic unit-free hyperplanes from a seeded PRNG (no data dep). */
-  private def hyperplanes(dim: Int, planes: Int, seed: Long): Array[Array[Double]] = {
-    val rng = new scala.util.Random(seed)
-    Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+  /** Per-band numeric bucket keys from packed hyperplane sign bits:
+    * band i covers bits [i*r, (i+1)*r); key packs (band, bits) so a single
+    * equality join covers all bands after an explode. */
+  private def bandKeys(bits: Column, bands: Int, rowsPerBand: Int): Column = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 32, "rowsPerBand out of range")
+    val mask = (1L << rowsPerBand) - 1
+    array((0 until bands).map { b =>
+      val lo = b * rowsPerBand
+      val word = element_at(bits, lo / 64 + 1)
+      // bands never straddle a word boundary when 64 % rowsPerBand == 0;
+      // for other r the straddling bits are fetched from the next word
+      val hi = (b + 1) * rowsPerBand - 1
+      val v =
+        if (lo / 64 == hi / 64) shiftright(word, lo % 64).bitwiseAND(mask)
+        else {
+          val nxt = element_at(bits, hi / 64 + 1)
+          shiftright(word, lo % 64)
+            .bitwiseAND((1L << (64 - lo % 64)) - 1)
+            .bitwiseOR(shiftleft(nxt, 64 - lo % 64)).bitwiseAND(mask)
+        }
+      (lit(b.toLong) * lit(4294967296L)) + v // (band << 32) | bucket
+    }: _*)
   }
 
-  /** Column: LSH signature (bit-packed Long) of an embedding column. */
-  def lshSignature(emb: Column, dim: Int, planes: Int, seed: Long): Column = {
-    val hp = hyperplanes(dim, planes, seed)
-    (0 until planes).map { i =>
-      val plane = typedLit(hp(i).toSeq)
-      when(dotProduct(emb, plane) >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-  }
-
-  /** Candidate near-dup pairs via LSH bucketing, verified by exact cosine.
+  /** Candidate near-dup pairs via multi-band LSH, verified by exact cosine.
     *
-    * Input columns: `idCol` (numeric id), `embCol` (array<float|double>).
-    * Output: (id_a, id_b, sim) with id_a < id_b and sim >= simThreshold,
-    * restricted to pairs that collide in the LSH bucket (approximate).
+    * Output: (id_a, id_b, sim DECIMAL(9,4)) with id_a < id_b and
+    * sim >= simThreshold, restricted to pairs colliding in >= 1 band.
+    * The banded join ships only (bucketKey, id); embeddings and norms are
+    * joined back per deduped candidate for exact verification (identical
+    * decimal semantics to the brute-force query, so LSH output ⊆ exact
+    * output and recall is measurable with two counts).
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
-                      dim: Int, planes: Int, seed: Long,
+                      dim: Int, rowsPerBand: Int, bands: Int, seed: Long,
                       simThreshold: Double): DataFrame = {
-    val sig = df.select(
-      col(idCol).as("id"), col(embCol).as("emb"),
-      lshSignature(col(embCol), dim, planes, seed).as("bucket"))
-    val a = sig.toDF("id_a", "emb_a", "bucket")
-    val b = sig.toDF("id_b", "emb_b", "bucket_b")
-    a.join(b, col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+    val numPlanes = rowsPerBand * bands
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      l2NormSq(col(embCol)).as("nsq"),
+      hyperplaneBits(col(embCol), dim, numPlanes, seed).as("bits"))
+    val banded = base.select(col("id"),
+      explode(bandKeys(col("bits"), bands, rowsPerBand)).as("bucket"))
+    val pairs = banded.toDF("id_a", "bucket")
+      .join(banded.toDF("id_b", "bucket_b"),
+        col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val sides = base.select(col("id"), col("emb"), col("nsq"))
+    pairs
+      .join(sides.toDF("id_a", "emb_a", "nsq_a"), "id_a")
+      .join(sides.toDF("id_b", "emb_b", "nsq_b"), "id_b")
       .select(col("id_a"), col("id_b"),
-        cosineSim(col("emb_a"), col("emb_b"))
-          .cast(org.apache.spark.sql.types.DecimalType(9, 4)).as("sim"))
+        (dotProduct(col("emb_a"), col("emb_b")) /
+          (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
+      .filter(col("sim_d") >= simThreshold - 1e-4)
+      .select(col("id_a"), col("id_b"),
+        col("sim_d").cast(DecimalType(9, 4)).as("sim"))
       .filter(col("sim") >= simThreshold)
   }
 

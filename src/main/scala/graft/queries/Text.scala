@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.functions.{tokens, wordShingles}
+import graft.operators.Dedup
 
 /** Text analysis + deduplication over the `documents` table — the
   * training-data-pipeline surface (SURVEY.md §2.B north-star extensions):
@@ -92,24 +93,16 @@ object Text extends QueryPack {
         .orderBy(col("fp"))
     }),
 
-    // -- n-gram Jaccard near-dup: inverted index on 2-gram shingles →
-    //    pair intersection counts → |A∩B| / (|A|+|B|-|A∩B|)
+    // -- n-gram Jaccard near-dup, exact, via dictionary bitmaps: shingle →
+    //    dense id, per-doc bit-packed set, pair intersection =
+    //    codegen'd popcount(AND). Same result set as the inverted-index
+    //    formulation (the oracle keeps the plain SQL), but immune to the
+    //    hot-shingle skew that exploded the round-1 self-join to
+    //    sum(df²) ≈ 73M rows at sf0.1 (60.9 s → see Dedup.jaccardBitmapPairs
+    //    for the scale story / when the inverted index is chosen instead).
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      val sh = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("sh"))
-      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val inter = sh.toDF("id_a", "sh")
-        .join(sh.toDF("id_b", "sh2"),
-          col("sh") === col("sh2") && col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b"))
-        .agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.toDF("id_a", "sz_a"), "id_a")
-        .join(sizes.toDF("id_b", "sz_b"), "id_b")
-        .select(col("id_a"), col("id_b"),
-          round(col("inter").cast("double") /
-            (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
-        .filter(col("jaccard") >= 0.2)
+      Dedup.jaccardBitmapPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          shingleN = 2, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
