@@ -1,25 +1,41 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (driver contract): runs every SparkEntry query against
+  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall times.
+  *
+  * Methodology (round-2 fixes per VERDICT.md):
+  *  - results are materialized through the `noop` datasource — `count()`
+  *    let Catalyst prune projections and degenerate top-k sorts, flattering
+  *    several queries;
+  *  - the session is warmed up first (one scan of each input table plus one
+  *    full query) so JVM/codegen/scan warmup is not billed to whichever
+  *    query happens to run first;
+  *  - queries run in sorted-name order for run-to-run comparability.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.local("graft-bench",
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt)
+
+    // warmup: touch every table (scan + codegen paths), then one query
+    Tables.names.foreach { t =>
+      try Tables(spark, sfDir, t).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
+    }
+    try SparkEntry.queries("q03_tpch_q1_agg")(spark, sfDir)
+      .write.format("noop").mode("overwrite").save()
+    catch { case _: Throwable => () }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
