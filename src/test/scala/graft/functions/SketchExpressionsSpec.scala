@@ -1,0 +1,110 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SketchExpressionsSpec extends SparkSpec {
+
+  test("wordShingles: distinct n-grams, first-occurrence order, short inputs empty") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      "a b c a b",  // "a b","b c","c a","a b"(dup)
+      "one",        // shorter than n → empty
+      "",           // tokens() drops empties → empty
+      "x  y\tz"     // multi-whitespace
+    ).toDF("text")
+    val got = df.select(wordShingles(tokens(col("text")), 2).as("sh"))
+      .collect().map(_.getSeq[String](0).toList).toList
+    assert(got == List(
+      List("a b", "b c", "c a"),
+      Nil, Nil,
+      List("x y", "y z")))
+  }
+
+  test("minhashSig: k elements; signature of a superset is <= elementwise; containment") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      Seq("a", "b", "c"),
+      Seq("a", "b", "c", "d", "e")
+    ).toDF("toks")
+    val sigs = df.select(minhashSig(col("toks"), 16).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    assert(sigs.forall(_.length == 16))
+    // min over a superset can only be <= the subset's min, per position
+    sigs(0).zip(sigs(1)).foreach { case (sub, sup) => assert(sup <= sub) }
+  }
+
+  test("minhashSig: empty array -> null; deterministic across evaluations") {
+    val sp = spark
+    import sp.implicits._
+    val r = Seq(Seq.empty[String]).toDF("toks")
+      .select(minhashSig(col("toks"), 8)).head()
+    assert(r.isNullAt(0))
+    val twice = (1 to 2).map { _ =>
+      Seq(Seq("x", "y")).toDF("toks")
+        .select(minhashSig(col("toks"), 8)).head().getSeq[Long](0)
+    }
+    assert(twice(0) == twice(1))
+  }
+
+  test("minhash estimates jaccard within tolerance on a known pair") {
+    val sp = spark
+    import sp.implicits._
+    // |A∩B|=50, |A∪B|=100 → J=0.5; 256 hashes → σ≈0.03
+    val shared = (1 to 50).map(i => s"s$i")
+    val a = shared ++ (1 to 50).map(i => s"a$i")
+    val b = shared ++ (1 to 50).map(i => s"b$i")
+    val sigs = Seq(a, b).toDF("toks")
+      .select(minhashSig(col("toks"), 256).as("sig"))
+      .collect().map(_.getSeq[Long](0))
+    val est = sigs(0).zip(sigs(1)).count { case (x, y) => x == y } / 256.0
+    assert(math.abs(est - 0.5) < 0.12, s"est=$est")
+  }
+
+  test("simhash64: identical token multisets collide; small edits stay near") {
+    val sp = spark
+    import sp.implicits._
+    val base = (1 to 40).map(i => s"w$i")
+    val edited = base.updated(3, "CHANGED").updated(17, "ALSO")
+    val unrelated = (1 to 40).map(i => s"z$i")
+    val hs = Seq(base, base, edited, unrelated).toDF("toks")
+      .select(simhash64(col("toks")).as("h"))
+      .collect().map(_.getLong(0))
+    assert(hs(0) == hs(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(0), hs(2)) < ham(hs(0), hs(3)),
+      s"edit ham=${ham(hs(0), hs(2))} unrelated ham=${ham(hs(0), hs(3))}")
+  }
+
+  test("bitmap round-trip: popcount(AND) equals exact set intersection size") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    val nBits = 1000
+    val sets = (1 to 20).map(_ => (1 to 80).map(_ => rng.nextInt(nBits)).distinct.toList)
+    val bms = sets.toDF("ids")
+      .select(bitmapFromInts(col("ids"), nBits).as("bm"))
+      .collect().map(_.getSeq[Long](0))
+    for (i <- sets.indices; j <- sets.indices if i < j) {
+      val expect = sets(i).toSet.intersect(sets(j).toSet).size
+      val dfCount = Seq((bms(i), bms(j))).toDF("a", "b")
+        .select(bitAndCount(col("a"), col("b"))).head().getLong(0)
+      assert(dfCount == expect, s"pair ($i,$j)")
+    }
+  }
+
+  test("hyperplaneBits: deterministic; equal vectors collide on all planes") {
+    val sp = spark
+    import sp.implicits._
+    val v = List.fill(16)(scala.util.Random.nextDouble())
+    val rows = Seq(v, v, v.map(-_)).toDF("emb")
+      .select(hyperplaneBits(col("emb"), 16, 64, seed = 5).as("bits"))
+      .collect().map(_.getSeq[Long](0))
+    assert(rows(0) == rows(1))
+    // the negated vector flips every sign bit
+    assert(rows(0).zip(rows(2)).forall { case (a, b) => (a ^ b) == -1L })
+  }
+}

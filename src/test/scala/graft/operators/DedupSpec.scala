@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.{tokens, wordShingles}
+
+class DedupSpec extends SparkSpec {
+
+  /** Deterministic synthetic corpus with planted near-duplicates. */
+  private lazy val docs: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(3)
+    val vocab = (1 to 200).map(i => s"w$i")
+    def sentence(n: Int) = List.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+    val originals = (0 until 40).map(i => (i.toLong, sentence(30)))
+    // plant near-dups: copy with one word changed
+    val nearDups = originals.take(10).map { case (id, text) =>
+      val toks = text.split(" ")
+      (100L + id, toks.updated(5, "REPLACED").mkString(" "))
+    }
+    (originals ++ nearDups).toDF("doc_id", "text")
+  }
+
+  /** Brute-force jaccard pairs over distinct 2-gram shingle sets. */
+  private def bruteJaccard(threshold: Double): Set[(Long, Long, Double)] = {
+    val rows = docs.select(col("doc_id"), wordShingles(tokens(col("text")), 2).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1).toSet)
+    (for {
+      (ia, sa) <- rows; (ib, sb) <- rows if ia < ib
+      inter = sa.intersect(sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      jr = BigDecimal(j).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= threshold
+    } yield (ia, ib, jr)).toSet
+  }
+
+  test("jaccardBitmapPairs equals brute-force jaccard exactly") {
+    val got = Dedup.jaccardBitmapPairs(docs, "doc_id", "text", 2, 0.2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val expect = bruteJaccard(0.2)
+    assert(got == expect)
+    assert(got.size >= 10, "planted near-dups must be found")
+  }
+
+  test("simHashNearDups banding equals brute-force hamming filter") {
+    val sh = Dedup.simHash(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val brute = (for {
+      (ia, ha) <- sh; (ib, hb) <- sh if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ia, ib, d.toLong)).toSet
+    val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(banded == brute)
+  }
+
+  test("minHashNearDups finds the planted near-duplicates") {
+    val got = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each planted pair (i, 100+i) has true jaccard ~0.87 — recall must be high
+    val planted = (0 until 10).map(i => (i.toLong, 100L + i)).toSet
+    val found = planted.intersect(got)
+    assert(found.size >= 9, s"found only ${found.size}/10 planted pairs")
+  }
+
+  test("minHashSignatures emits one row per non-empty doc, k columns in sig") {
+    val sigs = Dedup.minHashSignatures(docs, "doc_id", "text", 2, 16)
+    assert(sigs.count() == docs.count())
+    assert(sigs.select(size(col("sig"))).distinct().head().getInt(0) == 16)
+  }
+}
