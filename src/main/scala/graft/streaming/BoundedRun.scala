@@ -1,0 +1,72 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener}
+
+/** Bounded-completion control for streaming queries — the Spark-native
+  * analog of the reference's validating consumer, which reads an output
+  * topic until an expected message count arrives or no message shows up
+  * for a timeout (reference: internal/pipeline/consumer.go:45-136:
+  * `StartWithExpectedCount`, 30 s no-message timeout).
+  *
+  * Two modes:
+  *  - [[runAvailableNow]]: `Trigger.AvailableNow` — process everything
+  *    currently in the source, then stop (bounded run to completion).
+  *  - [[awaitExpectedCount]]: leave the query running continuously and
+  *    stop it once the cumulative input row count reaches `expected`, or
+  *    no progress has been made for `noProgressTimeoutMs`.
+  *
+  * The listener only accumulates counters; the waiting thread performs
+  * `query.stop()` — stopping from inside the listener callback risks a
+  * deadlock against the listener bus.
+  */
+object BoundedRun {
+
+  /** Outcome of a bounded wait. */
+  sealed trait Outcome
+  case object ReachedExpected extends Outcome
+  case object NoProgressTimeout extends Outcome
+  case object QueryTerminated extends Outcome
+
+  /** Process all currently-available input, then return once the query
+    * has stopped (Trigger.AvailableNow must have been set by the caller's
+    * writer — see FileTopics.insertInto / DataStreamWriter.trigger). */
+  def runAvailableNow(q: StreamingQuery): Unit = q.awaitTermination()
+
+  /** Stop `q` when its cumulative input rows reach `expected`, or when no
+    * batch makes progress for `noProgressTimeoutMs` (reference consumer's
+    * 30 s no-message stop). Returns the outcome and the final count. */
+  def awaitExpectedCount(spark: SparkSession, q: StreamingQuery, expected: Long,
+                         noProgressTimeoutMs: Long = 30000L,
+                         pollMs: Long = 50L): (Outcome, Long) = {
+    val seen = new AtomicLong(0L)
+    val lastProgressAt = new AtomicLong(System.nanoTime())
+    val listener = new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.id == q.id) {
+          if (e.progress.numInputRows > 0) {
+            seen.addAndGet(e.progress.numInputRows)
+            lastProgressAt.set(System.nanoTime())
+          }
+        }
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    }
+    spark.streams.addListener(listener)
+    try {
+      var outcome: Outcome = null
+      while (outcome == null) {
+        if (!q.isActive) outcome = QueryTerminated
+        else if (seen.get() >= expected) outcome = ReachedExpected
+        else if ((System.nanoTime() - lastProgressAt.get()) / 1000000L > noProgressTimeoutMs)
+          outcome = NoProgressTimeout
+        else Thread.sleep(pollMs)
+      }
+      if (q.isActive) q.stop()
+      q.awaitTermination()
+      (outcome, seen.get())
+    } finally spark.streams.removeListener(listener)
+  }
+}
