@@ -13,7 +13,7 @@ import graft.queries._
 object SparkEntry {
 
   val packs: Seq[QueryPack] =
-    Seq(Relational, Analytic, Events, Text, Embeddings, MultimodalPack)
+    Seq(Relational, Analytic, Events, Text, Embeddings, MultimodalPack, Extras)
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * TPC-H Q1 shape — the direct analog of the reference's revenue pipeline

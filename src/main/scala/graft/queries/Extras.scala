@@ -1,0 +1,184 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Round-2 SQL-surface stragglers (VERDICT.md "what's missing" #8): cube,
+  * grouping sets, approximate aggregates with oracle-checked error
+  * bounds, right/full outer joins, and a typed UDAF through the
+  * `Aggregator` surface.
+  *
+  * Approximate aggregates cannot hash-match a different engine's sketch,
+  * so their correctness rows assert the error CONTRACT instead: Spark
+  * emits the exact value plus a boolean "approx within tolerance", and
+  * the DuckDB oracle recomputes the exact value independently with TRUE
+  * for the bound — a sketch regression turns the row red.
+  */
+object Extras extends QueryPack {
+
+  private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Typed UDAF: weighted mean via exact decimal partial sums. BigDecimal
+    * buffers make merge order irrelevant (exact arithmetic), so the
+    * result is deterministic under any partitioning — the property a
+    * Double-buffer UDAF would lose. */
+  private class WeightedMean extends Aggregator[(java.math.BigDecimal, java.math.BigDecimal),
+      (java.math.BigDecimal, java.math.BigDecimal), (Double, Double)] {
+    private val Z = java.math.BigDecimal.ZERO
+    def zero: (java.math.BigDecimal, java.math.BigDecimal) = (Z, Z)
+    def reduce(b: (java.math.BigDecimal, java.math.BigDecimal),
+               a: (java.math.BigDecimal, java.math.BigDecimal)) =
+      (b._1.add(a._1.multiply(a._2)), b._2.add(a._2))
+    def merge(x: (java.math.BigDecimal, java.math.BigDecimal),
+              y: (java.math.BigDecimal, java.math.BigDecimal)) =
+      (x._1.add(y._1), x._2.add(y._2))
+    def finish(b: (java.math.BigDecimal, java.math.BigDecimal)): (Double, Double) =
+      (b._1.doubleValue(), b._2.doubleValue())
+    def bufferEncoder: Encoder[(java.math.BigDecimal, java.math.BigDecimal)] =
+      Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL)
+    def outputEncoder: Encoder[(Double, Double)] =
+      Encoders.tuple(Encoders.scalaDouble, Encoders.scalaDouble)
+  }
+
+  val queries: Map[String, QFn] = Map(
+    // -- Q27: CUBE with grouping_id (Catalyst Expand over 4 grouping sets)
+    "q27_cube" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"),
+          round(sum(dec2(col("o_totalprice"))), 4).cast("double").as("total"),
+          count(lit(1)).as("cnt"))
+        .select(col("gid").cast("long").as("gid"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("total"), col("cnt"))
+        .orderBy(col("gid"), col("status"), col("prio"))
+    }),
+
+    // -- Q28: GROUPING SETS ((status), (priority)) — two disjoint levels
+    "q28_grouping_sets" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus")), Seq(col("o_orderpriority"))),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(dec2(col("o_totalprice"))), 4).cast("double").as("total"),
+          count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("total"), col("cnt"))
+        .orderBy(col("status"), col("prio"))
+    }),
+
+    // -- Q29: approx_count_distinct (HLL++) with an oracle-checked error
+    //    bound: default rsd is 5%, the gate allows 3x that.
+    "q29_approx_distinct" -> ((s, dir) => {
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(countDistinct(col("o_custkey")).as("exact_uniq"),
+          approx_count_distinct(col("o_custkey")).as("approx"))
+        .select(col("o_orderpriority"), col("exact_uniq"),
+          (abs(col("approx") - col("exact_uniq")).cast("double") <=
+            col("exact_uniq").cast("double") * 0.15).as("approx_ok"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- Q30: RIGHT OUTER join — right side (customer) fully preserved,
+    //    order columns null-filled for customers without orders
+    "q30_right_outer" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"))
+      orders
+        .join(Tables(s, dir, "customer").select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .select(col("c_custkey"),
+          coalesce(col("o_orderkey"), lit(-1L)).as("okey"),
+          coalesce(col("o_orderstatus"), lit("NONE")).as("status"))
+        .orderBy(col("c_custkey"), col("okey"))
+    }),
+
+    // -- Q31: FULL OUTER join of two disjoint aggregates
+    "q31_full_outer" -> ((s, dir) => {
+      val orders = Tables(s, dir, "orders")
+      val open = orders.filter(col("o_orderstatus") === "O")
+        .groupBy(col("o_custkey").as("ck_o")).agg(count(lit(1)).as("open_cnt"))
+      val fin = orders.filter(col("o_orderstatus") === "F")
+        .groupBy(col("o_custkey").as("ck_f")).agg(count(lit(1)).as("fin_cnt"))
+      open.join(fin, col("ck_o") === col("ck_f"), "full_outer")
+        .select(
+          coalesce(col("ck_o"), col("ck_f")).as("custkey"),
+          coalesce(col("open_cnt"), lit(0L)).as("open_cnt"),
+          coalesce(col("fin_cnt"), lit(0L)).as("fin_cnt"))
+        .orderBy(col("custkey"))
+    }),
+
+    // -- Q32: typed UDAF (Aggregator surface) — weighted mean discount by
+    //    quantity, decimal-exact partials, double division at the end
+    "q32_udaf_weighted_mean" -> ((s, dir) => {
+      val wm = udaf(new WeightedMean(),
+        Encoders.tuple(Encoders.DECIMAL, Encoders.DECIMAL))
+      Tables(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          dec2(col("l_discount")).as("d"), dec2(col("l_quantity")).as("q"))
+        .groupBy(col("l_returnflag"))
+        .agg(wm(col("d"), col("q")).as("wm"))
+        .select(col("l_returnflag"),
+          (col("wm._1") / col("wm._2")).cast(DecimalType(9, 4)).as("wavg_discount"))
+        .orderBy(col("l_returnflag"))
+    })
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q27_cube" ->
+      """SELECT CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |  COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, prio""".stripMargin,
+
+    "q28_grouping_sets" ->
+      """SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+        |  COALESCE(o_orderpriority, 'ALL') AS prio,
+        |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total,
+        |  COUNT(*) AS cnt
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        |ORDER BY status, prio""".stripMargin,
+
+    "q29_approx_distinct" ->
+      """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS exact_uniq,
+        |  TRUE AS approx_ok
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q30_right_outer" ->
+      """SELECT c.c_custkey,
+        |  COALESCE(o.o_orderkey, -1) AS okey,
+        |  COALESCE(o.o_orderstatus, 'NONE') AS status
+        |FROM orders o RIGHT OUTER JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY c_custkey, okey""".stripMargin,
+
+    "q31_full_outer" ->
+      """WITH open_o AS (
+        |  SELECT o_custkey AS ck_o, COUNT(*) AS open_cnt FROM orders
+        |  WHERE o_orderstatus = 'O' GROUP BY o_custkey),
+        |fin AS (
+        |  SELECT o_custkey AS ck_f, COUNT(*) AS fin_cnt FROM orders
+        |  WHERE o_orderstatus = 'F' GROUP BY o_custkey)
+        |SELECT COALESCE(ck_o, ck_f) AS custkey,
+        |  COALESCE(open_cnt, 0) AS open_cnt,
+        |  COALESCE(fin_cnt, 0) AS fin_cnt
+        |FROM open_o FULL OUTER JOIN fin ON ck_o = ck_f
+        |ORDER BY custkey""".stripMargin,
+
+    "q32_udaf_weighted_mean" ->
+      """SELECT l_returnflag,
+        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(9,4)) AS wavg_discount
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+  )
+}
