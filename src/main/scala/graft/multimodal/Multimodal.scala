@@ -15,9 +15,12 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
-  /** Decoded-media feature record produced by the (stub) decoder. */
+  /** Decoded-media feature record produced by the (stub) decoder.
+    * mean_intensity_e4 = mean byte value × 10⁴ as truncated integer —
+    * integer math end-to-end so the value is bit-identical in any engine
+    * (a double mean invited cross-engine rounding drift). */
   case class MediaFeatures(media_id: Long, n_bytes: Long, width: Int,
-                           height: Int, mean_intensity: Double)
+                           height: Int, mean_intensity_e4: Long)
 
   /** Raw (id, payload) row — public: Spark's generated deserializer code
     * must be able to reference the class. */
@@ -29,15 +32,15 @@ object Multimodal {
     * Replace this body with a real codec call (e.g. TwelveMonkeys/FFmpeg
     * JNI) — the signature and the distributed execution shape stay as-is.
     */
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Double) = {
+  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
     val n = payload.length
     val width = math.max(1, math.sqrt(n.toDouble).toInt)
     val height = math.max(1, n / width)
     var sum = 0L
     var i = 0
     while (i < n) { sum += (payload(i) & 0xFF); i += 1 }
-    val mean = if (n == 0) 0.0 else sum.toDouble / n
-    (width, height, mean)
+    val meanE4 = if (n == 0) 0L else sum * 10000L / n
+    (width, height, meanE4)
   }
 
   /** Decode + feature-extract over a (id, binary) DataFrame. Runs
@@ -52,9 +55,8 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, mean) = decodeStub(r.payload)
-          MediaFeatures(r.media_id, r.payload.length.toLong, w, h,
-            math.rint(mean * 10000) / 10000)
+          val (w, h, meanE4) = decodeStub(r.payload)
+          MediaFeatures(r.media_id, r.payload.length.toLong, w, h, meanE4)
         }
       }
   }

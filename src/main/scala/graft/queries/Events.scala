@@ -47,6 +47,34 @@ object Events extends QueryPack {
         .orderBy(col("user_id"), col("event_type"))
     }),
 
+    // -- Q34: sliding (HOP) window batch analog — every event lands in
+    //    size/slide = 2 overlapping windows (streaming form:
+    //    graft.streaming.Windows.hop)
+    "q34_hop_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(window(col("ts"), "2 hours", "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+             round(sum(dec2(col("value"))), 4).cast("double").as("sum_value"))
+        .select(col("window.start").cast("long").as("win_start"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy(col("win_start"), col("event_type"))
+    }),
+
+    // -- Q35: session window batch analog (30-min gap, per user); the
+    //    oracle derives identical sessions with gaps-and-islands SQL.
+    //    Merge rule matches Spark: strict `diff < gap` (window end is
+    //    exclusive).
+    "q35_session_window" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          col("session_window.start").cast("long").as("session_start"),
+          col("session_window.end").cast("long").as("session_end"),
+          col("user_id"), col("cnt"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+
     // -- Q22: JSON field extraction from the props payload column
     "q22_json_extract" -> ((s, dir) => {
       Tables(s, dir, "events")
@@ -85,6 +113,31 @@ object Events extends QueryPack {
         |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
         |  FROM events) t
         |WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    "q34_hop_window" ->
+      """WITH hopped AS (
+        |  SELECT event_type, CAST(value AS DECIMAL(18,2)) AS v,
+        |    time_bucket(INTERVAL '1 hour', CAST(ts AS TIMESTAMP)) - k.off * INTERVAL '1 hour' AS w_start
+        |  FROM events CROSS JOIN (VALUES (0), (1)) AS k(off))
+        |SELECT CAST(epoch(w_start) AS BIGINT) AS win_start, event_type,
+        |  COUNT(*) AS cnt, CAST(ROUND(SUM(v), 4) AS DOUBLE) AS sum_value
+        |FROM hopped GROUP BY w_start, event_type
+        |ORDER BY win_start, event_type""".stripMargin,
+
+    "q35_session_window" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |l AS (SELECT user_id, ts,
+        |  CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) < INTERVAL '30 minutes'
+        |       THEN 0 ELSE 1 END AS brk
+        |  FROM e),
+        |g AS (SELECT user_id, ts,
+        |  SUM(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM l)
+        |SELECT CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+        |  CAST(FLOOR(epoch(MAX(ts) + INTERVAL '30 minutes')) AS BIGINT) AS session_end,
+        |  user_id, COUNT(*) AS cnt
+        |FROM g GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
 
     "q22_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k

@@ -116,6 +116,24 @@ object Extras extends QueryPack {
         .orderBy(col("custkey"))
     }),
 
+    // -- Q33: approx_percentile for the 100 TB path (exact percentile_cont
+    //    needs a full sort per group — the approximate sketch is the scale
+    //    answer; VERDICT.md round-1 watch item on q25). The exact median
+    //    is hash-checked; the sketch is gated inside the exact p45..p55
+    //    band.
+    "q33_approx_percentile" -> ((s, dir) => {
+      Tables(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          round(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY value)"), 4).as("p50_exact"),
+          expr("percentile_cont(0.45) WITHIN GROUP (ORDER BY value)").as("lo"),
+          expr("percentile_cont(0.55) WITHIN GROUP (ORDER BY value)").as("hi"),
+          expr("approx_percentile(value, 0.5, 1000)").as("ap"))
+        .select(col("event_type"), col("p50_exact"),
+          (col("ap") >= col("lo") && col("ap") <= col("hi")).as("approx_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // -- Q32: typed UDAF (Aggregator surface) — weighted mean discount by
     //    quantity, decimal-exact partials, double division at the end
     "q32_udaf_weighted_mean" -> ((s, dir) => {
@@ -174,6 +192,11 @@ object Extras extends QueryPack {
         |  COALESCE(fin_cnt, 0) AS fin_cnt
         |FROM open_o FULL OUTER JOIN fin ON ck_o = ck_f
         |ORDER BY custkey""".stripMargin,
+
+    "q33_approx_percentile" ->
+      """SELECT event_type, ROUND(quantile_cont(value, 0.5), 4) AS p50_exact,
+        |  TRUE AS approx_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q32_udaf_weighted_mean" ->
       """SELECT l_returnflag,

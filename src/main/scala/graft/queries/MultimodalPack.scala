@@ -23,7 +23,9 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
-    // -- stub decode + feature extraction (mapPartitions path; rows-only)
+    // -- stub decode + feature extraction (mapPartitions path). The stub
+    //    is integer-exact, so the oracle recomputes it in SQL and the row
+    //    is hash-checked (round 1 left it rows-only).
     "mm_decode_features" -> ((s, dir) => {
       val bin = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
@@ -31,12 +33,14 @@ object MultimodalPack extends QueryPack {
         .toDF().orderBy(col("media_id"))
     }),
 
-    // -- frame sampling stub over binary payloads (rows-only)
+    // -- frame sampling stub over binary payloads (oracle-checked chunk
+    //    geometry)
     "mm_frame_sample" -> ((s, dir) => {
       val bin = Tables(s, dir, "documents")
         .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
       Multimodal.sampleFrames(bin, "doc_id", "payload", frameBytes = 64, stride = 2)
-        .select(col("doc_id"), col("frame_idx"), octet_length(col("frame")).cast("long").as("frame_bytes"))
+        .select(col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+          octet_length(col("frame")).cast("long").as("frame_bytes"))
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
@@ -82,6 +86,29 @@ object MultimodalPack extends QueryPack {
 
     // DuckDB cannot reproduce the xxhash64-based simhash, but it CAN assert
     // the banding-vs-brute-force equivalence contract computed Spark-side.
-    "dedup_simhash_check" -> "SELECT TRUE AS banding_exact"
+    "dedup_simhash_check" -> "SELECT TRUE AS banding_exact",
+
+    // The decode stub is integer-exact byte math over ASCII payloads, so
+    // the oracle recomputes it: width=floor(sqrt(n)), height=n/width
+    // (truncating), mean_e4 = sum(bytes)*10^4 / n (truncating).
+    "mm_decode_features" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |s AS (SELECT doc_id, n,
+        |  list_sum(list_transform(range(1, n + 1), i -> ord(substr(text, CAST(i AS INT), 1)))) AS sb
+        |  FROM b)
+        |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
+        |  CAST(greatest(1, floor(sqrt(n))) AS INT) AS width,
+        |  CAST(greatest(1, n // CAST(greatest(1, floor(sqrt(n))) AS INT)) AS INT) AS height,
+        |  CAST(sb * 10000 // n AS BIGINT) AS mean_intensity_e4
+        |FROM s ORDER BY media_id""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
+        |f AS (SELECT doc_id, n, CAST(ceil(n / 64.0) AS INT) AS nf FROM b),
+        |idx AS (SELECT doc_id, n, UNNEST(range(nf)) AS i FROM f)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+        |  CAST(least(64, n - i * 64) AS BIGINT) AS frame_bytes
+        |FROM idx WHERE i % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin
   )
 }
