@@ -1,0 +1,47 @@
+package graft.runner
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+import graft.SparkSpec
+
+class DashboardSpec extends SparkSpec {
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def get(port: Int, path: String): String =
+    HttpClient.newHttpClient().send(
+      HttpRequest.newBuilder(URI.create(s"http://127.0.0.1:$port$path")).GET().build(),
+      HttpResponse.BodyHandlers.ofString()).body()
+
+  test("dashboard serves status, metrics and page from live listener data") {
+    val sp = spark
+    import sp.implicits._
+    val metrics = new MetricsCollector().register(sp)
+    val dash = new Dashboard(metrics).start()
+    try {
+      dash.setStatus("running")
+      val in = MemoryStream[Int]
+      val q = in.toDF().writeStream.format("memory").queryName("dash_q")
+        .outputMode("append").start()
+      try {
+        in.addData(1 to 25: _*)
+        q.processAllAvailable()
+        val port = dash.boundPort
+        val status = get(port, "/api/status")
+        assert(status.contains("\"status\": \"running\""))
+        assert(status.contains("\"total_input_rows\": 25"))
+        val m = get(port, "/api/metrics")
+        assert(m.contains("\"name\": \"dash_q\"") && m.contains("\"total_input_rows\": 25"))
+        assert(get(port, "/api/errors") == "[]")
+        val page = get(port, "/")
+        assert(page.contains("graft pipeline dashboard") && page.contains("dash_q"))
+      } finally q.stop()
+    } finally {
+      dash.stop()
+      metrics.unregister(sp)
+    }
+  }
+}
