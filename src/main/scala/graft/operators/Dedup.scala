@@ -130,11 +130,16 @@ object Dedup {
       .select(col("sh"),
         (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sh"))) - 1).as("shid"))
     val v = dict.count().toInt // one scalar action to size the bitmap
+    // persist: the self-join below references docSets on both sides, and
+    // without it the whole shingle->dict->bitmap pipeline runs once per
+    // reference (at cluster scale this table — n rows x V/8 bytes — is
+    // the natural build-side cache of the operator)
     val docSets = sh.join(broadcast(dict), "sh")
       .groupBy(col("id"))
       .agg(collect_set(col("shid")).as("ids"))
       .select(col("id"), size(col("ids")).as("sz"),
         bitmapFromInts(col("ids"), v).as("bm"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // the broadcast-nested-loop stream side must be spread across cores:
     // docSets comes out of a (small, AQE-coalesced) aggregation, often a
     // single partition — which would serialize the O(n²) pair loop
