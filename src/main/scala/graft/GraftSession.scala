@@ -39,4 +39,23 @@ object GraftSession {
     spark.sparkContext.setLogLevel("WARN")
     spark
   }
+
+  /** Cluster-posture builder — the conf this engine expects at real scale
+    * (100 TB inputs, O(1000) executors). Master/deploy settings come from
+    * spark-submit; this sets the engine-relevant knobs:
+    *  - shuffle partitions sized so post-AQE partitions sit near the
+    *    advisory target (AQE coalesces down, it cannot split a too-coarse
+    *    initial layout except for skew);
+    *  - 256 MiB advisory partitions / 256 MiB scan splits: large enough to
+    *    amortize task overhead at 10^5-task scale, small enough to fit
+    *    executor memory with room for hash tables;
+    *  - broadcast threshold raised to 64 MiB — every dimension table in
+    *    the star joins stays broadcast at 100× dimension growth. */
+  def cluster(appName: String = "graft", shufflePartitions: Int = 2000): SparkSession.Builder =
+    builder(appName)
+      .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
+      .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", (256L << 20).toString)
+      .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
+      .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+      .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
 }

@@ -61,17 +61,16 @@ object Multimodal {
       }
   }
 
-  /** Frame-sampling stub: split a binary payload into fixed-size "frames"
-    * and keep every `stride`-th — pure expression-level (codegen'd), shows
-    * the chunking plumbing for video-like payloads. */
+  /** Frame sampling: split a binary payload into fixed-size "frames" and
+    * keep every `stride`-th — a custom Generator (UDTF) expression that
+    * streams frames instead of materializing the full slice array before
+    * a posexplode (graft.functions.SplitFramesExpr); the chunking
+    * plumbing for video-like payloads. */
   def sampleFrames(df: DataFrame, idCol: String, payloadCol: String,
                    frameBytes: Int, stride: Int): DataFrame = {
-    val nFrames = ceil(octet_length(col(payloadCol)).cast("double") / frameBytes).cast("int")
-    df.select(col(idCol), col(payloadCol).as("payload"), nFrames.as("n_frames"))
-      .select(col(idCol), col("n_frames"),
-        posexplode(transform(sequence(lit(0), col("n_frames") - 1),
-          i => substring(col("payload"), (i * frameBytes + 1).cast("int"), lit(frameBytes)))))
-      .withColumnRenamed("pos", "frame_idx").withColumnRenamed("col", "frame")
-      .filter(col("frame_idx") % stride === 0)
+    import org.apache.spark.sql.graftglue.Glue
+    df.select(col(idCol),
+      Glue.toColumn(graft.functions.SplitFramesExpr(
+        Glue.toExpr(col(payloadCol)), frameBytes, stride)))
   }
 }
