@@ -60,6 +60,30 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- MinHash estimator-quality gate (oracle-checked): for every pair
+    //    the LSH emitted, the 32-hash jaccard estimate must sit within
+    //    3σ ≈ 0.25 of the exact jaccard (computed via the bitmap sets).
+    //    DuckDB cannot reproduce xxhash64 minhashing, but it can assert
+    //    the contract; a broken estimator turns this row red.
+    "dedup_minhash_check" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val mh = Dedup.minHashNearDups(docs, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.1)
+      val sets = docs.select(col("doc_id"),
+        graft.functions.wordShingles(graft.functions.tokens(col("text")), 2).as("sh"))
+      val withExact = mh
+        .join(sets.toDF("id_a", "sh_a"), "id_a")
+        .join(sets.toDF("id_b", "sh_b"), "id_b")
+        .select(col("est_jaccard"),
+          (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))).cast("double")).as("exact_j"))
+      withExact.agg(
+        count(lit(1)).as("n_pairs"),
+        (count(lit(1)) > 0 &&
+          max(abs(col("est_jaccard") - col("exact_j"))) <= 0.25).as("estimator_ok"))
+        .select(col("estimator_ok"))
+    }),
+
     // -- SimHash banding exactness gate (oracle-checked): banded pairs must
     //    equal brute-force Hamming<=maxDist pairs exactly — missing or
     //    extra pairs turn this row red instead of hiding behind no_oracle.
@@ -87,6 +111,8 @@ object MultimodalPack extends QueryPack {
     // DuckDB cannot reproduce the xxhash64-based simhash, but it CAN assert
     // the banding-vs-brute-force equivalence contract computed Spark-side.
     "dedup_simhash_check" -> "SELECT TRUE AS banding_exact",
+
+    "dedup_minhash_check" -> "SELECT TRUE AS estimator_ok",
 
     // The decode stub is integer-exact byte math over ASCII payloads, so
     // the oracle recomputes it: width=floor(sqrt(n)), height=n/width
