@@ -82,6 +82,19 @@ object Events extends QueryPack {
         .orderBy(col("event_id"))
     }),
 
+    // -- Q36: schema-full JSON parse + re-serialize (from_json/to_json —
+    //    the structured side of the JSON format surface; q22 covers the
+    //    path-extraction side)
+    "q36_from_json" -> ((s, dir) => {
+      val schema = org.apache.spark.sql.types.StructType.fromDDL("k BIGINT")
+      Tables(s, dir, "events")
+        .select(col("event_id"),
+          from_json(col("props"), schema).as("p"))
+        .select(col("event_id"), col("p.k").as("k"),
+          to_json(struct(col("p.k").as("k"))).as("rejson"))
+        .orderBy(col("event_id"))
+    }),
+
     // -- as-of join: for each purchase, the latest click by the same user at
     //    or before the purchase. Implemented with one window pass (union
     //    trick): single shuffle on user_id, no range-join explosion — this
@@ -141,6 +154,11 @@ object Events extends QueryPack {
 
     "q22_json_extract" ->
       """SELECT event_id, json_extract_string(props, '$.k') AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    "q36_from_json" ->
+      """SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k,
+        |  '{"k":' || CAST(json_extract(props, '$.k') AS BIGINT) || '}' AS rejson
         |FROM events ORDER BY event_id""".stripMargin,
 
     "q26_asof_join" ->
