@@ -10,7 +10,12 @@ package graft
   *  - the session is warmed up first (one scan of each input table plus one
   *    full query) so JVM/codegen/scan warmup is not billed to whichever
   *    query happens to run first;
-  *  - queries run in sorted-name order for run-to-run comparability.
+  *  - queries run in sorted-name order for run-to-run comparability;
+  *  - each query runs REPS times and reports the MIN (round-3 fix per
+  *    VERDICT.md "what's wrong" #3: a single-shot methodology lets one GC
+  *    pause or box-contention spike on a trivial query become "the
+  *    number" — r02 showed q03 at 17.5 s vs 0.5 s warm with an identical,
+  *    clean plan). Min-of-N measures the code, not the noise.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -27,15 +32,20 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     catch { case _: Throwable => () }
 
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => () }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // operators may persist intermediates (e.g. the bitmap docSets
-      // table); drop them so one query's cache cannot skew another's time
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // operators may persist intermediates (e.g. the bitmap docSets
+        // table); drop them so repetitions and other queries measure the
+        // full pipeline, not a warm cache
+        spark.catalog.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

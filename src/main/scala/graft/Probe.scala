@@ -22,11 +22,10 @@ object Probe {
     t("shingle_arrays")(shingles)
     val sh = docs.select(col("doc_id"), explode(wordShingles(tokens(col("text")), 2)).as("sh"))
     t("shingle_explode")(sh)
-    val dict = sh.select(col("sh")).distinct()
-      .select(col("sh"),
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sh"))) - 1).as("shid"))
     val t0 = System.nanoTime()
-    val v = dict.count().toInt
+    val (dict, vocab) = graft.operators.Dedup.denseDictionary(
+      sh.withColumnRenamed("doc_id", "id"), spark.sparkContext.defaultParallelism)
+    val v = vocab.toInt
     println(f"PROBE dict_count($v) ${(System.nanoTime() - t0) / 1e9}%.2f s")
     val docSets = sh.join(broadcast(dict), "sh")
       .groupBy(col("doc_id")).agg(collect_set(col("shid")).as("ids"))

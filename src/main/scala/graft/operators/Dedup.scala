@@ -103,33 +103,85 @@ object Dedup {
     pairs.filter(col("hamming") <= maxDist)
   }
 
-  /** Exact Jaccard similarity pairs via dense-dictionary bitmaps.
+  /** Per-document shingle rows `(id, sh)` — shared input of both exact
+    * Jaccard strategies. Distinct per (id, sh): Jaccard is over shingle
+    * SETS, and the inverted-index intersection count requires it. */
+  private def shingleRows(df: DataFrame, idCol: String, textCol: String,
+                          shingleN: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+        explode(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
+      .distinct()
+
+  /** Dense shingle ids WITHOUT a global sort (round-2 fix: the previous
+    * `row_number().over(Window.orderBy)` funneled the whole vocabulary
+    * through one task — the `WindowExec: No Partition Defined` WARN).
     *
-    * When the shingle dictionary fits comfortably in a bitmap (vocab
-    * `V` up to a few hundred thousand → bitmap of V/8 bytes per doc), set
-    * intersection for a candidate pair is popcount(AND) — a codegen'd
+    * Two-stage sharded ranking: hash-partition the distinct shingles into
+    * `numShards` shards, rank within each shard (parallel, partitioned
+    * window), then offset by an exclusive prefix-sum of the shard counts —
+    * only `numShards` count rows ever reach the driver. The id assignment
+    * depends on the shard hash, but every downstream use is invariant to
+    * the id permutation (bitmap popcounts only compare positions for
+    * equality), so results stay deterministic.
+    *
+    * Returns (dictionary (sh, shid), vocabulary size). The dictionary is
+    * persisted — the caller reads it once to size bitmaps and once in the
+    * build join.
+    */
+  private[graft] def denseDictionary(sh: DataFrame, numShards: Int): (DataFrame, Long) = {
+    import org.apache.spark.sql.expressions.Window
+    val local = sh.select(col("sh")).distinct()
+      .withColumn("shard", pmod(xxhash64(col("sh")), lit(numShards.toLong)).cast("int"))
+      .withColumn("lrank",
+        row_number().over(Window.partitionBy(col("shard")).orderBy(col("sh"))).cast("long") - 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = local.groupBy(col("shard")).agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var running = 0L
+    val offsets = (0 until numShards).map { i =>
+      val o = i -> running; running += counts.getOrElse(i, 0L); o
+    }.toMap
+    val dict = local.select(col("sh"),
+      (element_at(typedLit(offsets), col("shard")) + col("lrank")).as("shid"))
+    (dict, running)
+  }
+
+  /** Exact Jaccard pairs with DATA-DRIVEN strategy selection (round-2 fix:
+    * the bitmap-vs-inverted-index choice was manual). The vocabulary is
+    * measured first — a byproduct of building the sharded dictionary, no
+    * extra action — and the bitmap path is taken only when `V` dense bits
+    * per document is a sane memory bound (default 1 << 18 = 32 KiB/doc);
+    * otherwise the inverted-index formulation handles unbounded
+    * vocabularies without materializing V-bit rows.
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int, threshold: Double,
+                   maxBitmapVocab: Long = 1L << 18): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val (dict, vocab) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
+    if (vocab <= maxBitmapVocab) jaccardBitmapFrom(sh, dict, vocab.toInt, threshold)
+    else jaccardInvertedFrom(sh, threshold)
+  }
+
+  /** Exact Jaccard via dense-dictionary bitmaps (bounded-vocabulary path).
+    *
+    * Set intersection for a candidate pair is popcount(AND) — a codegen'd
     * primitive loop (BitAndCountExpr), thousands of times cheaper than the
     * round-1 inverted-index self-join, whose hot-shingle groups exploded
     * to sum(df²) ≈ 73M rows at sf0.1. Exactly the same result set as
     * brute-force Jaccard, so the DuckDB oracle stays the plain formulation.
-    *
-    * Scale story (100 TB): this path is chosen when the dictionary is
-    * small (the engine measures V first — one scalar count, not a
-    * collect); with an unbounded vocabulary the inverted-index +
-    * MinHash-LSH path applies instead. A global dictionary also shards
-    * naturally (hash-partition shingles → per-shard dense ids + per-shard
-    * bitmap segments) — not needed at test scale.
     */
   def jaccardBitmapPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int, threshold: Double): DataFrame = {
-    val spark = df.sparkSession
-    val sh = df.select(col(idCol).as("id"),
-        explode(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
-    // dense ids: rank within the distinct-shingle dictionary (deterministic)
-    val dict = sh.select(col("sh")).distinct()
-      .select(col("sh"),
-        (row_number().over(org.apache.spark.sql.expressions.Window.orderBy(col("sh"))) - 1).as("shid"))
-    val v = dict.count().toInt // one scalar action to size the bitmap
+    val sh = shingleRows(df, idCol, textCol, shingleN)
+    val (dict, vocab) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
+    jaccardBitmapFrom(sh, dict, vocab.toInt, threshold)
+  }
+
+  private def jaccardBitmapFrom(sh: DataFrame, dict: DataFrame, v: Int,
+                                threshold: Double): DataFrame = {
+    val spark = sh.sparkSession
     // persist: the self-join below references docSets on both sides, and
     // without it the whole shingle->dict->bitmap pipeline runs once per
     // reference (at cluster scale this table — n rows x V/8 bytes — is
@@ -155,6 +207,37 @@ object Dedup {
       // compare before the double division, removes ~all of the n² pairs
       .filter(col("inter").cast("double") * (1.0 + (threshold - 1e-4)) >=
         (col("sz_a") + col("sz_b")).cast("double") * (threshold - 1e-4))
+      .select(col("id_a"), col("id_b"),
+        round(col("inter").cast("double") /
+          (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Exact Jaccard via the inverted index (unbounded-vocabulary path):
+    * self-join on the shingle (a hash shuffle on `sh` — the index), count
+    * rows per surviving pair = |intersection|, union by
+    * |A| + |B| − |A∩B|. No V-sized structure anywhere, so the vocabulary
+    * can be arbitrarily large; the cost model is sum over shingles of
+    * df(sh)² candidate rows, so HOT shingles are the skew risk — AQE
+    * skew-join splits oversized shuffle partitions at runtime, and at a
+    * real 100 TB corpus the caller should prefilter ubiquitous shingles
+    * (document-frequency cap), which changes semantics and is therefore
+    * not silently applied here.
+    */
+  def jaccardInvertedPairs(df: DataFrame, idCol: String, textCol: String,
+                           shingleN: Int, threshold: Double): DataFrame =
+    jaccardInvertedFrom(shingleRows(df, idCol, textCol, shingleN), threshold)
+
+  private def jaccardInvertedFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
+    val inter = sh.toDF("id_a", "sh")
+      .join(sh.toDF("id_b", "sh_b"),
+        col("sh") === col("sh_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.toDF("id_a", "sz_a"), "id_a")
+      .join(sz.toDF("id_b", "sz_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))

@@ -83,8 +83,12 @@ object Similarity {
           (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
       .filter(col("sim_d") >= simThreshold - 1e-4)
       .select(col("id_a"), col("id_b"),
-        col("sim_d").cast(DecimalType(9, 4)).as("sim"))
-      .filter(col("sim") >= simThreshold)
+        col("sim_d").cast(DecimalType(9, 4)).as("sim_q"))
+      .filter(col("sim_q") >= simThreshold)
+      // decimal gates the threshold exactly; emit double (decimal→double is
+      // exact, and decimal physical representations hash differently across
+      // engines in the driver's canonicalization)
+      .select(col("id_a"), col("id_b"), col("sim_q").cast("double").as("sim"))
   }
 
   /** Brute-force top-k neighbors for one query vector (exact baseline).

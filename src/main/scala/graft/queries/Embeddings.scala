@@ -30,9 +30,14 @@ object Embeddings extends QueryPack {
       val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
       emb.crossJoin(broadcast(q))
         .select(col("vec_id"),
-          // DECIMAL(9,4), not round(double): double rounding differs by
-          // 1 ulp across engines; decimal cast is exact on both
-          cosineSim(col("embedding"), col("qv")).cast(DecimalType(9, 4)).as("sim"))
+          // DECIMAL(9,4) quantization, not round(double): double rounding
+          // differs by 1 ulp across engines; the decimal cast is exact on
+          // both. The FINAL type is double (decimal(9,4)→double is exact
+          // everywhere): Spark-parquet and DuckDB decimals hash differently
+          // in the driver's canonicalization even when equal as values
+          // (round-2 hash_match=false on every decimal-typed column).
+          cosineSim(col("embedding"), col("qv"))
+            .cast(DecimalType(9, 4)).cast("double").as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     }),
@@ -61,8 +66,11 @@ object Embeddings extends QueryPack {
             (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
         .filter(col("sim_d") >= 0.2999)
         .select(col("id_a"), col("id_b"),
-          col("sim_d").cast(DecimalType(9, 4)).as("sim"))
-        .filter(col("sim") >= 0.3)
+          col("sim_d").cast(DecimalType(9, 4)).as("sim_q"))
+        .filter(col("sim_q") >= 0.3)
+        // decimal filters the threshold exactly; double is the OUTPUT type
+        // (representation-free across engines — see q23 note above)
+        .select(col("id_a"), col("id_b"), col("sim_q").cast("double").as("sim"))
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -110,8 +118,8 @@ object Embeddings extends QueryPack {
         |  FROM embeddings),
         |q AS (SELECT v, nsq FROM e WHERE vec_id = 0)
         |SELECT e.vec_id,
-        |  CAST(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.v[i]), (x, y) -> x + y)
-        |       / (sqrt(e.nsq) * sqrt(q.nsq)) AS DECIMAL(9,4)) AS sim
+        |  CAST(CAST(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.v[i]), (x, y) -> x + y)
+        |       / (sqrt(e.nsq) * sqrt(q.nsq)) AS DECIMAL(9,4)) AS DOUBLE) AS sim
         |FROM e, q
         |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
 
@@ -121,8 +129,8 @@ object Embeddings extends QueryPack {
         |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
         |  FROM embeddings)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
-        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) AS sim
+        |  CAST(CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) AS DOUBLE) AS sim
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
         |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3

@@ -134,6 +134,33 @@ object Extras extends QueryPack {
         .orderBy(col("event_type"))
     }),
 
+    // -- Q37: conditional aggregation in AGGREGATE position — the
+    //    count(CASE WHEN)/sum(CASE WHEN) shape of the reference's generated
+    //    pipelines (docs-site/ai-generation.md:265-268). Round 2 only
+    //    covered CASE WHEN in projection position; this closes the §2.B
+    //    "conditional agg" row with a hash-checked grouped query.
+    "q37_conditional_agg" -> ((s, dir) => {
+      val isF = col("o_orderstatus") === "F"
+      val isO = col("o_orderstatus") === "O"
+      Tables(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(when(isF, lit(1))).as("n_finished"),
+          count(when(isO, lit(1))).as("n_open"),
+          round(sum(when(isF, dec2(col("o_totalprice")))
+            .otherwise(lit(0))), 4).cast("double").as("finished_total"),
+          // conditional mean via exact decimal sum / double division (NOT
+          // avg(): Spark's decimal avg rounds at scale s+4 while DuckDB's
+          // returns double — this pattern is bit-exact on both engines)
+          sum(when(isF, dec2(col("o_totalprice")))).cast("double").as("fsum"),
+          count(when(isF, lit(1))).cast("double").as("fcnt"))
+        .select(col("o_orderpriority"), col("n_finished"), col("n_open"),
+          col("finished_total"),
+          when(col("fcnt") > 0, (col("fsum") / col("fcnt"))
+            .cast(DecimalType(18, 4)).cast("double")).as("finished_avg"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // -- Q32: typed UDAF (Aggregator surface) — weighted mean discount by
     //    quantity, decimal-exact partials, double division at the end
     "q32_udaf_weighted_mean" -> ((s, dir) => {
@@ -145,7 +172,11 @@ object Extras extends QueryPack {
         .groupBy(col("l_returnflag"))
         .agg(wm(col("d"), col("q")).as("wm"))
         .select(col("l_returnflag"),
-          (col("wm._1") / col("wm._2")).cast(DecimalType(9, 4)).as("wavg_discount"))
+          // decimal(9,4) quantizes deterministically; double is the OUTPUT
+          // type (Spark/DuckDB decimals hash differently in the driver's
+          // canonicalization even when equal as values — round-2 red row)
+          (col("wm._1") / col("wm._2"))
+            .cast(DecimalType(9, 4)).cast("double").as("wavg_discount"))
         .orderBy(col("l_returnflag"))
     })
   )
@@ -198,10 +229,22 @@ object Extras extends QueryPack {
         |  TRUE AS approx_ok
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
+    "q37_conditional_agg" ->
+      """SELECT o_orderpriority,
+        |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+        |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+        |  CAST(ROUND(SUM(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE 0 END), 4) AS DOUBLE) AS finished_total,
+        |  CAST(CAST(CAST(SUM(CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / NULLIF(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE), 0)
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS finished_avg
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q32_udaf_weighted_mean" ->
       """SELECT l_returnflag,
-        |  CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-        |     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(9,4)) AS wavg_discount
+        |  CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(9,4)) AS DOUBLE) AS wavg_discount
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -93,15 +93,15 @@ object Text extends QueryPack {
         .orderBy(col("fp"))
     }),
 
-    // -- n-gram Jaccard near-dup, exact, via dictionary bitmaps: shingle →
-    //    dense id, per-doc bit-packed set, pair intersection =
-    //    codegen'd popcount(AND). Same result set as the inverted-index
-    //    formulation (the oracle keeps the plain SQL), but immune to the
-    //    hot-shingle skew that exploded the round-1 self-join to
-    //    sum(df²) ≈ 73M rows at sf0.1 (60.9 s → see Dedup.jaccardBitmapPairs
-    //    for the scale story / when the inverted index is chosen instead).
+    // -- n-gram Jaccard near-dup, exact, with DATA-DRIVEN strategy choice
+    //    (Dedup.jaccardPairs): the engine measures the shingle vocabulary
+    //    (a byproduct of the sharded dense-id dictionary — no global sort,
+    //    no extra action) and picks dictionary bitmaps + codegen'd
+    //    popcount(AND) when V fits, or the inverted-index self-join when
+    //    the vocabulary is unbounded. Both produce the identical exact
+    //    result set, so the oracle keeps the plain SQL formulation.
     "dedup_ngram_jaccard" -> ((s, dir) => {
-      Dedup.jaccardBitmapPairs(Tables(s, dir, "documents"), "doc_id", "text",
+      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     })

@@ -45,6 +45,30 @@ class DedupSpec extends SparkSpec {
     assert(got.size >= 10, "planted near-dups must be found")
   }
 
+  test("denseDictionary: dense unique ids across a forced-multi-partition dictionary") {
+    val sp = spark
+    import sp.implicits._
+    // shingle universe large enough that every one of the 32 shards is hit
+    val sh = (0 until 5000).map(i => (i.toLong % 7, s"shingle_$i"))
+      .toDF("id", "sh").repartition(16)
+    val (dict, vocab) = Dedup.denseDictionary(sh, numShards = 32)
+    assert(vocab == 5000L)
+    val ids = dict.select(col("shid")).collect().map(_.getLong(0)).sorted
+    // dense cover of [0, V): unique, min 0, max V-1
+    assert(ids.length == 5000 && ids.head == 0L && ids.last == 4999L)
+    assert(ids.distinct.length == 5000)
+  }
+
+  test("jaccardPairs (auto strategy) equals brute force on both sides of the vocab cutoff") {
+    val expect = bruteJaccard(0.2)
+    // small cutoff forces the inverted-index path; large keeps the bitmap path
+    for (cutoff <- Seq(1L, 1L << 18)) {
+      val got = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.2, maxBitmapVocab = cutoff)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect, s"cutoff=$cutoff")
+    }
+  }
+
   test("simHashNearDups banding equals brute-force hamming filter") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
