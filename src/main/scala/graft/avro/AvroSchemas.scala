@@ -197,7 +197,7 @@ object AvroSchemas {
   * `<topic>-value`; consumer.go:302-321 fetch-latest; HTTP registration
   * docker/deployer.go:239-342). Offline stand-in: the id-assignment and
   * subject/version behavior match, the HTTP hop does not exist. */
-final class InMemorySchemaRegistry {
+final class InMemorySchemaRegistry extends SchemaRegistry {
   private val lock = new Object
   private var nextId = 1
   private var byId = Map.empty[Int, String]
@@ -224,4 +224,9 @@ final class InMemorySchemaRegistry {
   }
 
   def subjectsList: Seq[String] = lock.synchronized(subjects.keys.toSeq.sorted)
+
+  /** Number of registered versions under a subject (the REST facade's
+    * `version` field for /versions/latest). */
+  def versionCount(subject: String): Int =
+    lock.synchronized(subjects.getOrElse(subject, Nil).size)
 }

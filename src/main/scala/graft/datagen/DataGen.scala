@@ -5,7 +5,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.avro.AvroSchemas
-import graft.streaming.FileTopics
+import graft.streaming.Topics
 
 /** Schema-driven synthetic data generator (reference:
   * internal/pipeline/producer.go:303-402) as distributed Column
@@ -131,7 +131,7 @@ object RatedProducer {
     * windows. Returns the total row count (= floor of the rate integral).
     * `realTime=false` runs the loop flat out (tests, backfills);
     * `realTime=true` paces ticks on the wall clock like the reference. */
-  def run(spark: SparkSession, topics: FileTopics, topic: String,
+  def run(spark: SparkSession, topics: Topics, topic: String,
           schema: AvroSchemas.AvroSchema, patterns: TrafficPatterns,
           durationMs: Long, tickMs: Long = 1000L, seed: Long = 42L,
           realTime: Boolean = false): Long = {

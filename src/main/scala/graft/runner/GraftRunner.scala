@@ -10,7 +10,7 @@ import org.apache.spark.sql.streaming.Trigger
 import graft.avro.{AvroSchemas, InMemorySchemaRegistry}
 import graft.datagen.{RatedProducer, TrafficPatterns}
 import graft.statements.{SqlStatement, Statements}
-import graft.streaming.{BoundedRun, FileTopics}
+import graft.streaming.{BoundedRun, Topics}
 
 /** Pipeline orchestrator — the `pipegen run` lifecycle re-expressed for
   * Spark (reference: internal/pipeline/runner.go:169-448):
@@ -104,12 +104,13 @@ object GraftRunner {
     // 4: resources
     val resources = Resources.generate(statements)
 
-    // 5: topic lifecycle (delete + recreate)
-    val topics = FileTopics(cfg.runDir.toString)
+    // 5: topic lifecycle (delete + recreate) through the transport trait —
+    // directory lifecycle on FileTopics, AdminClient create/delete when
+    // spark.graft.transport=kafka selects the broker transport
+    val topics = Topics.forSession(spark, cfg.runDir.toString)
     resources.topics.foreach { t =>
-      val dir = Paths.get(topics.topicDir(t))
-      if (Files.exists(dir)) deleteRecursively(dir)
-      Files.createDirectories(dir)
+      if (topics.topicExists(t)) topics.deleteTopic(t)
+      topics.createTopic(t)
     }
     // 6 (reference step: register schemas under <topic>-value subjects)
     schemas.foreach { case (_, sch) =>
@@ -224,10 +225,4 @@ object GraftRunner {
     }
   }
 
-  private def deleteRecursively(p: Path): Unit = {
-    import scala.jdk.CollectionConverters._
-    if (Files.isDirectory(p))
-      Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
-    Files.deleteIfExists(p)
-  }
 }

@@ -23,14 +23,30 @@ import org.apache.spark.sql.Row
   * `format("parquet")`, and a real deployment uses Kafka partitions where
   * this uses files-per-microbatch.
   */
-final case class FileTopics(root: String) {
-
-  /** Envelope schema: what a Kafka wire record carries. */
-  val envelope: StructType = StructType.fromDDL(
-    "key STRING, value STRING, ts TIMESTAMP")
+final case class FileTopics(root: String) extends Topics {
 
   def topicDir(topic: String): String = s"$root/topics/$topic"
   def checkpointDir(name: String): String = s"$root/checkpoints/$name"
+
+  // -- topic lifecycle (A19): the directory analog of kafka-topics.sh
+  //    --create/--delete (reference internal/pipeline/kafka.go:24-72)
+  def createTopic(topic: String, partitions: Int = 1, replication: Int = 1): Unit = {
+    val _ = (partitions, replication) // no-op on files: partitions are files
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(topicDir(topic)))
+  }
+
+  def deleteTopic(topic: String): Unit =
+    deleteRecursively(java.nio.file.Paths.get(topicDir(topic)))
+
+  def topicExists(topic: String): Boolean =
+    java.nio.file.Files.isDirectory(java.nio.file.Paths.get(topicDir(topic)))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(p))
+      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    java.nio.file.Files.deleteIfExists(p)
+  }
 
   /** Produce a batch of rows to a topic: payload columns are JSON-encoded
     * into `value` (analog of the reference producer's AVRO/JSON encode,
@@ -76,13 +92,4 @@ final case class FileTopics(root: String) {
       .option("checkpointLocation", checkpointDir(queryName))
       .format("json")
       .start(topicDir(topic))
-
-  private def envelopeOf(df: DataFrame, keyCol: Option[String],
-                         tsCol: Option[String]): DataFrame =
-    // the key (like a Kafka record key) duplicates its payload column —
-    // the value stays complete so the round trip is lossless
-    df.select(
-      keyCol.map(k => col(k).cast("string")).getOrElse(lit(null).cast("string")).as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"),
-      tsCol.map(col).getOrElse(current_timestamp()).cast("timestamp").as("ts"))
 }
