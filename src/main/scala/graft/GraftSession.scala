@@ -29,6 +29,10 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // catalog tables (graft.catalog.Layout) materialize here; keep the
+      // warehouse out of the repo checkout
+      .config("spark.sql.warehouse.dir",
+        s"${sys.props("java.io.tmpdir")}/graft-warehouse")
       .config("spark.ui.enabled", "false")
 
   /** Local session for tests/benchmarks (driver contract uses local[N]). */

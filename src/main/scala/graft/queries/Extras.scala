@@ -22,6 +22,17 @@ object Extras extends QueryPack {
 
   private def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** One SQL text, two engines: Spark runs it over catalog tables
+    * (q38_catalog_sql), DuckDB runs it over the parquet views — bit-exact
+    * by the decimal-sum/double-emit pattern. */
+  private val catalogJoinSql: String =
+    """SELECT n_name, COUNT(*) AS cnt,
+      |  CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 4) AS DOUBLE) AS total
+      |FROM orders
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name ORDER BY n_name""".stripMargin
+
   /** Typed UDAF: weighted mean via exact decimal partial sums. BigDecimal
     * buffers make merge order irrelevant (exact arithmetic), so the
     * result is deterministic under any partitioning — the property a
@@ -75,15 +86,18 @@ object Extras extends QueryPack {
     }),
 
     // -- Q29: approx_count_distinct (HLL++) with an oracle-checked error
-    //    bound: default rsd is 5%, the gate allows 3x that.
+    //    bound. Round-3 tightening: rsd pinned to 2.5% (the sketch is
+    //    deterministic — no seed — so the only variable is data), gate at
+    //    3× rsd = 7.5%; measured max relative error is 2.3% at sf0.01 and
+    //    1.8% at sf0.1.
     "q29_approx_distinct" -> ((s, dir) => {
       Tables(s, dir, "orders")
         .groupBy(col("o_orderpriority"))
         .agg(countDistinct(col("o_custkey")).as("exact_uniq"),
-          approx_count_distinct(col("o_custkey")).as("approx"))
+          approx_count_distinct(col("o_custkey"), 0.025).as("approx"))
         .select(col("o_orderpriority"), col("exact_uniq"),
           (abs(col("approx") - col("exact_uniq")).cast("double") <=
-            col("exact_uniq").cast("double") * 0.15).as("approx_ok"))
+            col("exact_uniq").cast("double") * 0.075).as("approx_ok"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -159,6 +173,17 @@ object Extras extends QueryPack {
           when(col("fcnt") > 0, (col("fsum") / col("fcnt"))
             .cast(DecimalType(18, 4)).cast("double")).as("finished_avg"))
         .orderBy(col("o_orderpriority"))
+    }),
+
+    // -- Q38: the catalog path — tables registered via CREATE TABLE DDL
+    //    routed through the statements layer (clean → validate →
+    //    ${DATA_DIR} substitute → spark.sql), then the query itself runs
+    //    as plain SQL over catalog NAMES, not paths. Identical SQL text
+    //    serves as the DuckDB oracle. Exercises A1–A5 + §7.4.6 end-to-end
+    //    inside the driver's correctness gate.
+    "q38_catalog_sql" -> ((s, dir) => {
+      graft.catalog.Layout.registerTables(s, dir, Seq("orders", "customer", "nation"))
+      s.sql(catalogJoinSql)
     }),
 
     // -- Q32: typed UDAF (Aggregator surface) — weighted mean discount by
@@ -240,6 +265,8 @@ object Extras extends QueryPack {
         |    / NULLIF(CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS DOUBLE), 0)
         |    AS DECIMAL(18,4)) AS DOUBLE) AS finished_avg
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
+    "q38_catalog_sql" -> catalogJoinSql,
 
     "q32_udaf_weighted_mean" ->
       """SELECT l_returnflag,

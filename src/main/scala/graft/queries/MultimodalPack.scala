@@ -44,10 +44,14 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
-    // -- MinHash+LSH near-dup candidates (approximate; rows-only)
+    // -- MinHash+LSH near-dup candidates (approximate; rows-only).
+    //    128 hashes / 32 bands of r=4 (round-3 tightening: estimator
+    //    σ = sqrt(j(1-j)/k) halves twice vs 32 hashes, letting the gate
+    //    below drop from ±0.25 to ±0.15 with measured margin; banding
+    //    selectivity per band is unchanged at r=4)
     "dedup_minhash_lsh" -> ((s, dir) => {
       Dedup.minHashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
-          shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.1)
+          shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -61,14 +65,17 @@ object MultimodalPack extends QueryPack {
     }),
 
     // -- MinHash estimator-quality gate (oracle-checked): for every pair
-    //    the LSH emitted, the 32-hash jaccard estimate must sit within
-    //    3σ ≈ 0.25 of the exact jaccard (computed via the bitmap sets).
-    //    DuckDB cannot reproduce xxhash64 minhashing, but it can assert
-    //    the contract; a broken estimator turns this row red.
+    //    the LSH emitted, the 128-hash jaccard estimate must sit within
+    //    ±0.15 (≈3.4σ at j=0.5) of the exact jaccard (computed via the
+    //    shingle sets); measured max |err| is 0.10 at sf0.1 (630 pairs).
+    //    Parameters MATCH dedup_minhash_lsh above — the gate certifies the
+    //    production configuration. DuckDB cannot reproduce xxhash64
+    //    minhashing, but it can assert the contract; a broken estimator
+    //    turns this row red.
     "dedup_minhash_check" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
       val mh = Dedup.minHashNearDups(docs, "doc_id", "text",
-        shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.1)
+        shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
       val sets = docs.select(col("doc_id"),
         graft.functions.wordShingles(graft.functions.tokens(col("text")), 2).as("sh"))
       val withExact = mh
@@ -80,7 +87,7 @@ object MultimodalPack extends QueryPack {
       withExact.agg(
         count(lit(1)).as("n_pairs"),
         (count(lit(1)) > 0 &&
-          max(abs(col("est_jaccard") - col("exact_j"))) <= 0.25).as("estimator_ok"))
+          max(abs(col("est_jaccard") - col("exact_j"))) <= 0.15).as("estimator_ok"))
         .select(col("estimator_ok"))
     }),
 
