@@ -6,16 +6,20 @@ import java.nio.charset.StandardCharsets
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
 /** Live metrics/status HTTP server (reference: internal/dashboard/
-  * server.go:294-305 REST routes /api/status, /api/metrics, /api/errors
-  * plus an HTML page; metrics collector internal/dashboard/metrics.go).
+  * server.go:283-306 — REST routes /api/status, /api/metrics, /api/errors,
+  * /api/export, a real-time push channel, and the three pages
+  * /, /report, /diagram; metrics collector internal/dashboard/metrics.go).
   *
   * Served from the listener-fed [[MetricsCollector]] — no polling loops:
   * Structured Streaming pushes progress into the collector, and this
-  * server renders whatever is current. The WebSocket push channel of the
-  * reference is dropped (plain refreshable JSON/HTML endpoints instead);
-  * offline sandbox, java.net.httpserver only.
+  * server renders whatever is current. The push channel is Server-Sent
+  * Events (`/api/stream`) rather than the reference's WebSocket — jdk
+  * httpserver has no WS upgrade support, and SSE carries the same
+  * broadcast-loop payload (server.go:broadcastLoop) over plain HTTP with
+  * the standard EventSource client API.
   */
-final class Dashboard(metrics: MetricsCollector, port: Int = 0) {
+final class Dashboard(metrics: MetricsCollector, port: Int = 0,
+                      pushIntervalMs: Long = 1000L) {
 
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var statusText = "idle"
@@ -39,6 +43,66 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0) {
         s"""{"query": "${esc(q.name)}", "error": "${esc(e)}", "suggestion": "${esc(ErrorSuggester.suggest(e).getOrElse(""))}"}"""))
         .mkString("[", ",", "]")
     })
+    // full JSON export (server.go /api/export): one document with status +
+    // all query stats, suitable for archiving a run
+    server.createContext("/api/export", json { _ =>
+      s"""{"status": "${esc(statusText)}", "exported_at": ${System.currentTimeMillis()}, "queries": ${metricsJson}}"""
+    })
+    // real-time push channel: SSE broadcast of the same status payload the
+    // reference's WebSocket loop sends. Runs on the shared pool; ends when
+    // the client disconnects (write fails) or maxEvents is reached.
+    server.createContext("/api/stream", (ex: HttpExchange) => {
+      ex.getResponseHeaders.set("Content-Type", "text/event-stream; charset=utf-8")
+      ex.getResponseHeaders.set("Cache-Control", "no-cache")
+      ex.sendResponseHeaders(200, 0) // chunked
+      val os = ex.getResponseBody
+      try {
+        var alive = true
+        while (alive) {
+          val payload =
+            s"""{"status": "${esc(statusText)}", "queries": ${metrics.snapshot.size}, "total_input_rows": ${metrics.totalInputRows}}"""
+          os.write(s"data: $payload\n\n".getBytes(StandardCharsets.UTF_8))
+          os.flush()
+          Thread.sleep(pushIntervalMs)
+          alive = !Thread.currentThread().isInterrupted
+        }
+      } catch { case _: Exception => () } // client went away — normal
+      finally ex.close()
+    })
+    server.createContext("/report", html { _ =>
+      val rows = metrics.snapshot.map(q =>
+        s"<tr><td>${esc(q.name)}</td><td>${q.totalInputRows}</td><td>${q.batches}</td>" +
+          s"<td>${q.lastRowsPerSecond}</td><td>${q.lastBatchMs}</td>" +
+          s"<td>${q.error.map(esc).getOrElse("")}</td></tr>").mkString
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft report</title></head><body>
+         |<h1>execution report</h1><p>status: ${esc(statusText)}</p>
+         |<table border="1" cellpadding="6"><tr><th>query</th><th>input rows</th><th>batches</th>
+         |<th>rows/s</th><th>last batch ms</th><th>error</th></tr>$rows</table>
+         |<p><a href="/">dashboard</a> · <a href="/diagram">diagram</a> ·
+         |<a href="/api/export">export JSON</a></p></body></html>""".stripMargin
+    })
+    // topology page: source topic → standing queries → sink topic, the
+    // reference's /diagram (rendered as inline SVG, no static assets)
+    server.createContext("/diagram", html { _ =>
+      val qNames = metrics.snapshot.map(_.name)
+      val boxes = qNames.zipWithIndex.map { case (n, i) =>
+        val y = 60 + i * 50
+        s"""<rect x="230" y="$y" width="240" height="34" rx="6" fill="#eef" stroke="#336"/>
+           |<text x="350" y="${y + 22}" text-anchor="middle" font-size="12">${esc(n)}</text>
+           |<line x1="160" y1="${y + 17}" x2="230" y2="${y + 17}" stroke="#336"/>
+           |<line x1="470" y1="${y + 17}" x2="540" y2="${y + 17}" stroke="#336"/>""".stripMargin
+      }.mkString
+      val h = 120 + qNames.size * 50
+      s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft diagram</title></head><body>
+         |<h1>pipeline topology</h1>
+         |<svg width="720" height="$h" xmlns="http://www.w3.org/2000/svg">
+         |<rect x="20" y="60" width="140" height="34" rx="17" fill="#efe" stroke="#363"/>
+         |<text x="90" y="82" text-anchor="middle" font-size="12">input topic</text>
+         |<rect x="540" y="60" width="140" height="34" rx="17" fill="#fee" stroke="#633"/>
+         |<text x="610" y="82" text-anchor="middle" font-size="12">output topic</text>
+         |$boxes</svg>
+         |<p><a href="/">dashboard</a> · <a href="/report">report</a></p></body></html>""".stripMargin
+    })
     server.createContext("/", html { _ =>
       val rows = metrics.snapshot.map(q =>
         s"<tr><td>${esc(q.name)}</td><td>${q.totalInputRows}</td><td>${q.batches}</td>" +
@@ -47,12 +111,22 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0) {
          |<title>graft dashboard</title></head><body>
          |<h1>graft pipeline dashboard</h1><p>status: ${esc(statusText)}</p>
          |<table border="1" cellpadding="6"><tr><th>query</th><th>input rows</th><th>batches</th><th>state</th></tr>
-         |$rows</table></body></html>""".stripMargin
+         |$rows</table>
+         |<p><a href="/report">report</a> · <a href="/diagram">diagram</a></p></body></html>""".stripMargin
     })
-    server.setExecutor(null)
+    // SSE connections are long-lived: a fixed single-thread executor would
+    // head-of-line-block every other route behind the first stream client
+    server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(r => {
+      val t = new Thread(r, "graft-dashboard"); t.setDaemon(true); t
+    }))
     server.start()
     this
   }
+
+  private def metricsJson: String =
+    metrics.snapshot.map { q =>
+      s"""{"name": "${esc(q.name)}", "total_input_rows": ${q.totalInputRows}, "batches": ${q.batches}, "last_rows_per_second": ${q.lastRowsPerSecond}, "last_batch_ms": ${q.lastBatchMs}, "terminated": ${q.terminated}}"""
+    }.mkString("[", ",", "]")
 
   def stop(): Unit = server.stop(0)
 

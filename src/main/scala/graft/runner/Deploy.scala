@@ -1,0 +1,136 @@
+package graft.runner
+
+import java.net.InetSocketAddress
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.nio.file.{Files, Path}
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+
+import graft.avro.{AvroSchemas, SchemaRegistry}
+import graft.statements.Statements
+import graft.streaming.Topics
+
+/** `pipegen deploy` analog (reference: cmd/deploy.go:39-213 + the
+  * service-health waiter internal/docker/waiter.go) — the round-2 gap
+  * ("a Deploy analog that checks transport availability + creates
+  * topics/checkpoints would complete the CLI story").
+  *
+  * The reference's deploy brings up docker services, WAITS for each to
+  * answer a health probe, then creates topics and registers schemas. The
+  * compose lifecycle evaporates in-process (SURVEY A34), but everything
+  * else has a faithful analog:
+  *
+  *  - [[ServiceWaiter]] — the HTTP/TCP polling waiter (waiter.go:46-118),
+  *    reused verbatim semantics: poll every `pollMs` until ready or
+  *    deadline;
+  *  - [[Deploy.run]] — validate the project layout, check the transport
+  *    is reachable (file root writable / broker TCP-reachable), create
+  *    the pipeline's topics and checkpoint dirs, and register
+  *    value + key schemas (deployer.go:239-342 SetupTopicsAndSchemas).
+  */
+object Deploy {
+
+  final case class ServiceCheck(name: String, url: String, kind: String) // http | tcp
+
+  /** Poll-until-ready waiter (waiter.go:46-76: 2 s ticker, ctx deadline;
+    * here pollMs/timeoutMs). Returns unit or throws naming the first
+    * service that never came up. */
+  final class ServiceWaiter(services: Seq[ServiceCheck],
+                            pollMs: Long = 2000L, timeoutMs: Long = 60000L) {
+    private val http = HttpClient.newBuilder()
+      .connectTimeout(Duration.ofSeconds(5)).build()
+
+    def waitForAll(): Unit = services.foreach { s =>
+      val deadline = System.currentTimeMillis() + timeoutMs
+      var ready = check(s)
+      while (!ready && System.currentTimeMillis() < deadline) {
+        Thread.sleep(pollMs)
+        ready = check(s)
+      }
+      if (!ready)
+        throw new IllegalStateException(s"service ${s.name} failed to start: ${s.url}")
+    }
+
+    /** One probe: HTTP 2xx/3xx counts as up (waiter.go:83-95); TCP = the
+      * socket connects (waiter.go:98-118, the broker check). */
+    def check(s: ServiceCheck): Boolean = s.kind match {
+      case "http" =>
+        try {
+          val resp = http.send(
+            HttpRequest.newBuilder(URI.create(s.url)).GET()
+              .timeout(Duration.ofSeconds(5)).build(),
+            HttpResponse.BodyHandlers.discarding())
+          resp.statusCode() >= 200 && resp.statusCode() < 400
+        } catch { case _: Exception => false }
+      case "tcp" =>
+        val sock = new java.net.Socket()
+        try { sock.connect(parseHostPort(s.url), 5000); true }
+        catch { case _: Exception => false }
+        finally sock.close()
+      case other => throw new IllegalArgumentException(s"unknown service type: $other")
+    }
+
+    private def parseHostPort(url: String): InetSocketAddress = {
+      val hp = url.split("://").last // kafka://host:port → host:port (deploy.go:189-196)
+      val Array(h, p) = hp.split(":", 2)
+      new InetSocketAddress(h, p.toInt)
+    }
+  }
+
+  final case class DeployResult(
+      topics: Seq[String],
+      checkpoints: Seq[String],
+      registeredSubjects: Seq[String])
+
+  /** Set up the pipeline's runtime resources: topics, checkpoint dirs,
+    * value schemas per topic + the output KEY schema for upsert sinks
+    * (deployer.go:254-266,296-318). `waiter` (when given) gates the whole
+    * thing on service health, like deploy.go:93-99. */
+  def run(spark: SparkSession, projectDir: Path, runDir: Path,
+          topics: Topics, registry: SchemaRegistry,
+          waiter: Option[ServiceWaiter] = None): DeployResult = {
+    require(Files.isDirectory(projectDir),
+      s"project directory does not exist: $projectDir") // deploy.go:50-52
+
+    waiter.foreach(_.waitForAll())
+
+    val statements = Statements.load(projectDir.resolve("sql"))
+    statements.foreach { s =>
+      Statements.validate(spark, s.content).foreach(err =>
+        throw new IllegalArgumentException(s"statement ${s.name}: $err"))
+    }
+    val resources = Resources.generate(statements)
+    val schemasDir = projectDir.resolve("schemas")
+    val schemas: Map[String, AvroSchemas.AvroSchema] =
+      if (Files.isDirectory(schemasDir)) AvroSchemas.loadDirectory(schemasDir) else Map.empty
+
+    // topics + checkpoints
+    resources.topics.foreach { t =>
+      if (!topics.topicExists(t)) topics.createTopic(t)
+    }
+    val checkpoints = statements.filter(s =>
+      Statements.classify(s.content) == Statements.Insert).map { s =>
+      val dir = topics.checkpointDir(s.name)
+      Files.createDirectories(java.nio.file.Paths.get(dir))
+      dir
+    }
+
+    // value schema per (schema, topic) + output key schema (deployer.go:254-266)
+    val subjects = schemas.toSeq.flatMap { case (name, sch) =>
+      val topic = if (name == "output") resources.outputTopic else resources.inputTopic
+      val valueSubject = s"$topic-value"
+      registry.register(valueSubject, sch.content)
+      if (name == "output") {
+        val keySubject = s"$topic-key"
+        registry.register(keySubject,
+          SchemaRegistry.keySchema("graft.results", "OutputResultKey",
+            sch.structType.fieldNames.head))
+        Seq(valueSubject, keySubject)
+      } else Seq(valueSubject)
+    }
+
+    DeployResult(resources.topics, checkpoints, subjects.sorted)
+  }
+}

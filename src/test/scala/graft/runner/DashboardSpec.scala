@@ -38,6 +38,25 @@ class DashboardSpec extends SparkSpec {
         assert(get(port, "/api/errors") == "[]")
         val page = get(port, "/")
         assert(page.contains("graft pipeline dashboard") && page.contains("dash_q"))
+        // report + diagram pages (server.go /report /diagram parity)
+        val report = get(port, "/report")
+        assert(report.contains("execution report") && report.contains("dash_q"))
+        val diagram = get(port, "/diagram")
+        assert(diagram.contains("pipeline topology") && diagram.contains("<svg"))
+        assert(diagram.contains("dash_q"))
+        val export = get(port, "/api/export")
+        assert(export.contains("\"exported_at\"") && export.contains("\"dash_q\""))
+        // SSE push channel: first broadcast frame arrives with live totals
+        val conn = new java.net.URI(s"http://127.0.0.1:$port/api/stream")
+          .toURL.openConnection().asInstanceOf[java.net.HttpURLConnection]
+        conn.setReadTimeout(5000)
+        try {
+          assert(conn.getHeaderField("Content-Type").startsWith("text/event-stream"))
+          val reader = new java.io.BufferedReader(
+            new java.io.InputStreamReader(conn.getInputStream))
+          val first = reader.readLine()
+          assert(first.startsWith("data: ") && first.contains("\"total_input_rows\": 25"))
+        } finally conn.disconnect()
       } finally q.stop()
     } finally {
       dash.stop()
