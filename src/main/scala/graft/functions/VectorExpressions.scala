@@ -1,9 +1,9 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 
 /** Codegen'd Catalyst expressions for dense-vector math over `array<float>` /
@@ -129,6 +129,77 @@ case class L2NormSqExpr(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(newChild: Expression): L2NormSqExpr =
+    copy(child = newChild)
+}
+
+/** Top-`probes` nearest-centroid ids of a numeric array column, ranked by
+  * dot product against a small driver-supplied centroid matrix (rows
+  * expected unit-normalized, so dot-product ranking == cosine ranking —
+  * the row's own norm is a constant factor that cannot change the argmax).
+  * Ties break toward the lower centroid id; output is ascending-id
+  * `array<int>` of length `min(probes, centroids.size)`.
+  *
+  * The centroid matrix is part of the expression (captured at plan time,
+  * serialized once per task with the plan, k×dim doubles — tiny even for
+  * k=4096, dim=1024), so assignment is a pure per-row map: no shuffle, no
+  * join, no broadcast variable plumbing. Per-row (not per-pair) work →
+  * CodegenFallback is acceptable, same rationale as SketchExpressions. */
+case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]], probes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(probes >= 1, "probes must be >= 1")
+  require(centroids.map(_.length).distinct.size == 1,
+    "centroids must share one dimensionality")
+
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+  @transient private lazy val dim: Int = centroids.head.length
+  @transient private lazy val k: Int = centroids.size
+  @transient private lazy val p: Int = math.min(probes, centroids.size)
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "ivf_assign"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpr.checkArray(child, "input")
+      .map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    import VectorExpr._
+    val a = v.asInstanceOf[ArrayData]
+    val t = elemType(child)
+    val n = math.min(a.numElements(), dim)
+    val dots = new Array[Double](k)
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { acc += get(a, t, i) * flat(off + i); i += 1 }
+      dots(c) = acc
+      c += 1
+    }
+    // selection of the p largest (k is small; ties -> lower id wins by >)
+    val picked = new Array[Int](p)
+    val taken = new Array[Boolean](k)
+    var s = 0
+    while (s < p) {
+      var best = -1
+      var bestDot = Double.NegativeInfinity
+      c = 0
+      while (c < k) {
+        if (!taken(c) && dots(c) > bestDot) { best = c; bestDot = dots(c) }
+        c += 1
+      }
+      taken(best) = true
+      picked(s) = best
+      s += 1
+    }
+    java.util.Arrays.sort(picked)
+    new GenericArrayData(picked)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): IvfAssignExpr =
     copy(child = newChild)
 }
 

@@ -40,6 +40,11 @@ package object functions {
   def hyperplaneBits(emb: Column, dim: Int, numPlanes: Int, seed: Long): Column =
     toColumn(RandomHyperplaneBitsExpr(toExpr(emb), dim, numPlanes, seed))
 
+  /** Top-`probes` centroid ids for an embedding column by dot-product rank
+    * against a (small, unit-normalized) driver-side centroid matrix. */
+  def ivfAssign(emb: Column, centroids: Seq[Seq[Double]], probes: Int): Column =
+    toColumn(IvfAssignExpr(toExpr(emb), centroids, probes))
+
   /** Dense-id set → bit-packed bitmap (array<long>, ceil(nBits/64) words). */
   def bitmapFromInts(ids: Column, nBits: Int): Column =
     toColumn(BitmapFromIntsExpr(toExpr(ids), nBits))

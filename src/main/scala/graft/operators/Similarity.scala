@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.functions.{cosineSim, dotProduct, hyperplaneBits, l2NormSq}
+import graft.functions.{cosineSim, dotProduct, hyperplaneBits, ivfAssign, l2NormSq}
 
 /** Approximate similarity search — the 100 TB path for embedding
   * near-neighbor work (SURVEY.md §2.B north-star extensions).
@@ -74,13 +74,25 @@ object Similarity {
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sides = base.select(col("id"), col("emb"), col("nsq"))
+    verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold)
+  }
+
+  /** Exact cosine verification of candidate (id_a, id_b) pairs — the shared
+    * tail of every approximate candidate generator (LSH, IVF). Joins
+    * embeddings + norms back per candidate, computes the codegen'd
+    * sequential-fold cosine and applies the identical decimal threshold
+    * semantics as the brute-force queries, so approximate output ⊆ exact
+    * output and recall is measurable with two counts. */
+  private def verifyPairs(pairs: DataFrame, sides: DataFrame,
+                          simThreshold: Double): DataFrame =
     pairs
       .join(sides.toDF("id_a", "emb_a", "nsq_a"), "id_a")
       .join(sides.toDF("id_b", "emb_b", "nsq_b"), "id_b")
       .select(col("id_a"), col("id_b"),
         (dotProduct(col("emb_a"), col("emb_b")) /
           (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
+      // rounded >= t means true value >= t - 5e-5; prefilter with slack on
+      // the cheap double before allocating decimals
       .filter(col("sim_d") >= simThreshold - 1e-4)
       .select(col("id_a"), col("id_b"),
         col("sim_d").cast(DecimalType(9, 4)).as("sim_q"))
@@ -89,6 +101,129 @@ object Similarity {
       // exact, and decimal physical representations hash differently across
       // engines in the driver's canonicalization)
       .select(col("id_a"), col("id_b"), col("sim_q").cast("double").as("sim"))
+
+  /** Spherical-k-means centroids for IVF partitioning, trained with a few
+    * Lloyd iterations entirely as Spark jobs.
+    *
+    * Scale design (100 TB lens):
+    *  - init = k rows picked by `xxhash64(id, seed)` rank — a deterministic
+    *    pseudo-random sample, one TakeOrdered job (per-partition top-k
+    *    heaps, driver merges k rows);
+    *  - each Lloyd iteration is one map-side assignment (the centroid
+    *    matrix travels inside the plan — k×dim doubles) plus one
+    *    partial+final aggregation of per-dimension sums keyed by
+    *    (cell, dim): k×dim result rows to the driver, never the data;
+    *  - `trainFraction` < 1 trains on a Bernoulli sample — at 100 TB you
+    *    train centroids on ~1% and assign the full corpus; sampling is a
+    *    scan-side filter, no shuffle.
+    *
+    * Centroids are unit-normalized on the driver, so downstream assignment
+    * ranks by plain dot product (== cosine rank; row norms are per-row
+    * constants). Empty cells keep their previous centroid. Rows with zero
+    * norm are excluded from training (they cannot express a direction).
+    */
+  def trainIvfCentroids(df: DataFrame, idCol: String, embCol: String,
+                        k: Int, lloydIters: Int, seed: Long,
+                        trainFraction: Double = 1.0): Seq[Seq[Double]] = {
+    val sampled = if (trainFraction < 1.0) df.sample(trainFraction, seed) else df
+    val base = sampled
+      .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
+        l2NormSq(col(embCol)).as("nsq"))
+      .filter(col("nsq") > 0)
+
+    def normalized(v: Array[Double]): Array[Double] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      if (n == 0) v else v.map(_ / n)
+    }
+
+    // Farthest-point (k-means++-style, deterministic) init: first seed by
+    // xxhash64 rank, then greedily the point whose max cosine to the chosen
+    // set is smallest (ties -> lower id). Guards against the plain random
+    // sample landing several seeds in one dense cluster and Lloyd merging
+    // cells. Cost: k-1 extra TakeOrdered scans over the training set — at
+    // 100 TB you train on a ~1% sample (`trainFraction`), where k scans of
+    // the sample are noise next to the full-corpus assignment pass.
+    val first = base
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(1)
+      .select(col("emb"))
+      .collect()
+    require(first.nonEmpty, "empty training set for IVF centroids")
+    var cents: Seq[Seq[Double]] =
+      Seq(normalized(first.head.getSeq[Double](0).toArray).toSeq)
+    val dim = cents.head.length
+    while (cents.size < k) {
+      val cosines = cents.map { c =>
+        dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq"))
+      }
+      val maxCos =
+        if (cosines.size == 1) cosines.head
+        else greatest(cosines: _*)
+      val next = base
+        .select(col("id"), col("emb"), maxCos.as("max_cos"))
+        .orderBy(col("max_cos"), col("id"))
+        .limit(1)
+        .select(col("emb"))
+        .collect()
+      cents = cents :+ normalized(next.head.getSeq[Double](0).toArray).toSeq
+    }
+
+    for (_ <- 1 to lloydIters) {
+      // mean of row-normalized members per (cell, dim): partial+final agg,
+      // k×dim rows collected — the only driver-side data per iteration
+      val perDim = base
+        .select(element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
+          sqrt(col("nsq")).as("nrm"), col("emb"))
+        .select(col("cell"), col("nrm"), posexplode(col("emb")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(sum(col("col") / col("nrm")).as("s"))
+        .collect()
+      val acc = Array.fill(k, dim)(0.0)
+      val seen = new Array[Boolean](k)
+      perDim.foreach { r =>
+        val cell = r.getInt(0) // centroid id (element_at(…, 1) of the 1-probe array)
+        acc(cell)(r.getInt(1)) = r.getDouble(2)
+        seen(cell) = true
+      }
+      cents = cents.zipWithIndex.map { case (old, c) =>
+        val m = normalized(acc(c))
+        if (seen(c) && m.exists(_ != 0.0)) m.toSeq else old
+      }
+    }
+    cents
+  }
+
+  /** Candidate near-dup pairs via IVF (inverted-file) cell partitioning,
+    * verified by exact cosine: train spherical-k-means centroids, assign
+    * every vector to its `probes` nearest cells, and restrict the pair
+    * join to vectors sharing a cell.
+    *
+    * Output contract matches [[lshNearDupPairs]]: (id_a, id_b, sim DOUBLE)
+    * with id_a < id_b, sim >= simThreshold under the decimal gate, and
+    * IVF output ⊆ brute-force output (recall measurable with two counts).
+    *
+    * Scale notes: assignment is map-side (centroids ride in the plan); the
+    * candidate join shuffles (cell, id) pairs only — embeddings are joined
+    * back per surviving candidate; within-cell work is O(Σ cell²), so size
+    * k to the corpus (k ≈ N/√N keeps cells ~√N) and lean on AQE skew
+    * handling for hot cells. On isotropic low-threshold data (the synthetic
+    * test embeddings) cells prune weakly — same caveat as the LSH scaladoc;
+    * IVF earns its keep on real clustered corpora. */
+  def ivfNearDupPairs(df: DataFrame, idCol: String, embCol: String,
+                      k: Int, probes: Int, lloydIters: Int, seed: Long,
+                      simThreshold: Double,
+                      trainFraction: Double = 1.0): DataFrame = {
+    val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed, trainFraction)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+      l2NormSq(col(embCol)).as("nsq"))
+    val cells = base.select(col("id"),
+      explode(ivfAssign(col("emb"), cents, probes)).as("cell"))
+    val pairs = cells.toDF("id_a", "cell")
+      .join(cells.toDF("id_b", "cell_b"),
+        col("cell") === col("cell_b") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold)
   }
 
   /** Brute-force top-k neighbors for one query vector (exact baseline).

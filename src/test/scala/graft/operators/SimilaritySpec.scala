@@ -51,6 +51,71 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  /** Clustered embeddings — the regime IVF is built for: 3 well-separated
+    * direction clusters of 20 vectors each (random 32-d centers are nearly
+    * orthogonal; members are small perturbations, within-cluster cosine
+    * ≈ 0.95+, cross-cluster ≈ 0). */
+  private lazy val clustered: DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(5)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(3)(unit(Array.fill(32)(rng.nextGaussian())))
+    centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 20).map { j =>
+        val v = unit(c.map(_ + rng.nextGaussian() * 0.06))
+        (ci * 100L + j, v.toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+  }
+
+  private def bruteOf(df: DataFrame, threshold: Double): Set[(Long, Long)] = {
+    val rows = df.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    (for {
+      (ia, va) <- rows; (ib, vb) <- rows if ia < ib
+      dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      na = math.sqrt(va.map(x => x * x).sum); nb = math.sqrt(vb.map(x => x * x).sum)
+      if BigDecimal(dot / (na * nb))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP) >= threshold
+    } yield (ia, ib)).toSet
+  }
+
+  test("ivfNearDupPairs: full recall and real pruning on clustered data") {
+    val truth = bruteOf(clustered, 0.8)
+    assert(truth.size >= 100, s"clusters must create near pairs, got ${truth.size}")
+    // all qualifying pairs are within-cluster on this data
+    assert(truth.forall { case (a, b) => a / 100 == b / 100 })
+    val got = Similarity.ivfNearDupPairs(clustered, "vec_id", "embedding",
+        k = 3, probes = 1, lloydIters = 3, seed = 42, simThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.subsetOf(truth), "exact verify guarantees precision 1.0")
+    assert(got == truth,
+      s"cells should align with clusters: recall ${got.size}/${truth.size}")
+  }
+
+  test("ivfNearDupPairs is deterministic across runs (hash-sampled init + fixed Lloyd)") {
+    def run() = Similarity.ivfNearDupPairs(clustered, "vec_id", "embedding",
+        k = 3, probes = 1, lloydIters = 2, seed = 42, simThreshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run() == run())
+  }
+
+  test("trainIvfCentroids returns unit-norm centroids, one per separated cluster") {
+    val cents = Similarity.trainIvfCentroids(clustered, "vec_id", "embedding",
+      k = 3, lloydIters = 3, seed = 42)
+    assert(cents.size == 3)
+    cents.foreach { c =>
+      assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9, "unit norm")
+    }
+    // pairwise centroid cosines should be near zero (orthogonal clusters)
+    for (i <- 0 until 3; j <- i + 1 until 3) {
+      val dot = cents(i).zip(cents(j)).map { case (x, y) => x * y }.sum
+      assert(math.abs(dot) < 0.5, s"centroids $i,$j too close: $dot")
+    }
+  }
+
   test("topKForVector returns exact top-k by cosine") {
     val rows = embs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val q = rows.find(_._1 == 0L).get._2
