@@ -2,9 +2,10 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout,
+  ListState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 
 /** Stateful custom operators over `KeyValueGroupedDataset` — the
   * `flatMapGroupsWithState` surface from SURVEY.md §2.B ("stateful custom
@@ -60,6 +61,79 @@ object Stateful {
               next.lastTs - next.firstTs, closed = false))
           }
       }
+  }
+
+  final case class TopKMeta(lastTs: Long, timerAt: Long)
+  final case class TopKUpdate(user: String, topAmounts: Seq[Double], closed: Boolean)
+
+  /** `transformWithState` processor (the Spark-4 arbitrary-state API that
+    * supersedes flatMapGroupsWithState): per-key top-k amounts with an
+    * event-time idle-close timer.
+    *
+    * What the new API buys over flatMapGroupsWithState, exercised here:
+    *  - COMPOSITE state: a ListState (the top-k buffer) beside a ValueState
+    *    (bookkeeping) — fMGWS forces one monolithic state object that is
+    *    fully deserialized+rewritten per key per batch, while TWS state
+    *    vars are individually addressable in RocksDB;
+    *  - explicit TIMERS (registerTimer/handleExpiredTimer) instead of the
+    *    single implicit timeout slot — a key can juggle several deadlines;
+    *  - per-state TTL (TTLConfig) for GDPR-style retention at 100 TB scale.
+    * Requires the RocksDB state store provider (Spark enforces it); the
+    * operator sets nothing itself — callers flip
+    * `spark.sql.streaming.stateStore.providerClass`.
+    *
+    * Event-time (not processing-time) timers for the same determinism /
+    * testability reasons as [[sessionTracker]]. */
+  private final class TopKProcessor(k: Int, idleTimeoutMs: Long)
+      extends StatefulProcessor[String, Event, TopKUpdate] {
+    @transient private var top: ListState[Double] = _
+    @transient private var meta: ValueState[TopKMeta] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      top = getHandle.getListState("topAmounts", Encoders.scalaDouble, TTLConfig.NONE)
+      meta = getHandle.getValueState("meta", Encoders.product[TopKMeta], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Event],
+                                 timerValues: TimerValues): Iterator[TopKUpdate] = {
+      val incoming = rows.toSeq
+      val prevTop = if (top.exists()) top.get().toSeq else Seq.empty[Double]
+      val merged = (prevTop ++ incoming.map(_.amount))
+        .sorted(Ordering[Double].reverse).take(k)
+      top.put(merged.toArray)
+      val prev = if (meta.exists()) Some(meta.get()) else None
+      val lastTs = math.max(incoming.map(_.ts.getTime).max,
+        prev.map(_.lastTs).getOrElse(Long.MinValue))
+      prev.filter(_.timerAt > 0).foreach(m => getHandle.deleteTimer(m.timerAt))
+      val timerAt = lastTs + idleTimeoutMs
+      getHandle.registerTimer(timerAt)
+      meta.update(TopKMeta(lastTs, timerAt))
+      Iterator(TopKUpdate(key, merged, closed = false))
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+                                    expired: ExpiredTimerInfo): Iterator[TopKUpdate] = {
+      val fin = if (top.exists()) top.get().toSeq else Seq.empty[Double]
+      top.clear()
+      meta.clear()
+      Iterator(TopKUpdate(key, fin, closed = true))
+    }
+  }
+
+  /** Per-key running top-k amounts with watermark-driven idle close, on the
+    * `transformWithState` API (update mode, event-time timers). Emits the
+    * updated top-k per key per batch; once the watermark passes last
+    * activity + `idleTimeoutMs` the key emits a final `closed=true` record
+    * and its state (all state vars + timers) is dropped. */
+  def topKTracker(events: Dataset[Event], k: Int, idleTimeoutMs: Long,
+                  watermarkDelay: String = "10 seconds"): Dataset[TopKUpdate] = {
+    val sp = events.sparkSession
+    import sp.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user)
+      .transformWithState(new TopKProcessor(k, idleTimeoutMs),
+        TimeMode.EventTime(), OutputMode.Update())
   }
 
   /** Stream-stream inner join with watermarks and an event-time range

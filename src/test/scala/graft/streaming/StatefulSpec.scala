@@ -47,6 +47,49 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("transformWithState top-k tracker: composite state, timers, RocksDB provider") {
+    val sp = spark
+    import sp.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(providerKey)
+    // transformWithState requires the RocksDB provider (Spark enforces it)
+    sp.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Stateful.Event]
+    val out = Stateful.topKTracker(in.toDS(), k = 3, idleTimeoutMs = 60000)
+    val q = out.toDF().writeStream.format("memory").queryName("topk_state")
+      .outputMode("update").start()
+    try {
+      in.addData(Stateful.Event("u1", ts(0, 0), 10.0), Stateful.Event("u1", ts(0, 5), 5.0),
+        Stateful.Event("u1", ts(0, 10), 7.0), Stateful.Event("u1", ts(0, 15), 20.0),
+        Stateful.Event("u2", ts(0, 2), 1.0))
+      q.processAllAvailable()
+      in.addData(Stateful.Event("u1", ts(0, 30), 15.0))
+      q.processAllAvailable()
+      // far-future event advances the watermark past both idle deadlines;
+      // one extra batch so the timers actually fire
+      in.addData(Stateful.Event("u3", ts(30, 0), 0.0))
+      q.processAllAvailable()
+      in.addData(Stateful.Event("u3", ts(31, 0), 0.0))
+      q.processAllAvailable()
+      val rows = sp.table("topk_state")
+        .collect().map(r => (r.getString(0), r.getSeq[Double](1).toList, r.getBoolean(2))).toSet
+      // running updates: ListState top-3 survives across batches
+      assert(rows.contains(("u1", List(20.0, 10.0, 7.0), false)))
+      assert(rows.contains(("u1", List(20.0, 15.0, 10.0), false)))
+      assert(rows.contains(("u2", List(1.0), false)))
+      // timer-driven closes with state eviction
+      assert(rows.contains(("u1", List(20.0, 15.0, 10.0), true)))
+      assert(rows.contains(("u2", List(1.0), true)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None    => sp.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("stream-stream interval join matches rows within the time range only") {
     val sp = spark
     import sp.implicits._
