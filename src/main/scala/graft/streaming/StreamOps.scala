@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
 
 /** Streaming transforms the reference's generated pipelines rely on,
   * expressed Spark-first:
@@ -19,10 +20,44 @@ object StreamOps {
 
   /** Declare `tsCol` as event time with a watermark `delay`; rows later
     * than the watermark are dropped by downstream stateful operators
-    * (Spark semantics: dropped post-watermark; Flink's allowed-lateness
-    * side outputs are not reproduced — the reference never uses them). */
+    * (Spark semantics: dropped post-watermark). For the Flink
+    * allowed-lateness side-output shape — late rows captured instead of
+    * silently dropped — see [[lateSideOutput]]. */
   def withEventTime(df: DataFrame, tsCol: String, delay: String): DataFrame =
     df.withWatermark(tsCol, delay)
+
+  /** Flink-style late-data side output: split each micro-batch into
+    * on-time rows and late rows (a dead-letter capture), since Spark has
+    * no native side outputs and silently drops post-watermark rows inside
+    * stateful operators.
+    *
+    * Semantics mirror Spark's own `WatermarkTracker`: the watermark used
+    * for batch N is `max(eventTime seen through batch N-1) - delay`, so a
+    * row is "late" exactly when a downstream stateful operator would have
+    * dropped it. The tracker state lives on the driver (one Long — same
+    * scale posture as Spark's tracker itself); computing the batch max is
+    * one tiny agg job per micro-batch over data that is already in the
+    * executors' hands.
+    *
+    * Returns a configured `foreachBatch` writer; the caller starts it with
+    * their checkpoint/trigger options. `onTime`/`late` receive
+    * (batchDF, batchId) and can write to any sink — the dead-letter topic
+    * in the Kafka layout, a parquet audit dir in the file layout. */
+  def lateSideOutput(stream: DataFrame, tsCol: String, delayMs: Long)
+                    (onTime: (DataFrame, Long) => Unit)
+                    (late: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
+    var watermarkMs = 0L // end-of-previous-batch watermark, driver-side
+    stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val wm = watermarkMs
+      val tsMs = unix_millis(col(tsCol))
+      late(batch.filter(tsMs < wm), id)
+      onTime(batch.filter(tsMs >= wm), id)
+      val maxRow = batch.agg(max(unix_millis(col(tsCol)))).collect().head
+      if (!maxRow.isNullAt(0)) {
+        watermarkMs = math.max(watermarkMs, maxRow.getLong(0) - delayMs)
+      }
+    }
+  }
 
   /** Exact streaming dedup on key columns: first occurrence wins, state
     * kept forever (bounded sources / tests) — `dropDuplicates`. */

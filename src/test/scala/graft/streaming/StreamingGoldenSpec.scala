@@ -83,6 +83,69 @@ class StreamingGoldenSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dynamic-gap session windows honor the per-row gap in streaming mode") {
+    val sp = spark
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String, String)]
+    // premium users tolerate a 60s gap, others 10s
+    val gap = when(col("tier") === "premium", lit("60 seconds")).otherwise(lit("10 seconds"))
+    val agg = Windows.flatten(
+      Windows.sessionDynamic(
+        StreamOps.withEventTime(in.toDF().toDF("ts", "user", "tier"), "ts", "0 seconds"),
+        "ts", gap, col("user"))
+      .agg(count(lit(1)).as("cnt")))
+    val q = startMemorySink(agg, "dynsession_golden", "append")
+    try {
+      // both users emit at :00 and :30. premium (60s gap) merges into one
+      // session; standard (10s gap) splits into two singletons.
+      in.addData((ts(0, 0), "p", "premium"), (ts(0, 30), "p", "premium"),
+        (ts(0, 0), "s", "standard"), (ts(0, 30), "s", "standard"))
+      q.processAllAvailable()
+      in.addData((ts(10, 0), "x", "standard")) // advance watermark, finalize
+      q.processAllAvailable()
+      in.addData((ts(11, 0), "x", "standard"))
+      q.processAllAvailable()
+      val rows = sp.table("dynsession_golden")
+        .select(col("window_start").cast("string"), col("window_end").cast("string"), col("cnt"))
+        .where(col("window_start").cast("string").startsWith("2026-01-01 10:0"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows.contains(("2026-01-01 10:00:00", "2026-01-01 10:01:30", 2L)),
+        s"premium 60s-gap session should merge :00 and :30: $rows")
+      assert(rows.contains(("2026-01-01 10:00:00", "2026-01-01 10:00:10", 1L)) &&
+        rows.contains(("2026-01-01 10:00:30", "2026-01-01 10:00:40", 1L)),
+        s"standard 10s-gap sessions should stay split: $rows")
+    } finally q.stop()
+  }
+
+  test("late side output captures exactly the rows a stateful operator would drop") {
+    val sp = spark
+    import sp.implicits._
+    val in = MemoryStream[(Timestamp, String)]
+    val onTime = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    val late = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+    def drain(df: DataFrame, sink: java.util.concurrent.ConcurrentLinkedQueue[(String, String)]): Unit =
+      df.select(col("ts").cast("string"), col("k")).collect()
+        .foreach(r => sink.add((r.getString(0), r.getString(1))))
+    val writer = StreamOps.lateSideOutput(
+        in.toDF().toDF("ts", "k"), "ts", delayMs = 5 * 60 * 1000L) {
+      (df, _) => drain(df, onTime)
+    } {
+      (df, _) => drain(df, late)
+    }
+    val q = writer.start()
+    try {
+      in.addData((ts(1), "a"), (ts(4), "b"))
+      q.processAllAvailable() // watermark after batch: 10:04 - 5min = 09:59
+      in.addData((ts(21), "c")) // on time vs 09:59; watermark -> 10:16
+      q.processAllAvailable()
+      in.addData((ts(3), "late1"), (ts(30), "d")) // 10:03 < 10:16 -> late
+      q.processAllAvailable()
+      import scala.jdk.CollectionConverters._
+      assert(late.asScala.toSet == Set(("2026-01-01 10:03:00", "late1")))
+      assert(onTime.asScala.map(_._2).toSet == Set("a", "b", "c", "d"))
+    } finally q.stop()
+  }
+
   test("hop (sliding) windows assign events to every overlapping window") {
     val sp = spark
     import sp.implicits._
