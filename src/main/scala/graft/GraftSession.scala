@@ -63,4 +63,15 @@ object GraftSession {
       .config("spark.sql.files.maxPartitionBytes", (256L << 20).toString)
       .config("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
       .config("spark.sql.adaptive.localShuffleReader.enabled", "true")
+      // Streaming state posture: RocksDB provider (required by
+      // transformWithState, and the only store whose footprint is disk-
+      // not heap-bound once keyed state outgrows executor memory), with
+      // changelog checkpointing so each commit ships the delta instead of
+      // re-uploading full SST snapshots, and bounded block-cache memory so
+      // state reads cannot evict execution memory on shared executors.
+      .config("spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      .config("spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.boundedMemoryUsage", "true")
+      .config("spark.sql.streaming.stateStore.rocksdb.maxMemoryUsageMB", "2048")
 }
