@@ -186,6 +186,19 @@ object Extras extends QueryPack {
       s.sql(catalogJoinSql)
     }),
 
+    // -- Q39: skew-proof exact COUNT(DISTINCT) — the two-stage salted
+    //    aggregation from graft.operators.Skew: stage 1 counts distinct
+    //    order keys inside (returnflag, xxhash64(orderkey)%8) shards,
+    //    stage 2 sums shard counts. Exact because value-hashing partitions
+    //    each key's distinct set; at 100 TB a hot key's distinct set
+    //    spreads over `salt` tasks instead of one straggler hash set.
+    "q39_salted_distinct" -> ((s, dir) => {
+      graft.operators.Skew
+        .saltedDistinctCount(Tables(s, dir, "lineitem"),
+          "l_returnflag", "l_orderkey", salt = 8)
+        .orderBy(col("l_returnflag"))
+    }),
+
     // -- Q32: typed UDAF (Aggregator surface) — weighted mean discount by
     //    quantity, decimal-exact partials, double division at the end
     "q32_udaf_weighted_mean" -> ((s, dir) => {
@@ -267,6 +280,10 @@ object Extras extends QueryPack {
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
 
     "q38_catalog_sql" -> catalogJoinSql,
+
+    "q39_salted_distinct" ->
+      """SELECT l_returnflag, COUNT(DISTINCT l_orderkey) AS distinct_cnt
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q32_udaf_weighted_mean" ->
       """SELECT l_returnflag,
