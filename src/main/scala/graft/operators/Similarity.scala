@@ -226,6 +226,40 @@ object Similarity {
     verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold)
   }
 
+  /** IVF-accelerated top-k for one query vector: probe the query's
+    * `nprobe` nearest cells and rank only vectors assigned (top-1) to
+    * those cells — the classic IVF search path.
+    *
+    * Query-to-cell assignment happens on the DRIVER (nprobe dot products
+    * against k centroids — microseconds); the corpus side is a single
+    * scan-filter (`ivf_assign(emb)[0] ∈ probedCells`) followed by
+    * TakeOrderedAndProject: no shuffle, no join. At 100 TB with the corpus
+    * WRITTEN partitioned by cell id (see [[trainIvfCentroids]] — the same
+    * assignment expression works in a `partitionBy` column), the filter
+    * becomes partition pruning and the scan touches only nprobe/k of the
+    * data; unpartitioned, it is still a full scan but with candidate
+    * ranking bounded to the probed cells. */
+  def topKForVectorIvf(df: DataFrame, idCol: String, embCol: String,
+                       queryVec: Seq[Double], k: Int,
+                       centroids: Seq[Seq[Double]], nprobe: Int): DataFrame = {
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      if (n == 0) queryVec else queryVec.map(_ / n)
+    }
+    val probed = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qn).map { case (x, y) => x * y }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+    val qv = typedLit(queryVec)
+    df.select(col(idCol), col(embCol).as("emb"),
+        element_at(ivfAssign(col(embCol), centroids, 1), 1).as("cell"))
+      .filter(col("cell").isin(probed: _*))
+      .select(col(idCol),
+        cosineSim(col("emb"), qv).cast(DecimalType(9, 4)).cast("double").as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Brute-force top-k neighbors for one query vector (exact baseline).
     * Query side is a 1-row broadcast; result is TakeOrderedAndProject. */
   def topKForVector(df: DataFrame, idCol: String, embCol: String,

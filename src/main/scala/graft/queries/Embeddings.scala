@@ -115,6 +115,31 @@ object Embeddings extends QueryPack {
           (col("n_found") >= col("n_true") * 0.9).as("recall_ok"))
     }),
 
+    // -- IVF top-k search for one query vector (vec 0): probe the 3
+    //    nearest of 8 cells, rank candidates only. Rows-only (approximate);
+    //    the overlap gate below is the oracle-checked companion.
+    "sim_ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect().head.getSeq[Double](0)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, lloydIters = 3, seed = 42)
+      Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
+        k = 10, cents, nprobe = 3)
+    }),
+
+    // -- IVF top-k overlap gate: |ivf_top10 ∩ brute_top10| >= 5. Measured
+    //    exactly 6 at sf0.01 (deterministic: seeded farthest-point init +
+    //    fixed Lloyd count) — the isotropic-data worst case the Similarity
+    //    scaladoc describes; the clustered-data unit test shows exact
+    //    agreement. Emits the contract, oracle asserts TRUE.
+    "sim_ann_ivf_topk_check" -> ((s, dir) => {
+      val brute = queries("q23_cosine_topk")(s, dir).select(col("vec_id"))
+      val ivf = queries("sim_ann_ivf_topk")(s, dir).select(col("vec_id"))
+      ivf.intersect(brute).agg(count(lit(1)).as("n_overlap"))
+        .select(lit(10L).as("k"), (col("n_overlap") >= 5).as("overlap_ok"))
+    }),
+
     // -- LSH recall gate (oracle-checked): because LSH candidates are
     //    verified with the exact cosine + identical decimal semantics,
     //    lsh ⊆ brute-force; recall = |lsh| / |brute|. The DuckDB oracle
@@ -164,6 +189,9 @@ object Embeddings extends QueryPack {
         |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
         |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3
         |ORDER BY id_a, id_b""".stripMargin,
+
+    "sim_ann_ivf_topk_check" ->
+      "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok",
 
     "sim_ann_ivf_recall" ->
       """WITH e AS (

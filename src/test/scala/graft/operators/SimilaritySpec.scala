@@ -116,6 +116,24 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topKForVectorIvf equals brute-force top-k when the cluster is probed") {
+    val rows = clustered.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    val q = rows.find(_._1 == 100L).get._2 // a member of cluster 1
+    val expect = rows.map { case (id, v) =>
+      val dot = v.zip(q).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(v.map(x => x * x).sum)
+      val nq = math.sqrt(q.map(x => x * x).sum)
+      (id, BigDecimal(dot / (na * nq)).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toList
+    val cents = Similarity.trainIvfCentroids(clustered, "vec_id", "embedding",
+      k = 3, lloydIters = 3, seed = 42)
+    val got = Similarity.topKForVectorIvf(clustered, "vec_id", "embedding",
+        q.toSeq, k = 5, cents, nprobe = 1)
+      .collect().map(_.getLong(0)).toList
+    assert(got == expect,
+      s"nprobe=1 on well-separated clusters must match brute force: $got vs $expect")
+  }
+
   test("topKForVector returns exact top-k by cosine") {
     val rows = embs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val q = rows.find(_._1 == 0L).get._2
