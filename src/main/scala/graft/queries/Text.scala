@@ -85,6 +85,27 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- Q40: sequence packing ("concat and chunk", the pretraining
+    //    batch-assembly op): documents are concatenated in doc_id order
+    //    within a shard and cut into 1000-token chunks by exclusive
+    //    cumulative token count. The window is PARTITIONED by shard —
+    //    shards pack independently and in parallel (pick shard count ≈
+    //    cluster parallelism at 100 TB), avoiding the single-partition
+    //    global-sort window this repo already once had to kill in the
+    //    jaccard dictionary. Output: per-chunk doc and token totals.
+    "q40_pack_chunks" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+          size(tokens(col("text"))).cast("long").as("toks"))
+        .withColumn("start_tok", sum(col("toks")).over(w) - col("toks"))
+        .withColumn("chunk", floor(col("start_tok") / lit(1000)).cast("long"))
+        .groupBy(col("shard"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("chunk_tokens"))
+        .orderBy(col("shard"), col("chunk"))
+    }),
+
     // -- exact dedup: hash-groupBy on the normalized body; keeper = min id
     "dedup_exact" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -112,6 +133,17 @@ object Text extends QueryPack {
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(string_split_regex(text, '\s+')) AS token FROM documents) t
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "q40_pack_chunks" ->
+      """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+        |  CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS toks
+        |  FROM documents),
+        |c AS (SELECT shard, toks,
+        |  CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id) AS BIGINT) - toks AS start_tok
+        |  FROM t)
+        |SELECT shard, CAST(FLOOR(start_tok / 1000) AS BIGINT) AS chunk,
+        |  COUNT(*) AS n_docs, CAST(SUM(toks) AS BIGINT) AS chunk_tokens
+        |FROM c GROUP BY shard, chunk ORDER BY shard, chunk""".stripMargin,
 
     "text_langid" ->
       """WITH t AS (SELECT doc_id, text,
