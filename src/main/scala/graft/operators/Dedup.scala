@@ -243,4 +243,57 @@ object Dedup {
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over a near-dup pair list — the step that turns
+    * pairwise matches into dedup GROUPS (component id = min member id, the
+    * canonical document every pipeline keeps).
+    *
+    * Iterative min-label propagation: each round every node takes the min
+    * of its own label and its neighbors' labels; convergence needs
+    * O(diameter) rounds. Dedup-cluster graphs have tiny diameters (near-dup
+    * groups are quasi-cliques — LSH/cosine edges connect most members
+    * directly), so 3–5 rounds settle real corpora; `maxIter` caps the
+    * worst case and the method throws rather than return a half-converged
+    * labeling. Each round is one shuffle join + one min-aggregate, both
+    * key-partitioned — no driver-side graph, no global sort; the per-round
+    * driver action is a single changed-count. (For adversarial
+    * long-chain graphs the known upgrade is the large-star/small-star
+    * alternation, which converges in O(log n) rounds with the same
+    * join+min building blocks.)
+    *
+    * Input: one row per undirected edge (either orientation, dups fine).
+    * Output: (id, component) for every node appearing in an edge —
+    * callers left-join isolated nodes back with coalesce(component, id). */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+    // localCheckpoint (eager) after each round: iterative plans otherwise
+    // accumulate lineage — by round ~10 the logical plan is exponentially
+    // nested and planning itself OOMs. Truncating lineage per round keeps
+    // every iteration's plan O(1); on a real cluster with flaky executors
+    // use reliable checkpoint(dir) instead (same call shape).
+    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+    var labels = und.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("component"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // push each node's label to its neighbors, keep the min seen
+      val pushed = und.join(labels, col("src") === col("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.union(pushed)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
+        .filter(col("component") < col("prev")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    labels
+  }
 }

@@ -86,6 +86,23 @@ object Embeddings extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- dedup groups: connected components over the cosine near-dup
+    //    pairs (min-member-id labeling — the canonical-document step of
+    //    every dedup pipeline). Deterministic and SQL-expressible, so it
+    //    is hash-checked against a DuckDB recursive CTE computing min
+    //    reachable id over the identical pair set. Isolated vectors keep
+    //    their own id via the left join + coalesce.
+    "dedup_components" -> ((s, dir) => {
+      val pairs = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      Tables(s, dir, "embeddings").select(col("vec_id"))
+        .join(comps, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- ANN via IVF: spherical-k-means cells + multi-probe assignment +
     //    exact verify. k=8 cells, 3 probes, 3 Lloyd iterations — measured
     //    recall 0.94–0.97 across seeds at sf0.01/sf0.1. Approximate
@@ -192,6 +209,29 @@ object Embeddings extends QueryPack {
 
     "sim_ann_ivf_topk_check" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok",
+
+    "dedup_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |         / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM ed
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.id)
+        |SELECT emb.vec_id,
+        |  COALESCE(c.component, emb.vec_id) AS component
+        |FROM embeddings emb
+        |LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+        |  ON emb.vec_id = c.id
+        |ORDER BY emb.vec_id""".stripMargin,
 
     "sim_ann_ivf_recall" ->
       """WITH e AS (

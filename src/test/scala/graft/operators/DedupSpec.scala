@@ -97,4 +97,33 @@ class DedupSpec extends SparkSpec {
     assert(sigs.count() == docs.count())
     assert(sigs.select(size(col("sig"))).distinct().head().getInt(0) == 16)
   }
+
+  test("connectedComponents labels every component by its min member id") {
+    val sp = spark
+    import sp.implicits._
+    // two triangles bridged by one edge + a separate pair + a chain
+    val edges = Seq(
+      (1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L), (5L, 6L), (6L, 4L),
+      (10L, 11L),
+      (20L, 21L), (21L, 22L), (22L, 23L)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L, 6L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
+    assert(got == expect)
+  }
+
+  test("connectedComponents converges on a long chain and enforces maxIter") {
+    val sp = spark
+    import sp.implicits._
+    val chain = (1L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.connectedComponents(chain, "id_a", "id_b")
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(1L), "every chain node must label to min id 1")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+  }
 }
