@@ -86,6 +86,26 @@ object Embeddings extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // -- int8 quantization round trip: per-vector scale, codes, and max
+    //    reconstruction error — the 4× storage compression for a 100 TB
+    //    embedding corpus, hash-checked end to end (scale and error are
+    //    elementwise arithmetic + max: no fold-order sensitivity, and
+    //    round() is half-away-from-zero in both engines).
+    "emb_quantize_int8" -> ((s, dir) => {
+      import graft.operators.Quantize
+      Tables(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+        .withColumn("scale", Quantize.int8Scale(col("v")))
+        .withColumn("codes", Quantize.quantizeInt8(col("v"), col("scale")))
+        .withColumn("deq", Quantize.dequantizeInt8(col("codes"), col("scale")))
+        .select(col("vec_id"),
+          aggregate(col("codes"), lit(0), (a, c) => a + c.cast("int"))
+            .cast("long").as("code_sum"),
+          array_max(zip_with(col("v"), col("deq"), (a, b) => abs(a - b)))
+            .cast(DecimalType(12, 8)).cast("double").as("max_err"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- dedup groups: connected components over the cosine near-dup
     //    pairs (min-member-id labeling — the canonical-document step of
     //    every dedup pipeline). Deterministic and SQL-expressible, so it
@@ -209,6 +229,23 @@ object Embeddings extends QueryPack {
 
     "sim_ann_ivf_topk_check" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok",
+
+    "emb_quantize_int8" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30) / 127.0 AS scale
+        |  FROM e),
+        |q AS (
+        |  SELECT vec_id, v, scale,
+        |    list_transform(v, x -> CAST(round(x / scale) AS TINYINT)) AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  CAST(CAST(list_max(list_transform(range(1, len(v) + 1),
+        |      i -> abs(v[i] - CAST(codes[i] AS DOUBLE) * scale))) AS DECIMAL(12,8)) AS DOUBLE) AS max_err
+        |FROM q ORDER BY vec_id""".stripMargin,
 
     "dedup_components" ->
       """WITH RECURSIVE e0 AS (
