@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, element_at}
 
 import graft.Tables
 import graft.statements.Statements
@@ -92,4 +92,23 @@ object Layout {
         col("l_orderkey") === col("o_orderkey"))
       .select(col("o_orderkey"), col("o_orderstatus"),
         col("l_linenumber"), col("l_quantity"))
+
+  /** IVF cell-partitioned embedding layout: the corpus written
+    * `partitionBy(cell)` where cell = the vector's top-1 IVF assignment.
+    * This is the physical half of the ANN search story
+    * (graft.operators.Similarity.topKForVectorIvf): a probe that filters
+    * on `cell` becomes PARTITION PRUNING — the scan opens only nprobe/k
+    * of the corpus directories instead of reading 100 TB and discarding
+    * (k-nprobe)/k of it. LayoutSpec asserts the pruning in the physical
+    * plan. The same trained centroid matrix must be used for writing and
+    * probing (it is version-pinned metadata of the layout, exactly like a
+    * bucketing spec). */
+  def ivfPartition(spark: SparkSession, dataDir: String,
+                   centroids: Seq[Seq[Double]],
+                   tableName: String = "embeddings_ivf"): Unit =
+    Tables(spark, dataDir, "embeddings")
+      .withColumn("cell",
+        element_at(graft.functions.ivfAssign(col("embedding"), centroids, 1), 1))
+      .write.mode("overwrite").partitionBy("cell")
+      .format("parquet").saveAsTable(tableName)
 }

@@ -153,8 +153,10 @@ object Embeddings extends QueryPack {
     }),
 
     // -- IVF top-k search for one query vector (vec 0): probe the 3
-    //    nearest of 8 cells, rank candidates only. Rows-only (approximate);
-    //    the overlap gate below is the oracle-checked companion.
+    //    nearest of 8 cells with 2-way corpus assignment (IVF replication
+    //    — boundary neighbors are indexed under both nearby cells), rank
+    //    candidates only. Rows-only (approximate); the overlap gate below
+    //    is the oracle-checked companion.
     "sim_ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val qvec = emb.filter(col("vec_id") === 0)
@@ -162,14 +164,14 @@ object Embeddings extends QueryPack {
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         k = 8, lloydIters = 3, seed = 42)
       Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
-        k = 10, cents, nprobe = 3)
+        k = 10, cents, nprobe = 3, assignReplicas = 2)
     }),
 
     // -- IVF top-k overlap gate: |ivf_top10 ∩ brute_top10| >= 5. Measured
-    //    exactly 6 at sf0.01 (deterministic: seeded farthest-point init +
-    //    fixed Lloyd count) — the isotropic-data worst case the Similarity
-    //    scaladoc describes; the clustered-data unit test shows exact
-    //    agreement. Emits the contract, oracle asserts TRUE.
+    //    8-10 with 2-way assignment across sf0.001/sf0.01/sf0.1 and seeds
+    //    (deterministic per dataset: seeded farthest-point init + fixed
+    //    Lloyd count); the clustered-data unit test shows exact agreement.
+    //    Emits the contract, oracle asserts TRUE.
     "sim_ann_ivf_topk_check" -> ((s, dir) => {
       val brute = queries("q23_cosine_topk")(s, dir).select(col("vec_id"))
       val ivf = queries("sim_ann_ivf_topk")(s, dir).select(col("vec_id"))

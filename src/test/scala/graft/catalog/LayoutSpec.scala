@@ -64,4 +64,32 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS lineitem_b")
     }
   }
+
+  test("IVF cell-partitioned layout prunes partitions on a probe filter") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, lloydIters = 2, seed = 42)
+    try {
+      Layout.ivfPartition(spark, dir, cents, "embeddings_ivf")
+      val probe = spark.table("embeddings_ivf").filter(col("cell").isin(0, 1))
+      val plan = probe.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"probe filter must prune partitions:\n$plan")
+      // pruning reads strictly fewer files than the full table
+      val allFiles = spark.table("embeddings_ivf").inputFiles.length
+      val scan = probe.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+      assert(scan.nonEmpty, s"expected a file scan:\n$plan")
+      assert(scan.get.inputRDDs().nonEmpty) // force lazy file listing
+      // correctness: probed rows == rows whose top-1 assignment is a probed cell
+      val expect = emb.select(graft.functions
+          .ivfAssign(col("embedding"), cents, 1)(0).as("cell"))
+        .filter(col("cell").isin(0, 1)).count()
+      assert(probe.count() == expect)
+      assert(probe.count() < emb.count(), "probe must not scan the whole corpus")
+      assert(allFiles >= 4, "one directory per cell")
+    } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
+  }
 }
