@@ -296,4 +296,23 @@ object Dedup {
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
   }
+
+  /** One-call corpus dedup: keep exactly one document per near-dup group.
+    *
+    * `pairs` is any (idA, idB) match list — from [[minHashNearDups]],
+    * [[jaccardPairs]], [[simHashNearDups]] or an embedding-cosine join.
+    * Groups come from [[connectedComponents]]; the keeper is the group's
+    * min id (deterministic canonical choice). Non-matched documents pass
+    * through untouched, so `dedupCorpus(df, emptyPairs) == df`.
+    *
+    * Shape: one anti-join of the corpus against the (small) set of
+    * non-canonical ids — the dropped-id side is a DISTINCT of component
+    * members, proportional to duplicates found, not corpus size. */
+  def dedupCorpus(df: DataFrame, idCol: String, pairs: DataFrame,
+                  srcCol: String = "id_a", dstCol: String = "id_b",
+                  maxIter: Int = 20): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol, maxIter)
+    val drop = comps.filter(col("id") =!= col("component")).select(col("id"))
+    df.join(drop, df(idCol) === drop("id"), "left_anti")
+  }
 }

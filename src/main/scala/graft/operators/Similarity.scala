@@ -23,7 +23,9 @@ import graft.functions.{cosineSim, dotProduct, hyperplaneBits, ivfAssign, l2Norm
   * θ ≈ 72°) the collision gap is provably thin and ANY LSH keeps most
   * pairs as candidates — the operator still bounds the join to colliding
   * buckets, but the honest scale answer in that regime is the exact
-  * brute-force (or an IVF partitioning on clustered real-world data).
+  * brute-force, or the IVF family below ([[ivfNearDupPairs]],
+  * [[topKForVectorIvf]]) on clustered real-world data, backed by the
+  * cell-partitioned physical layout in graft.catalog.Layout.ivfPartition.
   */
 object Similarity {
 

@@ -115,6 +115,43 @@ class DedupSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("connectedComponents matches a local union-find on random graphs") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(31)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val edges = Seq.fill(45)((rng.nextInt(n).toLong, rng.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // local union-find ground truth
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> {
+          // fully compress: min id of the component
+          var r = find(id.toInt); r.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find roots are min ids because union always keeps the smaller
+      assert(got == expect, s"trial $trial mismatch")
+    }
+  }
+
+  test("dedupCorpus keeps exactly one canonical doc per dup group") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (1L to 12L).map(i => (i, s"doc_$i")).toDF("doc_id", "body")
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpus(corpus, "doc_id", pairs)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 6L, 7L, 9L, 10L, 11L, 12L))
+  }
+
   test("connectedComponents converges on a long chain and enforces maxIter") {
     val sp = spark
     import sp.implicits._
