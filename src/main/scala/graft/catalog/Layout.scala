@@ -56,11 +56,17 @@ object Layout {
         throw new IllegalArgumentException(s"catalog DDL for $t rejected: $err"))
       val sql = Statements.substitute(cleaned, Map("DATA_DIR" -> dataDir))
       if (spark.catalog.tableExists(t)) {
+        // compare NORMALIZED full paths, not substrings: contains() would
+        // accept a stale table at /data/sf10 when re-pointing to /data/sf1
+        // (prefix match) and silently serve the wrong data
         val loc = spark.sql(s"DESCRIBE TABLE EXTENDED $t")
           .filter(col("col_name") === "Location")
           .collect().headOption.map(_.getString(1)).getOrElse("")
-        if (!loc.endsWith(s"/$t.parquet") || !loc.contains(dataDir.stripSuffix("/")))
-          spark.sql(s"DROP TABLE $t")
+        val locPath = java.nio.file.Paths.get(
+          new java.net.URI(loc).getPath).normalize.toString
+        val wantPath = java.nio.file.Paths.get(
+          s"${dataDir.stripSuffix("/")}/$t.parquet").toAbsolutePath.normalize.toString
+        if (locPath != wantPath) spark.sql(s"DROP TABLE $t")
       }
       spark.sql(sql)
     }

@@ -179,7 +179,11 @@ case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]], probes:
       dots(c) = acc
       c += 1
     }
-    // selection of the p largest (k is small; ties -> lower id wins by >)
+    // selection of the p largest (k is small; ties -> lower id wins by >).
+    // best starts at the first untaken index, not -1: with a corrupt
+    // vector (NaN element) every dot is NaN and `>` never fires — the row
+    // then falls back deterministically to the lowest-id cells instead of
+    // crashing the task.
     val picked = new Array[Int](p)
     val taken = new Array[Boolean](k)
     var s = 0
@@ -188,7 +192,9 @@ case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]], probes:
       var bestDot = Double.NegativeInfinity
       c = 0
       while (c < k) {
-        if (!taken(c) && dots(c) > bestDot) { best = c; bestDot = dots(c) }
+        if (!taken(c) && (best == -1 || dots(c) > bestDot)) {
+          best = c; bestDot = dots(c)
+        }
         c += 1
       }
       taken(best) = true

@@ -148,20 +148,28 @@ object Dedup {
 
   /** Exact Jaccard pairs with DATA-DRIVEN strategy selection (round-2 fix:
     * the bitmap-vs-inverted-index choice was manual). The vocabulary is
-    * measured first — a byproduct of building the sharded dictionary, no
-    * extra action — and the bitmap path is taken only when `V` dense bits
-    * per document is a sane memory bound (default 1 << 18 = 32 KiB/doc);
-    * otherwise the inverted-index formulation handles unbounded
-    * vocabularies without materializing V-bit rows.
+    * measured with a plain distinct-count FIRST, and only the chosen path
+    * builds its structures: the bitmap path (V dense bits per document is
+    * a sane memory bound, default 1 << 18 = 32 KiB/doc) constructs the
+    * sharded rank dictionary; the inverted-index path never ranks or pins
+    * a dictionary at all — on an unbounded vocabulary that ranking is
+    * exactly the work worth skipping.
+    *
+    * Persist note: the shingle rows (and, on the bitmap path, the
+    * dictionary) stay persisted while the returned lazy result is
+    * consumed; storage is reclaimed by `spark.catalog.clearCache()`
+    * (Bench does this between queries) or session end.
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
                    maxBitmapVocab: Long = 1L << 18): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val (dict, vocab) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
-    if (vocab <= maxBitmapVocab) jaccardBitmapFrom(sh, dict, vocab.toInt, threshold)
-    else jaccardInvertedFrom(sh, threshold)
+    val vocab = sh.select(col("sh")).distinct().count()
+    if (vocab <= maxBitmapVocab) {
+      val (dict, v) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
+      jaccardBitmapFrom(sh, dict, v.toInt, threshold)
+    } else jaccardInvertedFrom(sh, threshold)
   }
 
   /** Exact Jaccard via dense-dictionary bitmaps (bounded-vocabulary path).

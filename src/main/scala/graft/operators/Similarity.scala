@@ -128,10 +128,14 @@ object Similarity {
                         k: Int, lloydIters: Int, seed: Long,
                         trainFraction: Double = 1.0): Seq[Seq[Double]] = {
     val sampled = if (trainFraction < 1.0) df.sample(trainFraction, seed) else df
+    // persist: init runs k TakeOrdered actions and each Lloyd iteration
+    // one aggregation — without caching, every action re-scans (and with
+    // trainFraction < 1, RE-SAMPLES) the upstream source
     val base = sampled
       .select(col(idCol).as("id"), col(embCol).cast("array<double>").as("emb"),
         l2NormSq(col(embCol)).as("nsq"))
       .filter(col("nsq") > 0)
+      .persist()
 
     def normalized(v: Array[Double]): Array[Double] = {
       val n = math.sqrt(v.map(x => x * x).sum)
@@ -172,11 +176,13 @@ object Similarity {
 
     for (_ <- 1 to lloydIters) {
       // mean of row-normalized members per (cell, dim): partial+final agg,
-      // k×dim rows collected — the only driver-side data per iteration
+      // k×dim rows collected — the only driver-side data per iteration.
+      // pos < dim guards ragged rows (IvfAssignExpr clamps the same way).
       val perDim = base
         .select(element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
           sqrt(col("nsq")).as("nrm"), col("emb"))
         .select(col("cell"), col("nrm"), posexplode(col("emb")))
+        .filter(col("pos") < dim)
         .groupBy(col("cell"), col("pos"))
         .agg(sum(col("col") / col("nrm")).as("s"))
         .collect()
@@ -192,6 +198,7 @@ object Similarity {
         if (seen(c) && m.exists(_ != 0.0)) m.toSeq else old
       }
     }
+    base.unpersist()
     cents
   }
 

@@ -33,11 +33,7 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
     server.createContext("/api/status", json { _ =>
       s"""{"status": "${esc(statusText)}", "queries": ${metrics.snapshot.size}, "total_input_rows": ${metrics.totalInputRows}}"""
     })
-    server.createContext("/api/metrics", json { _ =>
-      metrics.snapshot.map { q =>
-        s"""{"name": "${esc(q.name)}", "total_input_rows": ${q.totalInputRows}, "batches": ${q.batches}, "last_rows_per_second": ${q.lastRowsPerSecond}, "last_batch_ms": ${q.lastBatchMs}, "terminated": ${q.terminated}}"""
-      }.mkString("[", ",", "]")
-    })
+    server.createContext("/api/metrics", json(_ => metricsJson))
     server.createContext("/api/errors", json { _ =>
       metrics.snapshot.flatMap(q => q.error.map(e =>
         s"""{"query": "${esc(q.name)}", "error": "${esc(e)}", "suggestion": "${esc(ErrorSuggester.suggest(e).getOrElse(""))}"}"""))

@@ -88,7 +88,7 @@ object Deploy {
     * value schemas per topic + the output KEY schema for upsert sinks
     * (deployer.go:254-266,296-318). `waiter` (when given) gates the whole
     * thing on service health, like deploy.go:93-99. */
-  def run(spark: SparkSession, projectDir: Path, runDir: Path,
+  def run(spark: SparkSession, projectDir: Path,
           topics: Topics, registry: SchemaRegistry,
           waiter: Option[ServiceWaiter] = None): DeployResult = {
     require(Files.isDirectory(projectDir),

@@ -110,6 +110,14 @@ object GraftRunner {
     val topics = Topics.forSession(spark, cfg.runDir.toString)
     resources.topics.foreach { t =>
       if (topics.topicExists(t)) topics.deleteTopic(t)
+      // Kafka deletes topics asynchronously after the AdminClient future
+      // resolves — recreate immediately and the broker may answer
+      // TopicExistsException or delete the new topic underneath. Poll
+      // until the name is actually gone (no-op on FileTopics, whose
+      // delete is synchronous).
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (topics.topicExists(t) && System.nanoTime() < deadline)
+        Thread.sleep(50)
       topics.createTopic(t)
     }
     // 6 (reference step: register schemas under <topic>-value subjects)

@@ -39,18 +39,31 @@ object StreamOps {
     * one tiny agg job per micro-batch over data that is already in the
     * executors' hands.
     *
+    * Rows with a NULL event time go to the LATE side: a stateful operator
+    * can never place them in a window, so the dead-letter sink is where
+    * they belong (and the split stays a partition — nothing vanishes).
+    *
+    * Restart caveat: the tracker var lives in the driver session, so a
+    * recovered query starts from `initialWatermarkMs` (default 0), not the
+    * pre-crash watermark — Spark persists its own tracker in the commit
+    * log, this analog does not read it. For exact resume semantics, pass
+    * the last reported `eventTime.watermark` from the query's progress
+    * (persisted wherever the caller keeps run state) as
+    * `initialWatermarkMs`.
+    *
     * Returns a configured `foreachBatch` writer; the caller starts it with
     * their checkpoint/trigger options. `onTime`/`late` receive
     * (batchDF, batchId) and can write to any sink — the dead-letter topic
     * in the Kafka layout, a parquet audit dir in the file layout. */
-  def lateSideOutput(stream: DataFrame, tsCol: String, delayMs: Long)
+  def lateSideOutput(stream: DataFrame, tsCol: String, delayMs: Long,
+                     initialWatermarkMs: Long = 0L)
                     (onTime: (DataFrame, Long) => Unit)
                     (late: (DataFrame, Long) => Unit): DataStreamWriter[Row] = {
-    var watermarkMs = 0L // end-of-previous-batch watermark, driver-side
+    var watermarkMs = initialWatermarkMs // end-of-previous-batch watermark
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val wm = watermarkMs
       val tsMs = unix_millis(col(tsCol))
-      late(batch.filter(tsMs < wm), id)
+      late(batch.filter(tsMs < wm || tsMs.isNull), id)
       onTime(batch.filter(tsMs >= wm), id)
       val maxRow = batch.agg(max(unix_millis(col(tsCol)))).collect().head
       if (!maxRow.isNullAt(0)) {

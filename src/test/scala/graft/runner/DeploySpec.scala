@@ -35,7 +35,7 @@ class DeploySpec extends SparkSpec {
     val runDir = Files.createTempDirectory("graft-deploy-run")
     val topics = FileTopics(runDir.toString)
     val registry = new InMemorySchemaRegistry
-    val res = Deploy.run(spark, project, runDir, topics, registry)
+    val res = Deploy.run(spark, project, topics, registry)
 
     assert(res.topics.nonEmpty)
     res.topics.foreach(t => assert(topics.topicExists(t), t))
@@ -50,7 +50,7 @@ class DeploySpec extends SparkSpec {
   test("deploy fails fast on a missing project directory (deploy.go:50-52)") {
     val e = intercept[IllegalArgumentException] {
       Deploy.run(spark, java.nio.file.Paths.get("/nonexistent-graft"),
-        Files.createTempDirectory("r"), FileTopics("/tmp/x"), new InMemorySchemaRegistry)
+        FileTopics("/tmp/x"), new InMemorySchemaRegistry)
     }
     assert(e.getMessage.contains("project directory"))
   }
