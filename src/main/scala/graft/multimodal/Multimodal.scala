@@ -61,6 +61,56 @@ object Multimodal {
       }
   }
 
+  /** Resized-media record: new geometry + resized payload + its byte sum
+    * (integer, so the resize is oracle-checkable without shipping the
+    * blob through a cross-engine binary compare). */
+  case class ResizedMedia(media_id: Long, width: Int, height: Int,
+                          resized: Array[Byte], byte_sum: Long)
+
+  /** ======== STUB ========
+    * Deterministic fake "resize": nearest-neighbor downsample over the
+    * stub geometry (w×h from decodeStub; pixel (y,x) = payload byte at
+    * sy*w+sx with sy = y*h/th, sx = x*w/tw — pure integer index math, so
+    * any engine reproduces it). Replace with a real scaler next to the
+    * real codec; the mapPartitions execution shape stays. */
+  private def resizeStub(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    if (payload.isEmpty) return Array.emptyByteArray
+    val n = payload.length
+    val w = math.max(1, math.sqrt(n.toDouble).toInt)
+    val h = math.max(1, n / w)
+    val out = new Array[Byte](tw * th)
+    var y = 0
+    var i = 0
+    while (y < th) {
+      val sy = y * h / th
+      var x = 0
+      while (x < tw) { out(i) = payload(sy * w + x * w / tw); i += 1; x += 1 }
+      y += 1
+    }
+    out
+  }
+
+  /** Resize every payload to `tw`×`th` via the stub scaler —
+    * partition-parallel mapPartitions, same rationale as
+    * [[extractFeatures]]. */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+             tw: Int, th: Int): Dataset[ResizedMedia] = {
+    require(tw >= 1 && th >= 1, "target dims must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val out = resizeStub(r.payload, tw, th)
+          var s = 0L
+          var i = 0
+          while (i < out.length) { s += (out(i) & 0xFF); i += 1 }
+          ResizedMedia(r.media_id, tw, th, out, s)
+        }
+      }
+  }
+
   /** Frame sampling: split a binary payload into fixed-size "frames" and
     * keep every `stride`-th — a custom Generator (UDTF) expression that
     * streams frames instead of materializing the full slice array before

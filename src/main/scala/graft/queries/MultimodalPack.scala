@@ -44,6 +44,18 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // -- resize stub: nearest-neighbor downsample to 8x8 over the stub
+    //    geometry — pure integer index math, so the oracle recomputes the
+    //    resized byte sum exactly (the blob itself stays Spark-side; its
+    //    integer summary is what crosses the engine boundary).
+    "mm_resize" -> ((s, dir) => {
+      val bin = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      Multimodal.resize(bin, "doc_id", "payload", tw = 8, th = 8)
+        .toDF().select(col("media_id"), col("width"), col("height"), col("byte_sum"))
+        .orderBy(col("media_id"))
+    }),
+
     // -- MinHash+LSH near-dup candidates (approximate; rows-only).
     //    128 hashes / 32 bands of r=4 (round-3 tightening: estimator
     //    σ = sqrt(j(1-j)/k) halves twice vs 32 hashes, letting the gate
@@ -134,6 +146,23 @@ object MultimodalPack extends QueryPack {
         |  CAST(greatest(1, n // CAST(greatest(1, floor(sqrt(n))) AS INT)) AS INT) AS height,
         |  CAST(sb * 10000 // n AS BIGINT) AS mean_intensity_e4
         |FROM s ORDER BY media_id""".stripMargin,
+
+    // resize stub mirror: w/h from the decode geometry, nearest-neighbor
+    // index (y*h//8)*w + (x*w//8), all integer division
+    "mm_resize" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |g AS (SELECT doc_id, text, n,
+        |  CAST(greatest(1, floor(sqrt(n))) AS BIGINT) AS w,
+        |  greatest(1, n // CAST(greatest(1, floor(sqrt(n))) AS BIGINT)) AS h
+        |  FROM b),
+        |r AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 64),
+        |    k -> ord(substr(text, CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 AS INT), 1))))
+        |  AS byte_sum
+        |  FROM g)
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(byte_sum AS BIGINT) AS byte_sum
+        |FROM r ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),

@@ -1,0 +1,38 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val bin = {
+    val sp = spark
+    import sp.implicits._
+    Seq((1L, "abcdefghijklmnop"), // 16 bytes -> stub geometry 4x4
+      (2L, "zz"),                 // 2 bytes  -> geometry 1x2
+      (3L, ""))                   // empty payload must not crash
+      .toDF("id", "text")
+      .select(col("id"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  test("resize produces the exact nearest-neighbor bytes of the stub geometry") {
+    val out = Multimodal.resize(bin, "id", "payload", tw = 2, th = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    // payload 1: n=16, w=4, h=4; sy,sx for (y,x) in 2x2 = (y*4/2, x*4/2) =
+    // (0,0),(0,2),(2,0),(2,2) -> bytes 'a','c','i','k'
+    assert(out(1L).resized.toSeq == "acik".getBytes("UTF-8").toSeq)
+    assert(out(1L).byte_sum == "acik".getBytes.map(_ & 0xFF).sum.toLong)
+    // payload 2: n=2, w=1, h=2; indices (y*2/2)*1 + (x*1/2) = y -> 'z','z','z'... 2x2 of 'z'
+    assert(out(2L).resized.toSeq == "zzzz".getBytes("UTF-8").toSeq)
+    // empty payload -> empty resized, zero sum
+    assert(out(3L).resized.isEmpty && out(3L).byte_sum == 0L)
+  }
+
+  test("resize is deterministic and keeps one row per input") {
+    def run() = Multimodal.resize(bin, "id", "payload", 3, 3)
+      .collect().map(r => (r.media_id, r.resized.toSeq, r.byte_sum)).toSet
+    assert(run() == run())
+    assert(run().size == 3)
+  }
+}
