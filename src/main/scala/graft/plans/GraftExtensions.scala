@@ -34,6 +34,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BitmapFromIntsExpr(args(0), intArg(args(1), "nBits")), arity = 2)
     register(ext, "bit_and_count", "popcount(a AND b) over bit-packed bitmaps",
       args => BitAndCountExpr(args(0), args(1)), arity = 2)
+    register(ext, "hyperplane_bits", "bit-packed random-hyperplane sign bits of an embedding",
+      args => RandomHyperplaneBitsExpr(args(0), intArg(args(1), "dim"),
+        intArg(args(2), "numPlanes"), intArg(args(3), "seed").toLong), arity = 4)
     register(ext, "split_frames", "split binary payload into strided fixed-size frames",
       args => SplitFramesExpr(args(0), intArg(args(1), "frameBytes"), intArg(args(2), "stride")),
       arity = 3)

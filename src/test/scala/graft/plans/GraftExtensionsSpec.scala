@@ -34,6 +34,20 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(rows == List((0, 4), (1, 4), (2, 2)))
   }
 
+  test("hyperplane_bits callable from SQL, matches the DataFrame path") {
+    val sp = spark
+    import sp.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq((1L, Seq.fill(8)(0.5))).toDF("id", "v")
+    df.createOrReplaceTempView("hp_in")
+    val sql = spark.sql(
+      "SELECT hyperplane_bits(v, 8, 16, 42) AS bits FROM hp_in")
+      .head().getSeq[Long](0)
+    val api = df.select(graft.functions.hyperplaneBits(col("v"), 8, 16, 42L).as("bits"))
+      .head().getSeq[Long](0)
+    assert(sql == api && sql.nonEmpty)
+  }
+
   test("confluent encode/decode round-trips from SQL") {
     val schema =
       """{"type":"record","name":"E","fields":[{"name":"id","type":"long"},{"name":"tag","type":"string"}]}"""
