@@ -107,6 +107,50 @@ object Text extends QueryPack {
         .orderBy(col("shard"), col("chunk"))
     }),
 
+    // -- PII detection + redaction fingerprint: regex counts of email /
+    //    phone / URL shapes (the filtering step every training-data
+    //    pipeline runs before release) plus the digest of the
+    //    email-redacted body. Simple character-class regexes on purpose —
+    //    they mean the same thing to Java regex and DuckDB's RE2.
+    "text_pii" -> ((s, dir) => {
+      val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+      val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+      val url = "https?://[^ ]+"
+      Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
+          regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
+          regexp_count(col("text"), lit(url)).cast("long").as("n_url"),
+          md5(regexp_replace(col("text"), email, "[EMAIL]")).as("redacted_fp"))
+        .withColumn("has_pii", (col("n_email") + col("n_phone")) > 0)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- end-to-end curation pipeline: quality filter → exact dedup →
+    //    per-decile corpus stats. Composes the scoring, dedup, and
+    //    counting operators in ONE lazy plan (filter pushes to the scan,
+    //    dedup is a partitioned window, stats a partial+final agg) — the
+    //    shape a real training-data curation job takes, hash-checked end
+    //    to end.
+    "pipeline_curate" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = tokens(lower(col("text")))
+      val nTok = size(toks).cast("long")
+      val alphaRatio =
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double")
+      val stopRatio = stopCount(toks, enStops).cast("double") / nTok.cast("double")
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
+          (alphaRatio * 0.5 + stopRatio * 0.5).as("q"))
+        .filter(col("q") >= 0.3)
+      val w = Window.partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .groupBy(floor(col("q") * 10).cast("long").as("q_decile"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy(col("q_decile"))
+    }),
+
     // -- TF-IDF document-term scoring: per-(doc,term) tf, corpus df, score
     //    = tf * (N+1)/(df+1) — a SMOOTHED RATIONAL idf, not ln((N+1)/(df+1)).
     //    Deliberate: both engines evaluate rational arithmetic bit-exactly,
@@ -161,6 +205,32 @@ object Text extends QueryPack {
       """SELECT token, COUNT(*) AS cnt FROM (
         |  SELECT UNNEST(string_split_regex(text, '\s+')) AS token FROM documents) t
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
+
+    "text_pii" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
+        |  md5(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g')) AS redacted_fp,
+        |  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
+        |   + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "pipeline_curate" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.5 +
+        |  (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)) * 0.5 AS q
+        |  FROM t),
+        |f AS (SELECT * FROM s WHERE q >= 0.3),
+        |d AS (SELECT q, n_tokens,
+        |  row_number() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) ORDER BY doc_id) AS rn
+        |  FROM f)
+        |SELECT CAST(FLOOR(q * 10) AS BIGINT) AS q_decile,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+        |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (
