@@ -32,10 +32,17 @@ object Multimodal {
     * Replace this body with a real codec call (e.g. TwelveMonkeys/FFmpeg
     * JNI) — the signature and the distributed execution shape stay as-is.
     */
+  /** Stub geometry shared by decode and resize (and mirrored in both
+    * DuckDB oracles): one definition so a future real-codec swap cannot
+    * leave resize computing stale geometry. */
+  private def stubGeometry(n: Int): (Int, Int) = {
+    val width = math.max(1, math.sqrt(n.toDouble).toInt)
+    (width, math.max(1, n / width))
+  }
+
   private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
     val n = payload.length
-    val width = math.max(1, math.sqrt(n.toDouble).toInt)
-    val height = math.max(1, n / width)
+    val (width, height) = stubGeometry(n)
     var sum = 0L
     var i = 0
     while (i < n) { sum += (payload(i) & 0xFF); i += 1 }
@@ -76,8 +83,7 @@ object Multimodal {
   private def resizeStub(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     if (payload.isEmpty) return Array.emptyByteArray
     val n = payload.length
-    val w = math.max(1, math.sqrt(n.toDouble).toInt)
-    val h = math.max(1, n / w)
+    val (w, h) = stubGeometry(n)
     val out = new Array[Byte](tw * th)
     var y = 0
     var i = 0
@@ -96,6 +102,8 @@ object Multimodal {
   def resize(df: DataFrame, idCol: String, payloadCol: String,
              tw: Int, th: Int): Dataset[ResizedMedia] = {
     require(tw >= 1 && th >= 1, "target dims must be >= 1")
+    require(tw.toLong * th.toLong <= Int.MaxValue,
+      s"target ${tw}x$th overflows a byte array")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))

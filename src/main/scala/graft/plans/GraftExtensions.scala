@@ -36,7 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       args => BitAndCountExpr(args(0), args(1)), arity = 2)
     register(ext, "hyperplane_bits", "bit-packed random-hyperplane sign bits of an embedding",
       args => RandomHyperplaneBitsExpr(args(0), intArg(args(1), "dim"),
-        intArg(args(2), "numPlanes"), intArg(args(3), "seed").toLong), arity = 4)
+        intArg(args(2), "numPlanes"), longArg(args(3), "seed")), arity = 4)
     register(ext, "split_frames", "split binary payload into strided fixed-size frames",
       args => SplitFramesExpr(args(0), intArg(args(1), "frameBytes"), intArg(args(2), "stride")),
       arity = 3)
@@ -61,6 +61,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intArg(e: Expression, name: String): Int = e match {
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
     case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  /** Full-width long literal (intArg would silently truncate a BIGINT
+    * seed and diverge from the DataFrame API). */
+  private def longArg(e: Expression, name: String): Long = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v.toLong
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v
     case other => throw new IllegalArgumentException(
       s"$name must be an integer literal, got $other")
   }

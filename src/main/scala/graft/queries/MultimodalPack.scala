@@ -156,9 +156,10 @@ object MultimodalPack extends QueryPack {
         |  greatest(1, n // CAST(greatest(1, floor(sqrt(n))) AS BIGINT)) AS h
         |  FROM b),
         |r AS (SELECT doc_id,
-        |  list_sum(list_transform(range(0, 64),
-        |    k -> ord(substr(text, CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 AS INT), 1))))
-        |  AS byte_sum
+        |  CASE WHEN n = 0 THEN 0 ELSE
+        |    list_sum(list_transform(range(0, 64),
+        |      k -> ord(substr(text, CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 AS INT), 1))))
+        |  END AS byte_sum
         |  FROM g)
         |SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST(byte_sum AS BIGINT) AS byte_sum

@@ -112,11 +112,24 @@ object Text extends QueryPack {
     //    pipeline runs before release) plus the digest of the
     //    email-redacted body. Simple character-class regexes on purpose —
     //    they mean the same thing to Java regex and DuckDB's RE2.
+    //    The synthetic corpus contains no PII, which would make this gate
+    //    vacuous (a broken regex still passes on all-zero counts) — so
+    //    every 7th document gets a deterministic PII suffix constructed
+    //    identically in BOTH engines, and the gate genuinely verifies
+    //    detection + redaction cross-engine.
     "text_pii" -> ((s, dir) => {
       val email = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
       val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
       val url = "https?://[^ ]+"
+      val id = col("doc_id").cast("string")
+      val seededText = concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" contact user"), id, lit("@example.com or 555-123-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" at https://ex.org/"), id))
+          .otherwise(lit("")))
       Tables(s, dir, "documents")
+        .select(col("doc_id"), seededText.as("text"))
         .select(col("doc_id"),
           regexp_count(col("text"), lit(email)).cast("long").as("n_email"),
           regexp_count(col("text"), lit(phone)).cast("long").as("n_phone"),
@@ -131,16 +144,29 @@ object Text extends QueryPack {
     //    counting operators in ONE lazy plan (filter pushes to the scan,
     //    dedup is a partitioned window, stats a partial+final agg) — the
     //    shape a real training-data curation job takes, hash-checked end
-    //    to end.
+    //    to end. The base corpus has no duplicates and no low-quality
+    //    docs at the correctness scale, which would leave both
+    //    interesting stages unverified — so the query UNIONs in
+    //    deterministic near-copies (trailing whitespace → same normalized
+    //    body, must be dedup'd) and junk rows (no letters → q = 0, must
+    //    be filtered), built identically in both engines.
     "pipeline_curate" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val base = Tables(s, dir, "documents").select(col("doc_id"), col("text"))
+      val dups = base.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text"))
+      val junk = base.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          lit("@@@@ 1234 %%%% 5678 $$$$").as("text"))
+      val corpus = base.unionAll(dups).unionAll(junk)
       val toks = tokens(lower(col("text")))
       val nTok = size(toks).cast("long")
       val alphaRatio =
         length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
           length(col("text")).cast("double")
       val stopRatio = stopCount(toks, enStops).cast("double") / nTok.cast("double")
-      val scored = Tables(s, dir, "documents")
+      val scored = corpus
         .select(col("doc_id"), col("text"), nTok.as("n_tokens"),
           (alphaRatio * 0.5 + stopRatio * 0.5).as("q"))
         .filter(col("q") >= 0.3)
@@ -207,19 +233,30 @@ object Text extends QueryPack {
         |WHERE token <> '' GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin,
 
     "text_pii" ->
-      """SELECT doc_id,
+      """WITH seeded AS (SELECT doc_id,
+        |  text || CASE WHEN doc_id % 7 = 0
+        |    THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-123-'
+        |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' at https://ex.org/' || CAST(doc_id AS VARCHAR)
+        |    ELSE '' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_email,
         |  CAST(len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone,
         |  CAST(len(regexp_extract_all(text, 'https?://[^ ]+')) AS BIGINT) AS n_url,
         |  md5(regexp_replace(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '[EMAIL]', 'g')) AS redacted_fp,
         |  (len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}'))
         |   + len(regexp_extract_all(text, '[0-9]{3}-[0-9]{3}-[0-9]{4}'))) > 0 AS has_pii
-        |FROM documents ORDER BY doc_id""".stripMargin,
+        |FROM seeded ORDER BY doc_id""".stripMargin,
 
     "pipeline_curate" ->
-      """WITH t AS (SELECT doc_id, text,
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id + 1000000, text || '  ' FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL SELECT doc_id + 2000000, '@@@@ 1234 %%%% 5678 $$$$' FROM documents WHERE doc_id % 25 = 0),
+        |t AS (SELECT doc_id, text,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
-        |  FROM documents),
+        |  FROM corpus),
         |s AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.5 +
         |  (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)) * 0.5 AS q
