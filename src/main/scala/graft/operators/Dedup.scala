@@ -265,9 +265,10 @@ object Dedup {
     * labeling. Each round is one shuffle join + one min-aggregate, both
     * key-partitioned — no driver-side graph, no global sort; the per-round
     * driver action is a single changed-count. (For adversarial
-    * long-chain graphs the known upgrade is the large-star/small-star
+    * long-chain graphs the upgrade is the large-star/small-star
     * alternation, which converges in O(log n) rounds with the same
-    * join+min building blocks.)
+    * join+min building blocks — implemented as
+    * [[connectedComponentsStar]].)
     *
     * Input: one row per undirected edge (either orientation, dups fine).
     * Output: (id, component) for every node appearing in an edge —
@@ -303,6 +304,83 @@ object Dedup {
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
     labels
+  }
+
+  /** Connected components via alternating large-star / small-star — the
+    * O(log n)-round algorithm (public MapReduce-CC literature) that
+    * [[connectedComponents]]'s scaladoc names as the upgrade for
+    * adversarial long-chain graphs, where plain min-label propagation
+    * needs O(diameter) rounds.
+    *
+    * Each round is two join+aggregate steps over the edge list:
+    *  - large-star: every node links its strictly-LARGER neighbors to the
+    *    minimum of its neighborhood (incl. itself) — doubles the reach of
+    *    small labels along chains;
+    *  - small-star: every node links its smaller-or-equal neighbors (and
+    *    itself) to that minimum — flattens local structure into stars.
+    * Convergence = edge set stable (checked with a count + order-free
+    * xxhash64 checksum, two tiny aggregates per round); the converged set
+    * is exactly {(member, min(component)) : member != min}. Same
+    * localCheckpoint-per-round lineage discipline as the propagation
+    * variant.
+    *
+    * Output matches [[connectedComponents]]: (id, component) for every
+    * node with at least one edge, component = min member id. */
+  def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
+                              maxIter: Int = 50): DataFrame = {
+    val spark = edges.sparkSession
+    import org.apache.spark.storage.StorageLevel
+
+    def checksum(e: DataFrame): (Long, Long) = {
+      // bit_xor: order-free AND overflow-free (sum of hashes trips the
+      // ANSI long-overflow check); edges are distinct so no XOR cancel
+      val r = e.agg(count(lit(1)), bit_xor(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val nbrs = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = nbrs.groupBy(col("u"))
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      nbrs.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // input edges point downward (u > v) after largeStar
+      val mins = e.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val relink = e.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+      val self = mins.select(col("u"), col("m").as("v"))
+      relink.union(self)
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var sig = checksum(e)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val next = checksum(e)
+      converged = next == sig
+      sig = next
+      iter += 1
+    }
+    require(converged, s"connectedComponentsStar did not converge in $maxIter rounds")
+    // converged stars: (member, min); add the centers labeling themselves
+    e.select(col("u").as("id"), col("v").as("component"))
+      .union(e.select(col("v").as("id"), col("v").as("component")).distinct())
+      .distinct()
   }
 
   /** One-call corpus dedup: keep exactly one document per near-dup group.

@@ -142,6 +142,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("connectedComponentsStar matches union-find on random graphs and long chains") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(47)
+    val cases = Seq(
+      Seq.fill(45)((rng.nextInt(60).toLong, rng.nextInt(60).toLong))
+        .filter { case (a, b) => a != b },                       // random
+      (1L until 30L).map(i => (i, i + 1)),                       // long chain
+      Seq((5L, 9L), (9L, 5L), (5L, 9L), (2L, 1L))) // dups + both orientations
+    for ((edges, ci) <- cases.zipWithIndex) {
+      val n = (edges.flatMap(e => Seq(e._1, e._2)).max + 1).toInt
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(id => id -> find(id.toInt).toLong).toMap
+      val got = Dedup.connectedComponentsStar(edges.toDF("id_a", "id_b"), "id_a", "id_b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"case $ci mismatch")
+      // and the two CC implementations agree
+      val prop = Dedup.connectedComponents(edges.toDF("id_a", "id_b"), "id_a", "id_b", 64)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == prop, s"case $ci: star vs propagation mismatch")
+    }
+  }
+
   test("dedupCorpus keeps exactly one canonical doc per dup group") {
     val sp = spark
     import sp.implicits._
