@@ -123,6 +123,20 @@ object Embeddings extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // -- same labeling via the large-star/small-star O(log n) algorithm —
+    //    the adversarial-graph scale path gets its own driver-checked row
+    //    against the identical recursive-CTE oracle.
+    "dedup_components_star" -> ((s, dir) => {
+      val pairs = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val comps = graft.operators.Dedup.connectedComponentsStar(pairs, "id_a", "id_b")
+      Tables(s, dir, "embeddings").select(col("vec_id"))
+        .join(comps, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- ANN via IVF: spherical-k-means cells + multi-probe assignment +
     //    exact verify. k=8 cells, 3 probes, 3 Lloyd iterations — measured
     //    recall 0.94–0.97 across seeds at sf0.01/sf0.1. Approximate
@@ -250,6 +264,29 @@ object Embeddings extends QueryPack {
         |FROM q ORDER BY vec_id""".stripMargin,
 
     "dedup_components" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |         / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM ed
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.id)
+        |SELECT emb.vec_id,
+        |  COALESCE(c.component, emb.vec_id) AS component
+        |FROM embeddings emb
+        |LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+        |  ON emb.vec_id = c.id
+        |ORDER BY emb.vec_id""".stripMargin,
+
+    "dedup_components_star" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
