@@ -204,6 +204,25 @@ object Text extends QueryPack {
         .limit(20)
     }),
 
+    // -- decontamination: flag training documents sharing any word 3-gram
+    //    with a held-out eval set (every 50th doc) — the train-vs-eval
+    //    overlap check run before any release. Shape at 100 TB: the eval
+    //    shingle set is tiny → broadcast to the training scan; the join
+    //    ships (shingle, doc_id) only; per-doc counts are a partial+final
+    //    agg. 3-grams on this corpus flag ~half the training docs
+    //    (2-grams saturate — measured before choosing n).
+    "text_decontaminate" -> ((s, dir) => {
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wordShingles(tokens(col("text")), 3)).as("s"))
+      val evalSet = sh.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .join(broadcast(evalSet), "s")
+        .groupBy(col("doc_id"))
+        .agg(count_distinct(col("s")).as("n_shared"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- exact dedup: hash-groupBy on the normalized body; keeper = min id
     "dedup_exact" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -268,6 +287,21 @@ object Text extends QueryPack {
         |SELECT CAST(FLOOR(q * 10) AS BIGINT) AS q_decile,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "text_decontaminate" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |         ELSE [] END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT sh.doc_id, CAST(count(DISTINCT sh.s) AS BIGINT) AS n_shared
+        |FROM sh JOIN ev USING (s)
+        |WHERE sh.doc_id % 50 <> 0
+        |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (
