@@ -74,6 +74,10 @@ final class HttpSchemaRegistry(baseUrl: String, timeoutMs: Long = 10000L)
         val resp = send(HttpRequest.newBuilder(uri(s"/subjects/$subject/versions"))
           .header("Content-Type", "application/vnd.schemaregistry.v1+json")
           .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(payload)))
+          // per-request timeout like the GET path — without it only the
+          // connect timeout applies and a hung registry blocks forever
+          // (the reference client is hard-capped at 10 s)
+          .timeout(Duration.ofMillis(timeoutMs))
           .build())
         if (resp.statusCode() >= 400)
           throw new RuntimeException(

@@ -147,13 +147,24 @@ object Dedup {
   }
 
   /** Exact Jaccard pairs with DATA-DRIVEN strategy selection (round-2 fix:
-    * the bitmap-vs-inverted-index choice was manual). The vocabulary is
-    * measured with a plain distinct-count FIRST, and only the chosen path
-    * builds its structures: the bitmap path (V dense bits per document is
-    * a sane memory bound, default 1 << 18 = 32 KiB/doc) constructs the
-    * sharded rank dictionary; the inverted-index path never ranks or pins
-    * a dictionary at all — on an unbounded vocabulary that ranking is
+    * the bitmap-vs-inverted-index choice was manual). The vocabulary and
+    * the document count are measured FIRST (two cheap actions over the
+    * persisted shingle rows), and only the chosen path builds its
+    * structures: the bitmap path (V dense bits per document is a sane
+    * memory bound, default 1 << 18 = 32 KiB/doc) constructs the sharded
+    * rank dictionary; the inverted-index path never ranks or pins a
+    * dictionary at all — on an unbounded vocabulary that ranking is
     * exactly the work worth skipping.
+    *
+    * The bitmap path's pair loop is O(n²) in DOCUMENT count regardless of
+    * vocabulary (round-4 fix: the gate previously looked at vocabulary
+    * alone, so a small-vocab billion-doc corpus — dedup'd boilerplate —
+    * would have picked the cartesian loop). Both conditions must hold:
+    * `vocab <= maxBitmapVocab` AND `nDocs <= maxBruteDocs` (default
+    * 1 << 16 ⇒ ≲ 2.1e9 codegen'd popcount pairs, minutes on one executor
+    * core-set, bounded). Above either limit the inverted index is used;
+    * at real 100 TB corpus sizes neither exact path is the tool — run an
+    * LSH prefilter ([[minHashNearDups]]) and verify the candidates.
     *
     * Persist note: the shingle rows (and, on the bitmap path, the
     * dictionary) stay persisted while the returned lazy result is
@@ -162,11 +173,13 @@ object Dedup {
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int, threshold: Double,
-                   maxBitmapVocab: Long = 1L << 18): DataFrame = {
+                   maxBitmapVocab: Long = 1L << 18,
+                   maxBruteDocs: Long = 1L << 16): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = sh.select(col("sh")).distinct().count()
-    if (vocab <= maxBitmapVocab) {
+    val nDocs = sh.select(col("id")).distinct().count()
+    if (vocab <= maxBitmapVocab && nDocs <= maxBruteDocs) {
       val (dict, v) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
       jaccardBitmapFrom(sh, dict, v.toInt, threshold)
     } else jaccardInvertedFrom(sh, threshold)
@@ -271,11 +284,16 @@ object Dedup {
     * [[connectedComponentsStar]].)
     *
     * Input: one row per undirected edge (either orientation, dups fine).
-    * Output: (id, component) for every node appearing in an edge —
+    * Self-loops are ignored — they connect nothing, so a node whose only
+    * edge is (x, x) is treated as isolated and does NOT appear in the
+    * output (identical to [[connectedComponentsStar]]; round-4 fix — the
+    * two variants previously diverged on self-loop-only nodes).
+    * Output: (id, component) for every node appearing in a real edge —
     * callers left-join isolated nodes back with coalesce(component, id). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIter: Int = 20): DataFrame = {
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst"))
     // localCheckpoint (eager) after each round: iterative plans otherwise
     // accumulate lineage — by round ~10 the logical plan is exponentially
     // nested and planning itself OOMs. Truncating lineage per round keeps

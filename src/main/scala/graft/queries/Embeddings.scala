@@ -77,13 +77,29 @@ object Embeddings extends QueryPack {
     // -- ANN via multi-band random-hyperplane LSH: banded bucket join +
     //    exact verify. r=4 planes/band × 24 bands → expected recall ≈ 0.96
     //    at sim 0.3 on isotropic data (see Similarity scaladoc).
-    //    Approximate (bucketing may miss neighbors) → rows-only check; the
-    //    recall gate below is the oracle-checked companion.
+    //    SELF-VERIFYING (round-4: was rows-only): emits the contract that
+    //    makes the approximation auditable —
+    //      n_true    — exact brute-force pair count (DuckDB recomputes);
+    //      subset_ok — every LSH pair is an exact pair (candidates are
+    //                  verified with the identical cosine + decimal
+    //                  semantics, so an except against brute-force must
+    //                  come back empty);
+    //      recall_ok — LSH found >= 90% of the true pairs;
+    //      nonempty  — the bucketing produced pairs at all.
     "sim_ann_lsh" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.lshNearDupPairs(emb, "vec_id", "embedding",
+      val brute = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val lsh = Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding",
           dim = 64, rowsPerBand = 4, bands = 24, seed = 42, simThreshold = 0.3)
-        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      brute.agg(count(lit(1)).as("n_true"))
+        .crossJoin(lsh.except(brute).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(lsh.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_found") >= col("n_true") * 0.9).as("recall_ok"),
+          (col("n_found") > 0).as("nonempty"))
     }),
 
     // -- int8 quantization round trip: per-vector scale, codes, and max
@@ -145,11 +161,23 @@ object Embeddings extends QueryPack {
     //    isotropic synthetic data cells prune weakly (see Similarity
     //    scaladoc) — IVF is the scale path for *clustered* real corpora,
     //    and the unit suite demonstrates strong pruning on clustered data.
+    //    SELF-VERIFYING (round-4: was rows-only): same contract shape as
+    //    sim_ann_lsh — exact pair count anchored by DuckDB, subset via
+    //    except, recall >= 0.9, nonempty.
     "sim_ann_ivf" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+      val brute = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      val ivf = Similarity.ivfNearDupPairs(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding",
           k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)
-        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      brute.agg(count(lit(1)).as("n_true"))
+        .crossJoin(ivf.except(brute).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(ivf.agg(count(lit(1)).as("n_found")))
+        .select(col("n_true"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_found") >= col("n_true") * 0.9).as("recall_ok"),
+          (col("n_found") > 0).as("nonempty"))
     }),
 
     // -- IVF recall gate (oracle-checked), same contract as sim_ann_recall:
@@ -169,26 +197,55 @@ object Embeddings extends QueryPack {
     // -- IVF top-k search for one query vector (vec 0): probe the 3
     //    nearest of 8 cells with 2-way corpus assignment (IVF replication
     //    — boundary neighbors are indexed under both nearby cells), rank
-    //    candidates only. Rows-only (approximate); the overlap gate below
-    //    is the oracle-checked companion.
+    //    candidates only. SELF-VERIFYING (round-4: was rows-only):
+    //      n_results     — result-set size; DuckDB recomputes the expected
+    //                      least(k, corpus size);
+    //      overlap_ok    — >= 5 of the IVF top-10 are in the exact top-10
+    //                      (measured 8-10 across scales and seeds);
+    //      sims_exact_ok — every returned (vec_id, sim) carries the true
+    //                      cosine (ranking is approximate, the reported
+    //                      similarity is not), asserted against the
+    //                      brute-force computation for those ids.
     "sim_ann_ivf_topk" -> ((s, dir) => {
       val emb = Tables(s, dir, "embeddings")
       val qvec = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).collect().head.getSeq[Double](0)
       val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
         k = 8, lloydIters = 3, seed = 42)
-      Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
+      val topk = Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
         k = 10, cents, nprobe = 3, assignReplicas = 2)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val exact = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosineSim(col("embedding"), col("qv"))
+            .cast(DecimalType(9, 4)).cast("double").as("sim_x"))
+      val brute10 = queries("q23_cosine_topk")(s, dir).select(col("vec_id"))
+      topk.agg(count(lit(1)).as("n_results"))
+        .crossJoin(topk.select(col("vec_id")).intersect(brute10)
+          .agg(count(lit(1)).as("n_overlap")))
+        .crossJoin(topk.join(exact, "vec_id")
+          .filter(col("sim") =!= col("sim_x")).agg(count(lit(1)).as("n_sim_bad")))
+        .select(col("n_results"),
+          (col("n_overlap") >= 5).as("overlap_ok"),
+          (col("n_sim_bad") === 0).as("sims_exact_ok"))
     }),
 
     // -- IVF top-k overlap gate: |ivf_top10 ∩ brute_top10| >= 5. Measured
     //    8-10 with 2-way assignment across sf0.001/sf0.01/sf0.1 and seeds
     //    (deterministic per dataset: seeded farthest-point init + fixed
     //    Lloyd count); the clustered-data unit test shows exact agreement.
-    //    Emits the contract, oracle asserts TRUE.
+    //    Emits the contract, oracle asserts TRUE. (Round 4: builds the
+    //    top-k itself — sim_ann_ivf_topk now returns its own contract row,
+    //    not the ranked ids.)
     "sim_ann_ivf_topk_check" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).collect().head.getSeq[Double](0)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, lloydIters = 3, seed = 42)
+      val ivf = Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
+        k = 10, cents, nprobe = 3, assignReplicas = 2).select(col("vec_id"))
       val brute = queries("q23_cosine_topk")(s, dir).select(col("vec_id"))
-      val ivf = queries("sim_ann_ivf_topk")(s, dir).select(col("vec_id"))
       ivf.intersect(brute).agg(count(lit(1)).as("n_overlap"))
         .select(lit(10L).as("k"), (col("n_overlap") >= 5).as("overlap_ok"))
     }),
@@ -245,6 +302,36 @@ object Embeddings extends QueryPack {
 
     "sim_ann_ivf_topk_check" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok",
+
+    // Self-verifying ANN contracts (see the queries): DuckDB recomputes the
+    // exact anchor (brute-force pair count / result-set size) and asserts
+    // the subset/recall/exact-sim booleans computed Spark-side.
+    "sim_ann_lsh" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT count(*) AS n_true, TRUE AS subset_ok, TRUE AS recall_ok,
+        |  TRUE AS nonempty
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
+
+    "sim_ann_ivf" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT count(*) AS n_true, TRUE AS subset_ok, TRUE AS recall_ok,
+        |  TRUE AS nonempty
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
+
+    "sim_ann_ivf_topk" ->
+      """SELECT CAST(least(10, count(*)) AS BIGINT) AS n_results,
+        |  TRUE AS overlap_ok, TRUE AS sims_exact_ok
+        |FROM embeddings""".stripMargin,
 
     "emb_quantize_int8" ->
       """WITH e AS (

@@ -56,24 +56,63 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
-    // -- MinHash+LSH near-dup candidates (approximate; rows-only).
+    // -- MinHash+LSH near-dup candidates, SELF-VERIFYING (round-4: was
+    //    rows-only; now the query emits its own oracle-checkable contract,
+    //    so a banding/signature regression turns THIS row red).
     //    128 hashes / 32 bands of r=4 (round-3 tightening: estimator
-    //    σ = sqrt(j(1-j)/k) halves twice vs 32 hashes, letting the gate
-    //    below drop from ±0.25 to ±0.15 with measured margin; banding
-    //    selectivity per band is unchanged at r=4)
+    //    σ = sqrt(j(1-j)/k) halves twice vs 32 hashes).
+    //    Contract columns:
+    //      n_exact_high  — exact count of pairs with 2-shingle Jaccard
+    //                      >= 0.8, recomputed independently by DuckDB;
+    //      high_sim_covered — every such pair appears among the LSH
+    //                      candidates (per-pair miss prob at j=0.8 is
+    //                      1-(1-(1-0.8^4)^32) ≈ 5e-8 — deterministic here
+    //                      because the hash seeds are fixed);
+    //      nonempty      — the banding produced candidates at all.
     "dedup_minhash_lsh" -> ((s, dir) => {
-      Dedup.minHashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+      val docs = Tables(s, dir, "documents")
+      val cand = Dedup.minHashNearDups(docs, "doc_id", "text",
           shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
-        .orderBy(col("id_a"), col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val exactHigh = Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 2, threshold = 0.8)
+        .select(col("id_a"), col("id_b"))
+      exactHigh.agg(count(lit(1)).as("n_exact_high"))
+        .crossJoin(exactHigh.except(cand).agg(count(lit(1)).as("n_missed")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .select(col("n_exact_high"),
+          (col("n_missed") === 0).as("high_sim_covered"),
+          (col("n_cand") > 0).as("nonempty"))
     }),
 
-    // -- SimHash near-dup pairs. maxDist=3 with 4-block banding is exact
-    //    by pigeonhole (round 1 called maxDist=16 against 4 blocks and
-    //    silently missed most pairs); rows-only here, exactness asserted
-    //    by dedup_simhash_check below.
+    // -- SimHash near-dup pairs, SELF-VERIFYING (round-4: was rows-only).
+    //    maxDist=3 with 4-block banding is exact by pigeonhole (round 1
+    //    called maxDist=16 against 4 blocks and silently missed most
+    //    pairs). Contract columns:
+    //      n_docs        — corpus size, recomputed by DuckDB (anchors the
+    //                      row to the real input);
+    //      pairs_eq_exact — banded candidate set equals the brute-force
+    //                      Hamming<=3 pair set EXACTLY, asserted by
+    //                      symmetric except-counts (stronger than the
+    //                      count equality dedup_simhash_check keeps);
+    //      nonempty      — the banding produced pairs at all (the corpus
+    //                      seeds near-dups, so an empty set is a bug).
     "dedup_simhash" -> ((s, dir) => {
-      Dedup.simHashNearDups(Tables(s, dir, "documents"), "doc_id", "text", maxDist = 3)
-        .orderBy(col("id_a"), col("id_b"))
+      val docs = Tables(s, dir, "documents")
+      val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3)
+        .select(col("id_a"), col("id_b"))
+      val sh = Dedup.simHash(docs, "doc_id", "text")
+      val brute = sh.toDF("id_a", "sh_a")
+        .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
+        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+        .select(col("id_a"), col("id_b"))
+      docs.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(brute.except(banded).agg(count(lit(1)).as("n_missing")))
+        .crossJoin(banded.except(brute).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(banded.agg(count(lit(1)).as("n_banded")))
+        .select(col("n_docs"),
+          (col("n_missing") === 0 && col("n_extra") === 0).as("pairs_eq_exact"),
+          (col("n_banded") > 0).as("nonempty"))
     }),
 
     // -- MinHash estimator-quality gate (oracle-checked): for every pair
@@ -133,6 +172,34 @@ object MultimodalPack extends QueryPack {
 
     "dedup_minhash_check" -> "SELECT TRUE AS estimator_ok",
 
+    // Self-verifying contract (see the query): DuckDB recomputes the exact
+    // count of Jaccard>=0.8 shingle pairs independently and asserts the
+    // coverage/nonempty booleans the Spark side computed.
+    "dedup_minhash_lsh" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_high,
+        |  TRUE AS high_sim_covered, TRUE AS nonempty
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8""".stripMargin,
+
+    // Self-verifying contract (see the query): DuckDB anchors the corpus
+    // size and asserts the exactness/nonempty booleans.
+    "dedup_simhash" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  TRUE AS pairs_eq_exact, TRUE AS nonempty
+        |FROM documents""".stripMargin,
+
     // The decode stub is integer-exact byte math over ASCII payloads, so
     // the oracle recomputes it: width=floor(sqrt(n)), height=n/width
     // (truncating), mean_e4 = sum(bytes)*10^4 / n (truncating).
@@ -148,7 +215,14 @@ object MultimodalPack extends QueryPack {
         |FROM s ORDER BY media_id""".stripMargin,
 
     // resize stub mirror: w/h from the decode geometry, nearest-neighbor
-    // index (y*h//8)*w + (x*w//8), all integer division
+    // index (y*h//8)*w + (x*w//8), all integer division.
+    // ASCII contract: this SQL indexes CHARACTERS (substr/ord) while the
+    // Spark side resizes UTF-8 BYTES — equivalent only because the
+    // synthetic documents corpus is pure ASCII (as is mm_decode_features'
+    // oracle above). A non-ASCII corpus would not silently pass: byte
+    // sums diverge and the hash check turns red; a byte-indexing oracle
+    // needs blob subscripting DuckDB does not expose through this SQL
+    // surface.
     "mm_resize" ->
       """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
         |g AS (SELECT doc_id, text, n,

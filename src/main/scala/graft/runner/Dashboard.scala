@@ -46,7 +46,7 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
     })
     // real-time push channel: SSE broadcast of the same status payload the
     // reference's WebSocket loop sends. Runs on the shared pool; ends when
-    // the client disconnects (write fails) or maxEvents is reached.
+    // the client disconnects (write fails) or the thread is interrupted.
     server.createContext("/api/stream", (ex: HttpExchange) => {
       ex.getResponseHeaders.set("Content-Type", "text/event-stream; charset=utf-8")
       ex.getResponseHeaders.set("Cache-Control", "no-cache")

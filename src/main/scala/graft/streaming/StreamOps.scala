@@ -31,10 +31,16 @@ object StreamOps {
     * no native side outputs and silently drops post-watermark rows inside
     * stateful operators.
     *
-    * Semantics mirror Spark's own `WatermarkTracker`: the watermark used
-    * for batch N is `max(eventTime seen through batch N-1) - delay`, so a
-    * row is "late" exactly when a downstream stateful operator would have
-    * dropped it. The tracker state lives on the driver (one Long — same
+    * The watermark value mirrors Spark's own `WatermarkTracker`: the
+    * watermark used for batch N is
+    * `max(eventTime seen through batch N-1) - delay`. The SPLIT rule is
+    * the Flink-style `ts < watermark` definition, which is conservative
+    * for windowed aggregations: Spark's stateful operators actually drop
+    * by state eviction (e.g. window END <= watermark), so a row with ts
+    * just below the watermark whose window is still open would have been
+    * kept by Spark but is dead-lettered here. For dedup/arbitrary-state
+    * operators keyed on the event itself the two rules coincide.
+    * The tracker state lives on the driver (one Long — same
     * scale posture as Spark's tracker itself); computing the batch max is
     * one tiny agg job per micro-batch over data that is already in the
     * executors' hands.

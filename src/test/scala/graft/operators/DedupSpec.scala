@@ -69,6 +69,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("jaccardPairs: small-vocab/many-doc corpus takes the inverted path, not the n² bitmap loop") {
+    // tiny vocabulary (well under any bitmap cutoff) but a doc count above
+    // maxBruteDocs — the round-4 guard must route this to the inverted
+    // index even though the vocabulary alone would pick bitmaps
+    val sp = spark
+    import sp.implicits._
+    val boiler = (0 until 60).map { i =>
+      (i.toLong, s"alpha beta gamma delta w${i % 3} epsilon zeta")
+    }.toDF("doc_id", "text")
+
+    def planOf(df: DataFrame) = df.queryExecution.executedPlan.toString
+
+    val guarded = Dedup.jaccardPairs(boiler, "doc_id", "text", 2, 0.2, maxBruteDocs = 10L)
+    assert(!planOf(guarded).toLowerCase.contains("bit_and_count"),
+      "doc-count guard must force the inverted-index path")
+    val unguarded = Dedup.jaccardPairs(boiler, "doc_id", "text", 2, 0.2)
+    assert(planOf(unguarded).toLowerCase.contains("bit_and_count"),
+      "small corpus under both limits keeps the bitmap path")
+    // both paths agree on the result set
+    val a = guarded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = unguarded.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+  }
+
   test("simHashNearDups banding equals brute-force hamming filter") {
     val sh = Dedup.simHash(docs, "doc_id", "text")
       .collect().map(r => r.getLong(0) -> r.getLong(1))
@@ -113,6 +137,20 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L,
       20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L)
     assert(got == expect)
+  }
+
+  test("self-loop-only nodes are ignored identically by both components variants") {
+    val sp = spark
+    import sp.implicits._
+    // node 3's only edge is a self-loop; both variants must drop it (the
+    // caller's left-join + coalesce labels it with its own id)
+    val edges = Seq((1L, 2L), (3L, 3L), (2L, 2L)).toDF("id_a", "id_b")
+    val prop = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.connectedComponentsStar(edges, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == Map(1L -> 1L, 2L -> 1L))
+    assert(star == prop)
   }
 
   test("connectedComponents matches a local union-find on random graphs") {
