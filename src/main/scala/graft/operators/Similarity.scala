@@ -267,11 +267,20 @@ object Similarity {
     // cell boundary (overlap@10 on the isotropic test data: 5-9 at R=1 vs
     // 8-10 at R=2 across scales and seeds). R=1 keeps the single-cell
     // partition-pruning layout.
+    // A materialized `cell` column (the partitionBy(cell) layout written
+    // by graft.catalog.Layout.ivfPartition with the SAME centroid matrix)
+    // is trusted as the top-1 assignment: filtering on the partition
+    // column — not on a recomputed expression over the embedding — is
+    // what turns the probe into PARTITION PRUNING, so the scan opens only
+    // nprobe/k of the corpus directories (LayoutSpec plan-asserts this).
     val candidates =
-      if (assignReplicas <= 1)
-        df.select(col(idCol), col(embCol).as("emb"),
+      if (assignReplicas <= 1) {
+        val withCell =
+          if (df.columns.contains("cell")) df.select(col(idCol), col(embCol).as("emb"), col("cell"))
+          else df.select(col(idCol), col(embCol).as("emb"),
             element_at(ivfAssign(col(embCol), centroids, 1), 1).as("cell"))
-          .filter(col("cell").isin(probed: _*))
+        withCell.filter(col("cell").isin(probed: _*))
+      }
       else
         df.select(col(idCol), col(embCol).as("emb"),
             ivfAssign(col(embCol), centroids, assignReplicas).as("cells"))

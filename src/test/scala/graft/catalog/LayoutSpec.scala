@@ -92,4 +92,38 @@ class LayoutSpec extends SparkSpec {
       assert(allFiles >= 4, "one directory per cell")
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
+
+  test("topKForVectorIvf against the cell-partitioned layout prunes to nprobe partitions") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val k = 4
+    val nprobe = 2
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = k, lloydIters = 2, seed = 42)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).collect().head.getSeq[Double](0)
+    try {
+      Layout.ivfPartition(spark, dir, cents, "embeddings_ivf")
+      val topk = Similarity.topKForVectorIvf(spark.table("embeddings_ivf"),
+        "vec_id", "embedding", qvec, k = 10, cents, nprobe = nprobe,
+        assignReplicas = 1)
+      val scan = topk.queryExecution.executedPlan.collectLeaves()
+        .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
+        .getOrElse(fail(s"expected a file scan:\n${topk.queryExecution.executedPlan}"))
+      // the probe filter must land on the PARTITION column, not a
+      // recomputed expression over the embedding
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        s"probe must filter the partition column:\n${topk.queryExecution.executedPlan}")
+      // ...and the scan must open exactly nprobe of the k cell directories
+      assert(scan.selectedPartitions.partitionCount == nprobe,
+        s"expected $nprobe pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+      // correctness: identical result to the unpartitioned probe
+      val expect = Similarity.topKForVectorIvf(emb, "vec_id", "embedding",
+          qvec, k = 10, cents, nprobe = nprobe, assignReplicas = 1)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val got = topk.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(got == expect)
+    } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
+  }
 }
