@@ -44,13 +44,20 @@ object Bench {
         // full pipeline, not a warm cache
         spark.catalog.clearCache()
         dt
-      }
-      name -> times.min
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    def obj(f: Seq[Double] => Double): String =
+      results.map { case (k, ts) => "\"" + k + "\":" + f(ts) }
+        .mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    // headline numbers stay min-of-N (measures the code, not the noise);
+    // median + spread (max-min) expose per-query run-to-run variance so a
+    // one-off box-contention spike is distinguishable from a regression
+    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""reps":$reps,"queries":${obj(_.min)},""" +
+      s""""median":${obj(ts => ts(ts.length / 2))},""" +
+      s""""spread":${obj(ts => ts.max - ts.min)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
