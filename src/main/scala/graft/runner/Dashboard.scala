@@ -12,11 +12,12 @@ import com.sun.net.httpserver.{HttpExchange, HttpServer}
   *
   * Served from the listener-fed [[MetricsCollector]] — no polling loops:
   * Structured Streaming pushes progress into the collector, and this
-  * server renders whatever is current. The push channel is Server-Sent
-  * Events (`/api/stream`) rather than the reference's WebSocket — jdk
-  * httpserver has no WS upgrade support, and SSE carries the same
-  * broadcast-loop payload (server.go:broadcastLoop) over plain HTTP with
-  * the standard EventSource client API.
+  * server renders whatever is current. Live push ships on BOTH channels:
+  * Server-Sent Events (`/api/stream`, plain HTTP + EventSource client
+  * API) and a real WebSocket ([[WsPush]], RFC 6455 text frames) on its
+  * own port — jdk httpserver has no WS upgrade path, so the WS listener
+  * runs beside it and `/api/status` advertises `ws_port`. Both carry the
+  * reference's broadcast-loop payload (server.go:broadcastLoop).
   */
 final class Dashboard(metrics: MetricsCollector, port: Int = 0,
                       pushIntervalMs: Long = 1000L) {
@@ -24,15 +25,26 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
   @volatile private var statusText = "idle"
 
+  // the reference's /ws push channel (server.go:294-305): jdk httpserver
+  // has no upgrade path, so the WebSocket listener runs beside it on its
+  // own port (advertised in /api/status as ws_port), pushing the same
+  // status payload the SSE stream carries
+  private val ws = new WsPush(() => statusPayload, 0, pushIntervalMs)
+
   def setStatus(s: String): Unit = statusText = s
 
   /** Actual bound port (use port=0 to pick a free one). */
   def boundPort: Int = server.getAddress.getPort
 
+  /** Bound port of the WebSocket push listener (ws://127.0.0.1:wsPort/ws). */
+  def wsPort: Int = ws.boundPort
+
+  private def statusPayload: String =
+    s"""{"status": "${esc(statusText)}", "queries": ${metrics.snapshot.size}, "total_input_rows": ${metrics.totalInputRows}, "ws_port": ${ws.boundPort}}"""
+
   def start(): this.type = {
-    server.createContext("/api/status", json { _ =>
-      s"""{"status": "${esc(statusText)}", "queries": ${metrics.snapshot.size}, "total_input_rows": ${metrics.totalInputRows}}"""
-    })
+    ws.start()
+    server.createContext("/api/status", json(_ => statusPayload))
     server.createContext("/api/metrics", json(_ => metricsJson))
     server.createContext("/api/errors", json { _ =>
       metrics.snapshot.flatMap(q => q.error.map(e =>
@@ -55,9 +67,7 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
       try {
         var alive = true
         while (alive) {
-          val payload =
-            s"""{"status": "${esc(statusText)}", "queries": ${metrics.snapshot.size}, "total_input_rows": ${metrics.totalInputRows}}"""
-          os.write(s"data: $payload\n\n".getBytes(StandardCharsets.UTF_8))
+          os.write(s"data: $statusPayload\n\n".getBytes(StandardCharsets.UTF_8))
           os.flush()
           Thread.sleep(pushIntervalMs)
           alive = !Thread.currentThread().isInterrupted
@@ -124,7 +134,7 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
       s"""{"name": "${esc(q.name)}", "total_input_rows": ${q.totalInputRows}, "batches": ${q.batches}, "last_rows_per_second": ${q.lastRowsPerSecond}, "last_batch_ms": ${q.lastBatchMs}, "terminated": ${q.terminated}}"""
     }.mkString("[", ",", "]")
 
-  def stop(): Unit = server.stop(0)
+  def stop(): Unit = { ws.stop(); server.stop(0) }
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")

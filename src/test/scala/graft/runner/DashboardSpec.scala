@@ -63,4 +63,63 @@ class DashboardSpec extends SparkSpec {
       metrics.unregister(sp)
     }
   }
+
+  test("WebSocket push channel completes the RFC 6455 handshake and streams status frames") {
+    val metrics = new MetricsCollector()
+    val dash = new Dashboard(metrics, pushIntervalMs = 50L).start()
+    try {
+      dash.setStatus("ws-live")
+      // /api/status advertises the WS port
+      assert(get(dash.boundPort, "/api/status")
+        .contains(s""""ws_port": ${dash.wsPort}"""))
+      // drive it with the JDK's own RFC 6455 client — handshake + frame
+      // decoding are exercised by a real implementation, not a mock
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          received.add(data.toString)
+          ws.request(1)
+          null
+        }
+      }
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${dash.wsPort}/ws"), listener)
+        .get(5, java.util.concurrent.TimeUnit.SECONDS)
+      try {
+        val first = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        val second = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(first != null && second != null, "expected two pushed frames")
+        for (frame <- Seq(first, second)) {
+          assert(frame.contains("\"status\": \"ws-live\""))
+          assert(frame.contains("\"ws_port\""))
+        }
+      } finally ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally dash.stop()
+  }
+
+  test("WsPush encodes 16-bit-length frames (payloads over 125 bytes)") {
+    val big = "x" * 300
+    val push = new WsPush(() => big, pushIntervalMs = 20L).start()
+    try {
+      val received = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val listener = new java.net.http.WebSocket.Listener {
+        private val buf = new StringBuilder
+        override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+                            last: Boolean): java.util.concurrent.CompletionStage[_] = {
+          buf.append(data)
+          if (last) { received.add(buf.toString); buf.clear() }
+          ws.request(1)
+          null
+        }
+      }
+      val ws = HttpClient.newHttpClient().newWebSocketBuilder()
+        .buildAsync(URI.create(s"ws://127.0.0.1:${push.boundPort}/ws"), listener)
+        .get(5, java.util.concurrent.TimeUnit.SECONDS)
+      try {
+        val frame = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(frame == big, "300-byte payload must round-trip intact")
+      } finally ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally push.stop()
+  }
 }
