@@ -204,6 +204,35 @@ object Text extends QueryPack {
         .limit(20)
     }),
 
+    // -- BM25 document-term ranking (k1=1.2, b=0.75) with the SAME
+    //    rational smoothed idf as text_tfidf ((N+1)/(df+1), log-free —
+    //    see the tfidf note on why ln() is contractually unsafe across
+    //    engines). All remaining arithmetic is plain IEEE double with an
+    //    expression tree mirrored token-for-token in the oracle, so both
+    //    engines execute the identical op sequence on identical inputs.
+    //    avgdl is derived the same way on both sides (exact integer token
+    //    total → double → one division). Plan shape: tf + dl are hash
+    //    aggs, df joins back BROADCAST, doc-length joins on doc_id,
+    //    top-20 is TakeOrderedAndProject.
+    "text_bm25" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val n = docs.count()
+      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+      val avgdl = dl.agg(sum(col("dl"))).head().getLong(0).toDouble / n
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      tf.join(broadcast(df), "term").join(dl, "doc_id")
+        .select(col("doc_id"), col("term"),
+          ((col("tf") * lit(2.2) /
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl)))))
+            * (lit(n + 1.0) / (col("df") + lit(1.0))))
+            .cast(DecimalType(18, 4)).cast("double").as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id"), col("term"))
+        .limit(20)
+    }),
+
     // -- decontamination: flag training documents sharing any word 3-gram
     //    with a held-out eval set (every 50th doc) — the train-vs-eval
     //    overlap check run before any release. Shape at 100 TB: the eval
@@ -314,6 +343,25 @@ object Text extends QueryPack {
         |  CAST(CAST(tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS DECIMAL(18,4)) AS DOUBLE) AS tfidf
         |FROM tf JOIN df USING (term), n
         |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
+
+    // expression tree mirrors the Spark side token for token (see query
+    // note); avgdl derived identically: exact integer token total → DOUBLE
+    // → one division by the BIGINT corpus count
+    "text_bm25" ->
+      """WITH terms AS (
+        |  SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS term FROM documents),
+        |t AS (SELECT doc_id, term FROM terms WHERE term <> ''),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |dl AS (SELECT doc_id, COUNT(*) AS dl FROM t GROUP BY doc_id),
+        |a AS (SELECT CAST(SUM(dl) AS DOUBLE) / (SELECT n FROM n) AS avgdl FROM dl),
+        |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
+        |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)
+        |SELECT tf.doc_id, tf.term,
+        |  CAST(CAST((tf.tf * 2.2 /
+        |      (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / a.avgdl))))
+        |    * ((n.n + 1.0) / (df.df + 1.0)) AS DECIMAL(18,4)) AS DOUBLE) AS bm25
+        |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, a
+        |ORDER BY bm25 DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
 
     "q40_pack_chunks" ->
       """WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
