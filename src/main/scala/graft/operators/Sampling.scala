@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic, engine-portable sampling and splitting for training
+  * corpora.
+  *
+  * `df.sample()` / `randomSplit()` draw from per-partition XORShift
+  * streams: the subset changes with partitioning, Spark version and
+  * engine — unacceptable for a training corpus that must be reproducible
+  * (and auditable) across reruns and across tools. The stable variants
+  * here key every decision on `md5(id)` alone:
+  *
+  *  - same row → same decision, forever, on any engine with md5;
+  *  - pure per-row map — no shuffle, no state, trivially scales to 100 TB
+  *    (the filter pushes into the scan's data filters);
+  *  - stratification is just a different id string (prepend the stratum).
+  *
+  * Bucket mechanics: the first 4 lowercase-hex chars of md5 are compared
+  * lexicographically against a boundary string — fixed-length lowercase
+  * hex orders identically to its numeric value, so `bucket < "cccc"`
+  * IS `value < 0xcccc` and any SQL engine reproduces it with md5+substr
+  * alone (no hex-to-int conversion needed).
+  */
+object Sampling {
+
+  /** 4-hex-char bucket in [0, 0x10000) for a row id. */
+  private def bucket(id: Column): Column =
+    substring(md5(id.cast("string")), 1, 4)
+
+  /** Hex boundary for a cumulative weight: floor(w * 0x10000) as 4-hex.
+    * w >= 1 maps to "g", which sorts after every 4-hex bucket ('g' > 'f')
+    * — the naive 5-char "10000" would sort BEFORE "2000" and exclude
+    * nearly everything. */
+  private[operators] def boundary(w: Double): String =
+    if (w >= 1.0) "g" else f"${math.floor(w * 0x10000).toLong}%04x"
+
+  /** Keep ~`fraction` of rows, decided by id hash — stable under
+    * repartitioning, reruns and engines. */
+  def stableSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, s"fraction $fraction out of [0,1]")
+    df.filter(bucket(col(idCol)) < lit(boundary(fraction)))
+  }
+
+  /** Assign every row a split label by id hash; `weights` must sum to 1
+    * (e.g. train/val/test 0.8/0.1/0.1). Splits are disjoint, exhaustive
+    * and stable. Returns df plus a `split` column. */
+  def stableSplit(df: DataFrame, idCol: String,
+                  weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
+      s"weights must sum to 1: $weights")
+    val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+    val b = bucket(col(idCol))
+    // fold from the last split upward: else-chain of boundary compares
+    val expr = weights.zip(cum).dropRight(1).foldRight(
+      lit(weights.last._1): Column) { case (((name, _), c), rest) =>
+      when(b < lit(boundary(c)), name).otherwise(rest)
+    }
+    df.withColumn("split", expr)
+  }
+}

@@ -233,6 +233,28 @@ object Text extends QueryPack {
         .limit(20)
     }),
 
+    // -- stable train/val/test split (graft.operators.Sampling): every
+    //    assignment is a pure function of md5(doc_id) — reproducible
+    //    across reruns, partitionings and engines, which df.randomSplit
+    //    is not. The oracle recomputes the identical hex-prefix bucketing
+    //    in DuckDB (fixed-length lowercase hex compares lexicographically
+    //    as its numeric value), making the split itself — not just its
+    //    sizes — cross-engine verified. Pure per-row map: no shuffle
+    //    before the summary agg.
+    "text_split_stable" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stableSplit(Tables(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"),
+          // membership-sensitive checksum both engines can compute: a
+          // single relabeled doc moves id_sum in two splits at once
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // -- decontamination: flag training documents sharing any word 3-gram
     //    with a held-out eval set (every 50th doc) — the train-vs-eval
     //    overlap check run before any release. Shape at 100 TB: the eval
@@ -343,6 +365,20 @@ object Text extends QueryPack {
         |  CAST(CAST(tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS DECIMAL(18,4)) AS DOUBLE) AS tfidf
         |FROM tf JOIN df USING (term), n
         |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
+
+    // identical hex-prefix bucketing: boundaries cccc = floor(0.8*0x10000),
+    // e666 = floor(0.9*0x10000); fixed-length lowercase hex compares
+    // lexicographically as its numeric value. SUM(BIGINT) is HUGEINT in
+    // DuckDB — cast back for the schema match.
+    "text_split_stable" ->
+      """WITH s AS (SELECT doc_id,
+        |  CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccc' THEN 'train'
+        |       WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666' THEN 'val'
+        |       ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
+        |  MAX(doc_id) AS max_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM s GROUP BY split ORDER BY split""".stripMargin,
 
     // expression tree mirrors the Spark side token for token (see query
     // note); avgdl derived identically: exact integer token total → DOUBLE

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val ids = {
+    val sp = spark
+    import sp.implicits._
+    (0L until 10000L).toDF("id")
+  }
+
+  test("stableSample keeps ~fraction of rows and is invariant under repartitioning") {
+    val n = Sampling.stableSample(ids, "id", 0.2).count()
+    assert(math.abs(n - 2000.0) < 200, s"got $n of expected ~2000")
+    val again = Sampling.stableSample(ids.repartition(13), "id", 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val first = Sampling.stableSample(ids, "id", 0.2)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == first, "sample must not depend on partitioning")
+    // nested property: a 10% sample is a subset of the 20% sample
+    val small = Sampling.stableSample(ids, "id", 0.1)
+      .collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(first.toSet), "smaller fraction must nest inside larger")
+  }
+
+  test("stableSplit is disjoint, exhaustive and close to the requested ratios") {
+    val split = Sampling.stableSplit(ids, "id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy(col("split")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 10000L, "every row gets exactly one split")
+    assert(math.abs(counts("train") - 8000.0) < 300, counts.toString)
+    assert(math.abs(counts("val") - 1000.0) < 150, counts.toString)
+    assert(math.abs(counts("test") - 1000.0) < 150, counts.toString)
+    // boundary sanity: split decisions reproduce from the md5 prefix alone
+    val manual = ids.select(col("id"),
+      substring(md5(col("id").cast("string")), 1, 4).as("b"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.getString(1) < Sampling.boundary(0.8)) "train"
+         else if (r.getString(1) < Sampling.boundary(0.9)) "val" else "test")).toMap
+    val got = split.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == manual)
+  }
+
+  test("boundary encodes cumulative weights as 4-hex lexicographic cutoffs") {
+    assert(Sampling.boundary(0.5) == "8000")
+    assert(Sampling.boundary(0.8) == "cccc")
+    // 1.0 boundary must sort after every 4-hex bucket so nothing is
+    // excluded (the naive 5-char "10000" sorts before "2000")
+    assert("ffff" < Sampling.boundary(1.0))
+    assert(Sampling.stableSample(ids, "id", 1.0).count() == 10000L)
+    assert(Sampling.stableSample(ids, "id", 0.0).count() == 0L)
+  }
+}
