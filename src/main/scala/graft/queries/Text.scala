@@ -233,6 +233,38 @@ object Text extends QueryPack {
         .limit(20)
     }),
 
+    // -- within-document repetition scoring (the Gopher-class quality
+    //    filter): fraction of NON-DISTINCT word 2-grams inside each doc —
+    //    boilerplate and template spam repeat internally long before they
+    //    collide across documents. Integer-exact ratio via the
+    //    scaled-integer pattern ((n-d)*10^4 / n, truncating division on
+    //    both engines), so the row hash-checks without float hazards.
+    //    Shape: one explode + two-level agg, no joins, no shuffle beyond
+    //    the per-doc groupBy.
+    "text_repetition" -> ((s, dir) => {
+      // NOT wordShingles: that expression dedupes (it feeds Jaccard SETS);
+      // repetition needs every occurrence. The token array is materialized
+      // in its own projection first so the higher-order transform refers
+      // to an attribute — inlining tokens(text) into the lambda would
+      // re-evaluate the split once per element (interpreted HOF).
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 2)," +
+            " i -> concat(element_at(t, i + 1), ' ', element_at(t, i + 2)))"))
+          .as("sh"))
+      sh.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count_distinct(col("sh")).as("n_distinct"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+          // `div`, not `/`: Column./ is always DOUBLE division, and
+          // floor()ing its result can flip on quotients that round up to
+          // an exact integer — div is true integral division
+          expr("(n_grams - n_distinct) * 10000 div n_grams").as("dup_ratio_e4"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- stable train/val/test split (graft.operators.Sampling): every
     //    assignment is a pure function of md5(doc_id) — reproducible
     //    across reruns, partitionings and engines, which df.randomSplit
@@ -365,6 +397,24 @@ object Text extends QueryPack {
         |  CAST(CAST(tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS DECIMAL(18,4)) AS DOUBLE) AS tfidf
         |FROM tf JOIN df USING (term), n
         |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
+
+    // same distinct-2-gram construction as the jaccard oracle; // is
+    // DuckDB's integral division (floor; operands non-negative, so it
+    // matches Spark's truncating div). Docs under 2 tokens have zero
+    // 2-grams and drop out of the grouping on both engines.
+    "text_repetition" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |  CAST(COUNT(DISTINCT sh) AS BIGINT) AS n_distinct,
+        |  (COUNT(*) - COUNT(DISTINCT sh)) * 10000 // COUNT(*) AS dup_ratio_e4
+        |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // identical hex-prefix bucketing: boundaries cccc = floor(0.8*0x10000),
     // e666 = floor(0.9*0x10000); fixed-length lowercase hex compares
