@@ -147,8 +147,8 @@ object Cli {
         case Some(v) => Left(s"invalid integer for --$flag: '$v'")
         case None => Right(dflt)
       }
-    def pickBool(flag: String, dflt: Boolean): Either[String, Boolean] =
-      flags.get(flag) match {
+    def pickBool(flag: String, yamlKey: String, dflt: Boolean): Either[String, Boolean] =
+      pick(flag, yamlKey) match {
         case Some("true") => Right(true)
         case Some("false") => Right(false)
         case Some(v) => Left(s"invalid boolean for --$flag: '$v'")
@@ -161,9 +161,9 @@ object Cli {
       timeout <- pickDuration("pipeline-timeout", "pipeline_timeout", 300000L)
       port <- pickInt("dashboard-port", "dashboard_port", 3000)
       plainPort <- pickInt("port", "port", port)
-      cleanup <- pickBool("cleanup", dflt = true)
-      report <- pickBool("generate-report", dflt = true)
-      expected <- flags.get("expected-messages") match {
+      cleanup <- pickBool("cleanup", "cleanup", dflt = true)
+      report <- pickBool("generate-report", "generate_report", dflt = true)
+      expected <- pick("expected-messages", "expected_messages") match {
         case Some(v) if v.forall(_.isDigit) && v.nonEmpty => Right(Some(v.toLong))
         case Some(v) => Left(s"invalid integer for --expected-messages: '$v'")
         case None => Right(None)
@@ -234,10 +234,17 @@ object Cli {
   private def dispatch(cfg: CliConfig): Unit = cfg.verb match {
     case "init" =>
       val dir = cfg.initDir.getOrElse(cfg.projectDir)
-      if (Files.exists(dir) && !cfg.force &&
-          Files.list(dir).iterator().hasNext) {
-        Console.err.println(s"$dir is not empty (use --force to overwrite)")
+      if (Files.exists(dir) && !Files.isDirectory(dir)) {
+        Console.err.println(s"$dir exists and is not a directory")
         sys.exit(1)
+      }
+      if (Files.isDirectory(dir) && !cfg.force) {
+        val listing = Files.list(dir)
+        val nonEmpty = try listing.iterator().hasNext finally listing.close()
+        if (nonEmpty) {
+          Console.err.println(s"$dir is not empty (use --force to overwrite)")
+          sys.exit(1)
+        }
       }
       Files.createDirectories(dir)
       cfg.inputCsv match {

@@ -251,7 +251,8 @@ object Similarity {
   def topKForVectorIvf(df: DataFrame, idCol: String, embCol: String,
                        queryVec: Seq[Double], k: Int,
                        centroids: Seq[Seq[Double]], nprobe: Int,
-                       assignReplicas: Int = 1): DataFrame = {
+                       assignReplicas: Int = 1,
+                       trustCellColumn: Boolean = false): DataFrame = {
     val qn = {
       val n = math.sqrt(queryVec.map(x => x * x).sum)
       if (n == 0) queryVec else queryVec.map(_ / n)
@@ -267,16 +268,22 @@ object Similarity {
     // cell boundary (overlap@10 on the isotropic test data: 5-9 at R=1 vs
     // 8-10 at R=2 across scales and seeds). R=1 keeps the single-cell
     // partition-pruning layout.
-    // A materialized `cell` column (the partitionBy(cell) layout written
-    // by graft.catalog.Layout.ivfPartition with the SAME centroid matrix)
-    // is trusted as the top-1 assignment: filtering on the partition
-    // column — not on a recomputed expression over the embedding — is
-    // what turns the probe into PARTITION PRUNING, so the scan opens only
-    // nprobe/k of the corpus directories (LayoutSpec plan-asserts this).
+    // trustCellColumn: the caller vouches that the DataFrame's `cell`
+    // column is the top-1 assignment under THIS centroid matrix (the
+    // partitionBy(cell) layout written by Layout.ivfPartition — centroids
+    // are version-pinned metadata of that layout). Filtering on the
+    // partition column — not on a recomputed expression over the
+    // embedding — is what turns the probe into PARTITION PRUNING, so the
+    // scan opens only nprobe/k of the corpus directories (LayoutSpec
+    // plan-asserts this). Opt-in, NOT inferred from a column named `cell`:
+    // probing a layout written from a different centroid matrix (or a
+    // coincidental user column) would silently return wrong candidates.
+    require(!trustCellColumn || df.columns.contains("cell"),
+      "trustCellColumn requires a `cell` column (see Layout.ivfPartition)")
     val candidates =
       if (assignReplicas <= 1) {
         val withCell =
-          if (df.columns.contains("cell")) df.select(col(idCol), col(embCol).as("emb"), col("cell"))
+          if (trustCellColumn) df.select(col(idCol), col(embCol).as("emb"), col("cell"))
           else df.select(col(idCol), col(embCol).as("emb"),
             element_at(ivfAssign(col(embCol), centroids, 1), 1).as("cell"))
         withCell.filter(col("cell").isin(probed: _*))

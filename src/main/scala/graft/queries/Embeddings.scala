@@ -87,12 +87,18 @@ object Embeddings extends QueryPack {
     //      recall_ok — LSH found >= 90% of the true pairs;
     //      nonempty  — the bucketing produced pairs at all.
     "sim_ann_lsh" -> ((s, dir) => {
+      // both sides feed two contract arms each (count + except): persist
+      // so the O(n²) brute join and the banding pipeline run once, not
+      // twice (storage reclaimed by clearCache/session end, same
+      // discipline as Dedup.jaccardPairs)
       val brute = queries("dedup_embedding_cosine")(s, dir)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lsh = Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
           "vec_id", "embedding",
           dim = 64, rowsPerBand = 4, bands = 24, seed = 42, simThreshold = 0.3)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       brute.agg(count(lit(1)).as("n_true"))
         .crossJoin(lsh.except(brute).agg(count(lit(1)).as("n_extra")))
         .crossJoin(lsh.agg(count(lit(1)).as("n_found")))
@@ -165,12 +171,15 @@ object Embeddings extends QueryPack {
     //    sim_ann_lsh — exact pair count anchored by DuckDB, subset via
     //    except, recall >= 0.9, nonempty.
     "sim_ann_ivf" -> ((s, dir) => {
+      // persist both sides — see sim_ann_lsh
       val brute = queries("dedup_embedding_cosine")(s, dir)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val ivf = Similarity.ivfNearDupPairs(Tables(s, dir, "embeddings"),
           "vec_id", "embedding",
           k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)
         .select(col("id_a"), col("id_b"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       brute.agg(count(lit(1)).as("n_true"))
         .crossJoin(ivf.except(brute).agg(count(lit(1)).as("n_extra")))
         .crossJoin(ivf.agg(count(lit(1)).as("n_found")))
@@ -198,8 +207,13 @@ object Embeddings extends QueryPack {
     //    nearest of 8 cells with 2-way corpus assignment (IVF replication
     //    — boundary neighbors are indexed under both nearby cells), rank
     //    candidates only. SELF-VERIFYING (round-4: was rows-only):
-    //      n_results     — result-set size; DuckDB recomputes the expected
-    //                      least(k, corpus size);
+    //      n_corpus      — corpus size, recomputed by DuckDB (anchors the
+    //                      row to the real input);
+    //      n_results_ok  — 5 <= |results| <= k: NOT pinned to exactly k,
+    //                      because probing nprobe of k cells can
+    //                      legitimately return fewer than k candidates on
+    //                      a small/clustered corpus (>= 5 is what the
+    //                      overlap gate needs to be meaningful);
     //      overlap_ok    — >= 5 of the IVF top-10 are in the exact top-10
     //                      (measured 8-10 across scales and seeds);
     //      sims_exact_ok — every returned (vec_id, sim) carries the true
@@ -220,12 +234,14 @@ object Embeddings extends QueryPack {
           cosineSim(col("embedding"), col("qv"))
             .cast(DecimalType(9, 4)).cast("double").as("sim_x"))
       val brute10 = queries("q23_cosine_topk")(s, dir).select(col("vec_id"))
-      topk.agg(count(lit(1)).as("n_results"))
+      emb.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(topk.agg(count(lit(1)).as("n_results")))
         .crossJoin(topk.select(col("vec_id")).intersect(brute10)
           .agg(count(lit(1)).as("n_overlap")))
         .crossJoin(topk.join(exact, "vec_id")
           .filter(col("sim") =!= col("sim_x")).agg(count(lit(1)).as("n_sim_bad")))
-        .select(col("n_results"),
+        .select(col("n_corpus"),
+          (col("n_results") >= 5 && col("n_results") <= 10).as("n_results_ok"),
           (col("n_overlap") >= 5).as("overlap_ok"),
           (col("n_sim_bad") === 0).as("sims_exact_ok"))
     }),
@@ -329,7 +345,7 @@ object Embeddings extends QueryPack {
         |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
 
     "sim_ann_ivf_topk" ->
-      """SELECT CAST(least(10, count(*)) AS BIGINT) AS n_results,
+      """SELECT count(*) AS n_corpus, TRUE AS n_results_ok,
         |  TRUE AS overlap_ok, TRUE AS sims_exact_ok
         |FROM embeddings""".stripMargin,
 

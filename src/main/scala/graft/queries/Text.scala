@@ -394,7 +394,8 @@ object Text extends QueryPack {
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)
         |SELECT tf.doc_id, tf.term,
-        |  CAST(CAST(tf.tf * ((n.n + 1.0) / (df.df + 1.0)) AS DECIMAL(18,4)) AS DOUBLE) AS tfidf
+        |  CAST(CAST(CAST(tf.tf AS DOUBLE) * ((CAST(n.n AS DOUBLE) + CAST(1.0 AS DOUBLE))
+        |    / (CAST(df.df AS DOUBLE) + CAST(1.0 AS DOUBLE))) AS DECIMAL(18,4)) AS DOUBLE) AS tfidf
         |FROM tf JOIN df USING (term), n
         |ORDER BY tfidf DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
 
@@ -432,7 +433,12 @@ object Text extends QueryPack {
 
     // expression tree mirrors the Spark side token for token (see query
     // note); avgdl derived identically: exact integer token total → DOUBLE
-    // → one division by the BIGINT corpus count
+    // → one division by the BIGINT corpus count. EVERY operand is cast to
+    // DOUBLE explicitly: DuckDB types bare numeric literals as DECIMAL and
+    // would evaluate `tf * 2.2` in exact decimal arithmetic — a different
+    // op sequence than Spark's IEEE doubles (measured: 18,924 of 116,231
+    // raw scores differ at sf0.1), the 1-ulp-flips-decimal-rounding class
+    // that made round 1's only red pair.
     "text_bm25" ->
       """WITH terms AS (
         |  SELECT doc_id, UNNEST(string_split_regex(text, '\s+')) AS term FROM documents),
@@ -443,9 +449,11 @@ object Text extends QueryPack {
         |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM t GROUP BY doc_id, term),
         |df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM t GROUP BY term)
         |SELECT tf.doc_id, tf.term,
-        |  CAST(CAST((tf.tf * 2.2 /
-        |      (tf.tf + 1.2 * (0.25 + 0.75 * (dl.dl / a.avgdl))))
-        |    * ((n.n + 1.0) / (df.df + 1.0)) AS DECIMAL(18,4)) AS DOUBLE) AS bm25
+        |  CAST(CAST((CAST(tf.tf AS DOUBLE) * CAST(2.2 AS DOUBLE) /
+        |      (CAST(tf.tf AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE)
+        |        + CAST(0.75 AS DOUBLE) * (CAST(dl.dl AS DOUBLE) / a.avgdl))))
+        |    * ((CAST(n.n AS DOUBLE) + CAST(1.0 AS DOUBLE)) / (CAST(df.df AS DOUBLE) + CAST(1.0 AS DOUBLE)))
+        |    AS DECIMAL(18,4)) AS DOUBLE) AS bm25
         |FROM tf JOIN df USING (term) JOIN dl USING (doc_id), n, a
         |ORDER BY bm25 DESC, tf.doc_id, tf.term LIMIT 20""".stripMargin,
 

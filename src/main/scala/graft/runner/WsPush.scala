@@ -1,6 +1,6 @@
 package graft.runner
 
-import java.io.{BufferedReader, InputStreamReader, OutputStream}
+import java.io.OutputStream
 import java.net.{ServerSocket, Socket, SocketException}
 import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
@@ -43,7 +43,13 @@ final class WsPush(payload: () => String, port: Int = 0,
           val t = new Thread(() => serve(sock), "graft-ws-conn")
           t.setDaemon(true)
           t.start()
-        } catch { case _: SocketException => () } // server closed
+        } catch {
+          // any accept failure (closed server, fd exhaustion, …) must not
+          // kill the acceptor while the dashboard still advertises the
+          // port — back off briefly and retry until stop()
+          case _: SocketException => () // server closed (stop()) or reset
+          case _: Exception => if (running) Thread.sleep(100)
+        }
       }
     }, "graft-ws-accept")
     acceptor.setDaemon(true)
@@ -56,16 +62,25 @@ final class WsPush(payload: () => String, port: Int = 0,
   private def serve(sock: Socket): Unit =
     try {
       val in = sock.getInputStream
-      val reader = new BufferedReader(new InputStreamReader(in, StandardCharsets.US_ASCII))
-      // read request line + headers up to the blank line
-      var key: Option[String] = None
-      var line = reader.readLine()
-      while (line != null && line.nonEmpty) {
-        val i = line.indexOf(':')
-        if (i > 0 && line.take(i).trim.equalsIgnoreCase("Sec-WebSocket-Key"))
-          key = Some(line.drop(i + 1).trim)
-        line = reader.readLine()
+      // read the request head byte-by-byte up to CRLFCRLF — a buffered
+      // reader would read AHEAD into any frame pipelined right after the
+      // upgrade request and the close-detector below would never see it
+      val head = new StringBuilder
+      var done = false
+      var b = in.read()
+      while (b >= 0 && !done) {
+        head.append(b.toChar)
+        done = head.endsWith("\r\n\r\n")
+        // only read the next byte if the head is still open — reading past
+        // the blank line would block on a client that (correctly) sends
+        // nothing until it sees the 101
+        if (!done) b = in.read()
       }
+      val key: Option[String] = head.toString.split("\r\n").iterator
+        .map(l => l -> l.indexOf(':'))
+        .collectFirst { case (l, i)
+            if i > 0 && l.take(i).trim.equalsIgnoreCase("Sec-WebSocket-Key") =>
+          l.drop(i + 1).trim }
       val out = sock.getOutputStream
       key match {
         case None =>
@@ -78,13 +93,15 @@ final class WsPush(payload: () => String, port: Int = 0,
             s"Sec-WebSocket-Accept: ${accept(k)}\r\n\r\n")
             .getBytes(StandardCharsets.US_ASCII))
           out.flush()
-          // reader side: watch for the client CLOSE opcode (0x8); any IO
-          // error also ends the connection
+          // reader side: parse client FRAMES (not raw bytes — mask and
+          // payload bytes routinely have a 0x8 low nibble) and stop on the
+          // CLOSE opcode; any IO error also ends the connection
           @volatile var open = true
           val closer = new Thread(() => {
             try {
-              var b = in.read()
-              while (open && b >= 0 && (b & 0x0f) != 0x8) b = in.read()
+              var opcode = readFrameOpcodeSkipPayload(in)
+              while (open && opcode >= 0 && opcode != 0x8)
+                opcode = readFrameOpcodeSkipPayload(in)
             } catch { case _: Exception => () }
             open = false
           }, "graft-ws-close")
@@ -99,6 +116,35 @@ final class WsPush(payload: () => String, port: Int = 0,
           finally { open = false; sock.close() }
       }
     } catch { case _: Exception => try sock.close() catch { case _: Exception => () } }
+
+  /** Read one client frame header, skip its payload, return the opcode
+    * (or -1 on EOF). Client frames are masked (4-byte key before the
+    * payload); 126/127 length markers carry 16/64-bit extended lengths. */
+  private def readFrameOpcodeSkipPayload(in: java.io.InputStream): Int = {
+    val b0 = in.read()
+    if (b0 < 0) return -1
+    val b1 = in.read()
+    if (b1 < 0) return -1
+    val masked = (b1 & 0x80) != 0
+    var len: Long = (b1 & 0x7f).toLong
+    if (len == 126) {
+      val h = in.read(); val l = in.read()
+      if (l < 0) return -1
+      len = ((h & 0xff) << 8 | (l & 0xff)).toLong
+    } else if (len == 127) {
+      len = 0L
+      var i = 0
+      while (i < 8) { val x = in.read(); if (x < 0) return -1; len = (len << 8) | (x & 0xff); i += 1 }
+    }
+    val skip = len + (if (masked) 4 else 0)
+    var remaining = skip
+    while (remaining > 0) {
+      val n = in.skip(remaining)
+      if (n <= 0) { if (in.read() < 0) return -1; remaining -= 1 }
+      else remaining -= n
+    }
+    b0 & 0x0f
+  }
 
   /** RFC 6455 §4.2.2 accept token. */
   private def accept(key: String): String =

@@ -107,7 +107,7 @@ class LayoutSpec extends SparkSpec {
       Layout.ivfPartition(spark, dir, cents, "embeddings_ivf")
       val topk = Similarity.topKForVectorIvf(spark.table("embeddings_ivf"),
         "vec_id", "embedding", qvec, k = 10, cents, nprobe = nprobe,
-        assignReplicas = 1)
+        assignReplicas = 1, trustCellColumn = true)
       val scan = topk.queryExecution.executedPlan.collectLeaves()
         .collectFirst { case f: org.apache.spark.sql.execution.FileSourceScanExec => f }
         .getOrElse(fail(s"expected a file scan:\n${topk.queryExecution.executedPlan}"))

@@ -94,6 +94,13 @@ class DashboardSpec extends SparkSpec {
           assert(frame.contains("\"status\": \"ws-live\""))
           assert(frame.contains("\"ws_port\""))
         }
+        // client application frames are MASKED — the close detector must
+        // parse frames (mask/payload bytes routinely carry a 0x8 low
+        // nibble) and keep the connection alive through them
+        for (i <- 1 to 20) ws.sendText(s"client-ping-$i", true).join()
+        val after = received.poll(5, java.util.concurrent.TimeUnit.SECONDS)
+        assert(after != null && after.contains("\"status\": \"ws-live\""),
+          "push must continue after masked client frames")
       } finally ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
     } finally dash.stop()
   }
