@@ -83,6 +83,22 @@ class CliSpec extends AnyFunSuite {
     assert(overridden.durationMs == 7000L)
   }
 
+  test("config file also feeds booleans and expected_messages; flags still win") {
+    val dir = Files.createTempDirectory("graft-cli-bool")
+    Files.writeString(dir.resolve("graft.yaml"),
+      """cleanup: false
+        |generate_report: false
+        |expected_messages: 5000
+        |""".stripMargin)
+    val fromYaml = Cli.parse(Seq("run", "--project-dir", dir.toString)).toOption.get
+    assert(!fromYaml.cleanup && !fromYaml.generateReport)
+    assert(fromYaml.expectedMessages.contains(5000L))
+    val overridden = Cli.parse(Seq("run", "--project-dir", dir.toString,
+      "--cleanup", "true", "--expected-messages", "7")).toOption.get
+    assert(overridden.cleanup && overridden.expectedMessages.contains(7L))
+    assert(!overridden.generateReport)
+  }
+
   test("unknown verb, bad integers, bad booleans and missing init dir are errors") {
     assert(Cli.parse(Seq("frobnicate")).isLeft)
     assert(Cli.parse(Seq.empty).isLeft)
