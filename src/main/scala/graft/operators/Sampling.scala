@@ -30,11 +30,14 @@ object Sampling {
     substring(md5(id.cast("string")), 1, 4)
 
   /** Hex boundary for a cumulative weight: floor(w * 0x10000) as 4-hex.
-    * w >= 1 maps to "g", which sorts after every 4-hex bucket ('g' > 'f')
-    * — the naive 5-char "10000" would sort BEFORE "2000" and exclude
-    * nearly everything. */
-  private[operators] def boundary(w: Double): String =
-    if (w >= 1.0) "g" else f"${math.floor(w * 0x10000).toLong}%04x"
+    * A floored value of 0x10000 (w == 1, or within 1 ulp below — the
+    * product can round UP to exactly 65536.0) maps to "g", which sorts
+    * after every 4-hex bucket ('g' > 'f') — the naive 5-char "10000"
+    * would sort BEFORE "2000" and exclude nearly everything. */
+  private[operators] def boundary(w: Double): String = {
+    val v = math.floor(w * 0x10000).toLong
+    if (v >= 0x10000L) "g" else f"$v%04x"
+  }
 
   /** Keep ~`fraction` of rows, decided by id hash — stable under
     * repartitioning, reruns and engines. */
@@ -50,6 +53,10 @@ object Sampling {
                   weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && math.abs(weights.map(_._2).sum - 1.0) < 1e-9,
       s"weights must sum to 1: $weights")
+    // a negative weight passes the sum check but produces a negative
+    // cumulative boundary whose 16-char two's-complement hex breaks the
+    // fixed-width lexicographic compare (every bucket sorts below it)
+    require(weights.forall(_._2 > 0), s"every weight must be > 0: $weights")
     val cum = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
     val b = bucket(col(idCol))
     // fold from the last split upward: else-chain of boundary compares

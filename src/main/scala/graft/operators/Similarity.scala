@@ -66,9 +66,14 @@ object Similarity {
                       dim: Int, rowsPerBand: Int, bands: Int, seed: Long,
                       simThreshold: Double): DataFrame = {
     val numPlanes = rowsPerBand * bands
+    // persist: base feeds the banded self-join AND both verify joins —
+    // without it the O(dim·numPlanes)-per-row hyperplane projection (and
+    // the source scan) re-executes once per reference (same discipline as
+    // trainIvfCentroids; reclaimed by clearCache/session end)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       l2NormSq(col(embCol)).as("nsq"),
       hyperplaneBits(col(embCol), dim, numPlanes, seed).as("bits"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = base.select(col("id"),
       explode(bandKeys(col("bits"), bands, rowsPerBand)).as("bucket"))
     val pairs = banded.toDF("id_a", "bucket")
@@ -223,8 +228,11 @@ object Similarity {
                       simThreshold: Double,
                       trainFraction: Double = 1.0): DataFrame = {
     val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed, trainFraction)
+    // persist — base feeds the cell self-join and both verify joins (see
+    // lshNearDupPairs)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       l2NormSq(col(embCol)).as("nsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cells = base.select(col("id"),
       explode(ivfAssign(col("emb"), cents, probes)).as("cell"))
     val pairs = cells.toDF("id_a", "cell")
@@ -280,6 +288,13 @@ object Similarity {
     // coincidental user column) would silently return wrong candidates.
     require(!trustCellColumn || df.columns.contains("cell"),
       "trustCellColumn requires a `cell` column (see Layout.ivfPartition)")
+    // the flag's whole contract is partition pruning, and the replica
+    // branch below recomputes assignment over a full scan — honoring the
+    // flag silently would give the caller a full-corpus scan they believe
+    // is pruned
+    require(!trustCellColumn || assignReplicas <= 1,
+      "trustCellColumn only applies to the top-1 layout (assignReplicas = 1); " +
+        "a replicated layout needs its own materialized cells")
     val candidates =
       if (assignReplicas <= 1) {
         val withCell =

@@ -41,32 +41,44 @@ object BoundedRun {
   def awaitExpectedCount(spark: SparkSession, q: StreamingQuery, expected: Long,
                          noProgressTimeoutMs: Long = 30000L,
                          pollMs: Long = 50L): (Outcome, Long) = {
-    val seen = new AtomicLong(0L)
+    // counts are keyed by batchId so the listener feed and the
+    // recentProgress poll below can overlap without double counting —
+    // the listener registers AFTER the query started, so batches that
+    // completed before registration (and any progress events still in
+    // flight on the async listener bus) are only visible via
+    // q.recentProgress
+    val counted = new java.util.concurrent.ConcurrentHashMap[java.lang.Long, java.lang.Long]()
     val lastProgressAt = new AtomicLong(System.nanoTime())
+    def note(p: org.apache.spark.sql.streaming.StreamingQueryProgress): Unit =
+      if (p.id == q.id && p.numInputRows > 0 &&
+          counted.putIfAbsent(p.batchId, p.numInputRows) == null)
+        lastProgressAt.set(System.nanoTime())
+    def seen(): Long = {
+      var total = 0L
+      counted.values.forEach(v => total += v)
+      total
+    }
     val listener = new StreamingQueryListener {
       override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
       override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit =
-        if (e.progress.id == q.id) {
-          if (e.progress.numInputRows > 0) {
-            seen.addAndGet(e.progress.numInputRows)
-            lastProgressAt.set(System.nanoTime())
-          }
-        }
+        note(e.progress)
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     }
     spark.streams.addListener(listener)
     try {
       var outcome: Outcome = null
       while (outcome == null) {
-        if (!q.isActive) outcome = QueryTerminated
-        else if (seen.get() >= expected) outcome = ReachedExpected
+        q.recentProgress.foreach(note) // pre-registration + in-flight batches
+        if (seen() >= expected) outcome = ReachedExpected
+        else if (!q.isActive) outcome = QueryTerminated
         else if ((System.nanoTime() - lastProgressAt.get()) / 1000000L > noProgressTimeoutMs)
           outcome = NoProgressTimeout
         else Thread.sleep(pollMs)
       }
       if (q.isActive) q.stop()
       q.awaitTermination()
-      (outcome, seen.get())
+      q.recentProgress.foreach(note) // final sweep after termination
+      (outcome, seen())
     } finally spark.streams.removeListener(listener)
   }
 }

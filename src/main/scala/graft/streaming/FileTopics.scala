@@ -43,8 +43,13 @@ final case class FileTopics(root: String) extends Topics {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
-    if (java.nio.file.Files.isDirectory(p))
-      java.nio.file.Files.list(p).iterator().asScala.toSeq.foreach(deleteRecursively)
+    if (java.nio.file.Files.isDirectory(p)) {
+      // Files.list opens a DirectoryStream that must be CLOSED, not just
+      // drained — each leak holds a directory fd until GC
+      val s = java.nio.file.Files.list(p)
+      val children = try s.iterator().asScala.toSeq finally s.close()
+      children.foreach(deleteRecursively)
+    }
     java.nio.file.Files.deleteIfExists(p)
   }
 

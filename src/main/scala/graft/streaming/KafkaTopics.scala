@@ -117,10 +117,14 @@ final case class KafkaTopics(bootstrapServers: String, checkpointRoot: String,
         .invoke(admin, java.util.Collections.singletonList(topic))
       try await(result.getClass.getMethod("all").invoke(result))
       catch {
-        // reference kafka.go:60-64: deleting an absent topic is fine
+        // reference kafka.go:60-64: deleting an absent topic is fine.
+        // KafkaFuture.get throws ExecutionException(cause = UnknownTopic…)
+        // and Method.invoke wraps THAT in InvocationTargetException, so
+        // the marker sits anywhere on the cause chain — walk it.
         case e: java.lang.reflect.InvocationTargetException
-          if e.getCause != null &&
-             e.getCause.getClass.getName.contains("UnknownTopicOrPartition") => ()
+          if Iterator.iterate(e.getCause)(_.getCause)
+            .takeWhile(_ != null).take(5)
+            .exists(_.getClass.getName.contains("UnknownTopicOrPartition")) => ()
       }
     }
 
@@ -151,6 +155,9 @@ final case class KafkaTopics(bootstrapServers: String, checkpointRoot: String,
   }
 
   /** Block on a KafkaFuture reflectively. */
-  private def await(future: AnyRef): Unit =
+  /** Block on a KafkaFuture and return its value — MUST return AnyRef,
+    * not Unit: topicExists casts the result, and a Unit-typed await would
+    * hand it BoxedUnit (ClassCastException on every call). */
+  private def await(future: AnyRef): AnyRef =
     future.getClass.getMethod("get").invoke(future)
 }

@@ -148,6 +148,8 @@ object Stateful {
     l.join(r,
       col(s"l.$key") === col(s"r.$key") &&
         col(s"r.$rightTs") >= col(s"l.$leftTs") &&
-        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL ${rangeMs / 1000} SECONDS"))
+        // MILLISECONDS, not rangeMs/1000 SECONDS: integer division silently
+        // truncated sub-second ranges (500 ms became a 0-width range)
+        col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $rangeMs MILLISECONDS"))
   }
 }

@@ -69,12 +69,17 @@ object StreamOps {
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val wm = watermarkMs
       val tsMs = unix_millis(col(tsCol))
-      late(batch.filter(tsMs < wm || tsMs.isNull), id)
-      onTime(batch.filter(tsMs >= wm), id)
-      val maxRow = batch.agg(max(unix_millis(col(tsCol)))).collect().head
-      if (!maxRow.isNullAt(0)) {
-        watermarkMs = math.max(watermarkMs, maxRow.getLong(0) - delayMs)
-      }
+      // three actions consume this batch (late sink, on-time sink, max
+      // agg) — persist so the micro-batch source is read once, not thrice
+      batch.persist()
+      try {
+        late(batch.filter(tsMs < wm || tsMs.isNull), id)
+        onTime(batch.filter(tsMs >= wm), id)
+        val maxRow = batch.agg(max(unix_millis(col(tsCol)))).collect().head
+        if (!maxRow.isNullAt(0)) {
+          watermarkMs = math.max(watermarkMs, maxRow.getLong(0) - delayMs)
+        }
+      } finally batch.unpersist()
     }
   }
 

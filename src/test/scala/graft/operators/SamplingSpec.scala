@@ -51,7 +51,19 @@ class SamplingSpec extends SparkSpec {
     // 1.0 boundary must sort after every 4-hex bucket so nothing is
     // excluded (the naive 5-char "10000" sorts before "2000")
     assert("ffff" < Sampling.boundary(1.0))
+    // largest double below 1.0: ×0x10000 is an exact exponent shift (the
+    // multiplier is a power of two), so the product stays below 65536 and
+    // lands in the last bucket — the guard on the floored value keeps
+    // this invariant explicit rather than relying on that exactness
+    assert(Sampling.boundary(math.nextDown(1.0)) == "ffff")
     assert(Sampling.stableSample(ids, "id", 1.0).count() == 10000L)
     assert(Sampling.stableSample(ids, "id", 0.0).count() == 0L)
+  }
+
+  test("stableSplit rejects non-positive weights (sum check alone is not enough)") {
+    intercept[IllegalArgumentException] {
+      Sampling.stableSplit(ids, "id",
+        Seq("train" -> -0.2, "val" -> 0.6, "test" -> 0.6))
+    }
   }
 }

@@ -113,6 +113,33 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin honors sub-second ranges (rangeMs is not truncated to seconds)") {
+    val sp = spark
+    import sp.implicits._
+    val clicks = MemoryStream[(Timestamp, String, String)]
+    val buys = MemoryStream[(Timestamp, String, String)]
+    // 1500 ms range: a buy 1.2 s after the click is IN range; the old
+    // `rangeMs / 1000 SECONDS` truncation made this a 1 s range and
+    // silently dropped it
+    val joined = Stateful.intervalJoin(
+      clicks.toDF().toDF("cts", "user", "click_id"), "cts", "1 minute",
+      buys.toDF().toDF("bts", "user2", "buy_id").withColumnRenamed("user2", "user"),
+      "bts", "1 minute", "user", rangeMs = 1500)
+      .select(col("click_id"), col("buy_id"))
+    val q = joined.writeStream.format("memory").queryName("interval_join_subsec")
+      .outputMode("append").start()
+    try {
+      val t0 = ts(0, 0)
+      clicks.addData((t0, "u1", "c1"))
+      buys.addData((new Timestamp(t0.getTime + 1200), "u1", "b1"),  // +1.2s: in
+        (new Timestamp(t0.getTime + 1800), "u1", "b2"))             // +1.8s: out
+      q.processAllAvailable()
+      val rows = sp.table("interval_join_subsec")
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("c1", "b1")))
+    } finally q.stop()
+  }
+
   test("update output mode emits only changed aggregate rows per batch") {
     val sp = spark
     import sp.implicits._
