@@ -136,9 +136,12 @@ object AvroSchemas {
     case _         => StringType // reference default branch (generator.go:545-546)
   }
 
-  /** StructType → AVRO record schema JSON (registry round trip / sink DDL). */
+  /** StructType → AVRO record schema JSON (registry round trip / sink DDL).
+    * Nested record names derive from the FIELD PATH — a constant suffix
+    * would emit duplicate record names for any schema with two nested
+    * structs, which Schema.Parser rejects ("Can't redefine"). */
   def fromStructType(name: String, namespace: String, st: StructType): String = {
-    def typeJson(dt: DataType, nullable: Boolean): Any = {
+    def typeJson(dt: DataType, nullable: Boolean, path: String = ""): Any = {
       val base: Any = dt match {
         case StringType  => "string"
         case IntegerType => "int"
@@ -149,12 +152,16 @@ object AvroSchemas {
         case BinaryType  => "bytes"
         case DateType    => Map("type" -> "int", "logicalType" -> "date").asJava
         case TimestampType => Map("type" -> "long", "logicalType" -> "timestamp-micros").asJava
-        case ArrayType(et, cn) => Map("type" -> "array", "items" -> typeJson(et, cn)).asJava
-        case MapType(StringType, vt, vn) => Map("type" -> "map", "values" -> typeJson(vt, vn)).asJava
+        case ArrayType(et, cn) =>
+          Map("type" -> "array", "items" -> typeJson(et, cn, s"${path}_item")).asJava
+        case MapType(StringType, vt, vn) =>
+          Map("type" -> "map", "values" -> typeJson(vt, vn, s"${path}_value")).asJava
         case nested: StructType =>
-          Map("type" -> "record", "name" -> s"${name}_nested",
+          Map("type" -> "record", "name" -> s"${name}${path}_nested",
             "fields" -> nested.fields.map(f =>
-              Map("name" -> f.name, "type" -> typeJson(f.dataType, f.nullable)).asJava).toList.asJava).asJava
+              Map("name" -> f.name,
+                "type" -> typeJson(f.dataType, f.nullable, s"${path}_${f.name}")).asJava)
+              .toList.asJava).asJava
         case other => fail(s"unsupported Spark type for AVRO emission: ${other.catalogString}")
       }
       if (nullable) List("null", base).asJava else base
@@ -162,7 +169,8 @@ object AvroSchemas {
     val doc = Map(
       "type" -> "record", "name" -> name, "namespace" -> namespace,
       "fields" -> st.fields.map(f =>
-        Map("name" -> f.name, "type" -> typeJson(f.dataType, f.nullable)).asJava).toList.asJava
+        Map("name" -> f.name, "type" -> typeJson(f.dataType, f.nullable, s"_${f.name}")).asJava)
+        .toList.asJava
     ).asJava
     mapper.writeValueAsString(doc)
   }
@@ -182,9 +190,12 @@ object AvroSchemas {
   def loadDirectory(dir: java.nio.file.Path): Map[String, AvroSchema] = {
     if (!java.nio.file.Files.isDirectory(dir))
       fail(s"schemas directory not found: $dir")
-    val files = java.nio.file.Files.list(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".avsc") || p.toString.endsWith(".json"))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = java.nio.file.Files.list(dir) // must be closed
+    val files =
+      try listing.iterator().asScala
+        .filter(p => p.toString.endsWith(".avsc") || p.toString.endsWith(".json"))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     files.map { p =>
       val content = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
       schemaKey(p.getFileName.toString) -> parse(content)

@@ -59,11 +59,19 @@ object ConfluentWire {
 
   // ---- Avro <-> Catalyst value conversion over the AvroSchemas matrix ----
 
-  private[avro] def toCatalyst(v: Any, dt: DataType, meta: Metadata): Any = (v, dt) match {
+  /** `schema` is the (union-resolved) writer schema of THIS value — the
+    * authoritative source of logical types for values nested inside
+    * collections, where Catalyst has no per-element metadata slot. The
+    * StructField metadata is kept as a fallback for top-level fields. */
+  private[avro] def toCatalyst(v: Any, dt: DataType, meta: Metadata,
+                               schema: Schema): Any = (v, dt) match {
     case (null, _) => null
     case (s, StringType) => UTF8String.fromString(s.toString) // Utf8, String, enum symbol
     case (i: Integer, IntegerType) => i.intValue()
     case (l: java.lang.Long, LongType) => l.longValue()
+    // int-typed Avro mapped to a Spark long — e.g. time-millis, whose wire
+    // type is int but whose Spark mapping is LongType (no Spark TIME type)
+    case (i: Integer, LongType) => i.longValue()
     case (f: java.lang.Float, FloatType) => f.floatValue()
     case (d: java.lang.Double, DoubleType) => d.doubleValue()
     case (b: java.lang.Boolean, BooleanType) => b.booleanValue()
@@ -72,20 +80,25 @@ object ConfluentWire {
     case (arr: Array[Byte], BinaryType) => arr
     case (i: Integer, DateType) => i.intValue() // days since epoch on both sides
     case (l: java.lang.Long, TimestampType) =>
-      if (logicalOf(meta) == "timestamp-millis") l.longValue() * 1000L else l.longValue()
+      if (isTsMillis(meta, schema)) l.longValue() * 1000L else l.longValue()
     case (coll: java.util.Collection[_], ArrayType(et, _)) =>
-      new GenericArrayData(coll.asScala.map(toCatalyst(_, et, Metadata.empty)).toArray)
+      val es = resolveUnion(schema.getElementType)
+      new GenericArrayData(coll.asScala.map(toCatalyst(_, et, Metadata.empty, es)).toArray)
     case (m: java.util.Map[_, _], MapType(StringType, vt, _)) =>
+      val vs = resolveUnion(schema.getValueType)
       val entries = m.asScala.toSeq
       ArrayBasedMapData(
         entries.map(e => UTF8String.fromString(e._1.toString)).toArray[Any],
-        entries.map(e => toCatalyst(e._2, vt, Metadata.empty)).toArray[Any])
+        entries.map(e => toCatalyst(e._2, vt, Metadata.empty, vs)).toArray[Any])
     case (rec: GenericRecord, st: StructType) =>
+      val recSchema = rec.getSchema
       val row = new Array[Any](st.fields.length)
       var i = 0
       while (i < st.fields.length) {
         val f = st.fields(i)
-        row(i) = toCatalyst(rec.get(f.name), f.dataType, f.metadata)
+        val fs = Option(recSchema.getField(f.name)).map(x => resolveUnion(x.schema()))
+          .getOrElse(recSchema)
+        row(i) = toCatalyst(rec.get(f.name), f.dataType, f.metadata, fs)
         i += 1
       }
       InternalRow.fromSeq(row.toIndexedSeq)
@@ -103,14 +116,18 @@ object ConfluentWire {
           new GenericData.EnumSymbol(resolved, s.toString)
         else new Utf8(s.toString)
       case (i: Int, IntegerType) => Int.box(i)
-      case (l: Long, LongType) => Long.box(l)
+      case (l: Long, LongType) =>
+        // Spark LongType may back an int-typed Avro field (time-millis has
+        // no Spark TIME type); the writer needs the schema's box, not the
+        // Catalyst one
+        if (resolved.getType == Schema.Type.INT) Int.box(l.toInt) else Long.box(l)
       case (f: Float, FloatType) => Float.box(f)
       case (d: Double, DoubleType) => Double.box(d)
       case (b: Boolean, BooleanType) => Boolean.box(b)
       case (bytes: Array[Byte], BinaryType) => ByteBuffer.wrap(bytes)
       case (days: Int, DateType) => Int.box(days)
       case (micros: Long, TimestampType) =>
-        Long.box(if (logicalOf(meta) == "timestamp-millis") micros / 1000L else micros)
+        Long.box(if (isTsMillis(meta, resolved)) micros / 1000L else micros)
       case (arr: ArrayData, ArrayType(et, _)) =>
         val elemSchema = resolved.getElementType
         val out = new java.util.ArrayList[AnyRef](arr.numElements())
@@ -155,6 +172,13 @@ object ConfluentWire {
 
   private def logicalOf(meta: Metadata): String =
     if (meta.contains("avro.logicalType")) meta.getString("avro.logicalType") else ""
+
+  /** timestamp-millis detection: StructField metadata for top-level fields,
+    * the Avro schema's logicalType prop for values inside collections
+    * (Catalyst has no per-element metadata). */
+  private def isTsMillis(meta: Metadata, schema: Schema): Boolean =
+    logicalOf(meta) == "timestamp-millis" ||
+      (schema != null && schema.getProp("logicalType") == "timestamp-millis")
 }
 
 /** Strip + validate Confluent framing, decode the Avro body into a struct.
@@ -182,7 +206,7 @@ case class ConfluentDecodeExpr(child: Expression, schemaJson: String)
     try {
       val decoder = DecoderFactory.get().binaryDecoder(bytes, 5, bytes.length - 5, null)
       val rec = reader.read(null, decoder)
-      ConfluentWire.toCatalyst(rec, structType, Metadata.empty)
+      ConfluentWire.toCatalyst(rec, structType, Metadata.empty, avroSchema)
     } catch { case _: Exception => null }
   }
 

@@ -31,10 +31,15 @@ object AlternativeMonitor {
   def outputTopicGrowth(topics: FileTopics, topic: String): TopicGrowth = {
     val dir = Paths.get(topics.topicDir(topic))
     if (!Files.isDirectory(dir)) return TopicGrowth(0, 0L, 0L)
-    val files = Files.walk(dir).iterator().asScala
-      .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_") &&
-        !p.toString.contains("_spark_metadata"))
-      .toSeq
+    // Files.walk must be closed — this runs inside polling loops, and a
+    // leaked handle per poll accumulates until GC
+    val walk = Files.walk(dir)
+    val files =
+      try walk.iterator().asScala
+        .filter(p => Files.isRegularFile(p) && !p.getFileName.toString.startsWith("_") &&
+          !p.toString.contains("_spark_metadata"))
+        .toSeq
+      finally walk.close()
     val bytes = files.map(Files.size).sum
     TopicGrowth(files.size, bytes, bytes / 100)
   }
@@ -79,8 +84,11 @@ object Clean {
 
   def removeRunDir(runDir: Path): Unit = {
     def rm(p: Path): Unit = {
-      if (Files.isDirectory(p))
-        Files.list(p).iterator().asScala.toSeq.foreach(rm)
+      if (Files.isDirectory(p)) {
+        val s = Files.list(p) // must be closed, not just drained
+        val children = try s.iterator().asScala.toSeq finally s.close()
+        children.foreach(rm)
+      }
       Files.deleteIfExists(p)
     }
     if (Files.exists(runDir)) rm(runDir)

@@ -77,11 +77,11 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
     })
     server.createContext("/report", html { _ =>
       val rows = metrics.snapshot.map(q =>
-        s"<tr><td>${esc(q.name)}</td><td>${q.totalInputRows}</td><td>${q.batches}</td>" +
+        s"<tr><td>${hesc(q.name)}</td><td>${q.totalInputRows}</td><td>${q.batches}</td>" +
           s"<td>${q.lastRowsPerSecond}</td><td>${q.lastBatchMs}</td>" +
-          s"<td>${q.error.map(esc).getOrElse("")}</td></tr>").mkString
+          s"<td>${q.error.map(hesc).getOrElse("")}</td></tr>").mkString
       s"""<!DOCTYPE html><html><head><meta charset="utf-8"><title>graft report</title></head><body>
-         |<h1>execution report</h1><p>status: ${esc(statusText)}</p>
+         |<h1>execution report</h1><p>status: ${hesc(statusText)}</p>
          |<table border="1" cellpadding="6"><tr><th>query</th><th>input rows</th><th>batches</th>
          |<th>rows/s</th><th>last batch ms</th><th>error</th></tr>$rows</table>
          |<p><a href="/">dashboard</a> · <a href="/diagram">diagram</a> ·
@@ -94,7 +94,7 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
       val boxes = qNames.zipWithIndex.map { case (n, i) =>
         val y = 60 + i * 50
         s"""<rect x="230" y="$y" width="240" height="34" rx="6" fill="#eef" stroke="#336"/>
-           |<text x="350" y="${y + 22}" text-anchor="middle" font-size="12">${esc(n)}</text>
+           |<text x="350" y="${y + 22}" text-anchor="middle" font-size="12">${hesc(n)}</text>
            |<line x1="160" y1="${y + 17}" x2="230" y2="${y + 17}" stroke="#336"/>
            |<line x1="470" y1="${y + 17}" x2="540" y2="${y + 17}" stroke="#336"/>""".stripMargin
       }.mkString
@@ -111,11 +111,11 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
     })
     server.createContext("/", html { _ =>
       val rows = metrics.snapshot.map(q =>
-        s"<tr><td>${esc(q.name)}</td><td>${q.totalInputRows}</td><td>${q.batches}</td>" +
+        s"<tr><td>${hesc(q.name)}</td><td>${q.totalInputRows}</td><td>${q.batches}</td>" +
           s"<td>${if (q.terminated) "terminated" else "active"}</td></tr>").mkString
       s"""<!DOCTYPE html><html><head><meta charset="utf-8"><meta http-equiv="refresh" content="2">
          |<title>graft dashboard</title></head><body>
-         |<h1>graft pipeline dashboard</h1><p>status: ${esc(statusText)}</p>
+         |<h1>graft pipeline dashboard</h1><p>status: ${hesc(statusText)}</p>
          |<table border="1" cellpadding="6"><tr><th>query</th><th>input rows</th><th>batches</th><th>state</th></tr>
          |$rows</table>
          |<p><a href="/report">report</a> · <a href="/diagram">diagram</a></p></body></html>""".stripMargin
@@ -136,8 +136,16 @@ final class Dashboard(metrics: MetricsCollector, port: Int = 0,
 
   def stop(): Unit = { ws.stop(); server.stop(0) }
 
+  /** JSON string escaper — control characters (tabs/CRs in stack traces)
+    * must not reach the output literally, strict parsers reject them. */
   private def esc(s: String): String =
-    s.replace("\\", "\\\\").replace("\"", "\\\"").replace("\n", " ")
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .flatMap(c => if (c < ' ') f"\\u${c.toInt}%04x" else c.toString)
+
+  /** HTML escaper for the pages — esc() is for JSON and leaves markup
+    * intact, so a query name containing '<script>' would inject. */
+  private def hesc(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   private def json(body: HttpExchange => String)(ex: HttpExchange): Unit =
     respond(ex, "application/json", body(ex))

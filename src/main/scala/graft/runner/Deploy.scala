@@ -106,7 +106,11 @@ object Deploy {
     val schemas: Map[String, AvroSchemas.AvroSchema] =
       if (Files.isDirectory(schemasDir)) AvroSchemas.loadDirectory(schemasDir) else Map.empty
 
-    // topics + checkpoints
+    // topics + checkpoints. The per-statement dirs provisioned here are
+    // the STABLE checkpoint locations — GraftRunner uses them when run
+    // with Config(stableCheckpoints = true) (the deploy-then-run resume
+    // story); its default mode namespaces checkpoints per execution id
+    // for run isolation and does not touch these.
     resources.topics.foreach { t =>
       if (!topics.topicExists(t)) topics.createTopic(t)
     }

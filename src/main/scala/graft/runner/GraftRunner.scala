@@ -51,7 +51,12 @@ object GraftRunner {
       expectedOutputRows: Option[Long] = None,
       noProgressTimeoutMs: Long = 30000L,
       generateReport: Boolean = true,
-      seed: Long = 42L)
+      seed: Long = 42L,
+      // true → checkpoint under the bare statement name (the dirs
+      // Deploy.run provisions), so a re-run RESUMES the prior run's
+      // offsets; false (default) → per-execution checkpoints, every run
+      // reprocesses from earliest (test isolation)
+      stableCheckpoints: Boolean = false)
 
   final case class RunResult(
       executionId: String,
@@ -65,14 +70,17 @@ object GraftRunner {
 
   private val createTableName: Regex = """(?is)CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?[`"]?(\w+)""".r
   private val insertTarget: Regex = """(?is)INSERT\s+INTO\s+[`"]?(\w+)[`"]?\s+(SELECT.*)""".r
+  private val csvPathOption: Regex = """(?is)'path'\s*=\s*'([^']+)'""".r
 
   /** A27: CSV-mode sniff (reference cmd/run.go:118-127) — a filesystem/csv
     * source table means there is nothing to produce. */
   def isCsvMode(statements: Seq[SqlStatement]): Boolean =
-    statements.headOption.exists { s =>
-      val c = s.content.toLowerCase
-      c.contains("'connector'") && c.contains("'filesystem'") && c.contains("'csv'")
-    }
+    statements.headOption.exists(s => isCsvStatement(s.content))
+
+  private def isCsvStatement(sql: String): Boolean = {
+    val c = sql.toLowerCase
+    c.contains("'connector'") && c.contains("'filesystem'") && c.contains("'csv'")
+  }
 
   /** A26: traffic patterns must fit inside the producer duration
     * (reference cmd/run.go:380-397). */
@@ -120,9 +128,14 @@ object GraftRunner {
         Thread.sleep(50)
       topics.createTopic(t)
     }
-    // 6 (reference step: register schemas under <topic>-value subjects)
-    schemas.foreach { case (_, sch) =>
-      resources.topics.foreach(t => registry.register(s"$t-value", sch.content))
+    // 6 (reference step: register schemas under <topic>-value subjects) —
+    // each schema goes to ITS topic only (Deploy's mapping, deployer.go:
+    // 254-266): output under the output topic, everything else under the
+    // input topic. Registering every schema under every subject let
+    // latest(subject) answer with whichever the Map iterated last.
+    schemas.foreach { case (name, sch) =>
+      val topic = if (name == "output") resources.outputTopic else resources.inputTopic
+      registry.register(s"$topic-value", sch.content)
     }
 
     val metrics = new MetricsCollector().register(spark)
@@ -134,6 +147,13 @@ object GraftRunner {
 
     val inputSchema = schemas.get("input").map(_.structType)
       .getOrElse(throw new IllegalArgumentException("no input schema found in schemas/"))
+    // per-topic payload schema, mirroring the registry mapping above: the
+    // output topic carries the output schema — reading EVERY topic with
+    // the input schema parsed output-only columns to null downstream
+    def schemaForTopic(topic: String): org.apache.spark.sql.types.StructType =
+      if (topic == resources.outputTopic)
+        schemas.get("output").map(_.structType).getOrElse(inputSchema)
+      else inputSchema
 
     var insertQueries = List.empty[org.apache.spark.sql.streaming.StreamingQuery]
     var tempViews = List.empty[String]
@@ -155,7 +175,18 @@ object GraftRunner {
               case Some(topic) =>
                 tableTopics(name) = topic
                 // a topic-backed table: streaming view over the transport
-                topics.readStream(spark, topic, inputSchema)
+                topics.readStream(spark, topic, schemaForTopic(topic))
+                  .createOrReplaceTempView(name)
+                tempViews ::= name
+              case None if isCsvStatement(sql) =>
+                // filesystem/CSV source (A27, generator.go:154-248): the
+                // Flink-style WITH-options DDL has no Spark parse — the
+                // engine-native analog is a streaming CSV view over the
+                // declared path (DROPMALFORMED ≡ csv.ignore-parse-errors)
+                val path = csvPathOption.findFirstMatchIn(sql).map(_.group(1))
+                  .getOrElse(throw new IllegalArgumentException(
+                    s"CSV source table ${st.name} declares no 'path' option"))
+                graft.sources.CsvSource.readStream(spark, path, inputSchema)
                   .createOrReplaceTempView(name)
                 tempViews ::= name
               case None =>
@@ -176,7 +207,8 @@ object GraftRunner {
 
       def startInsert(spec: InsertSpec, trigger: Trigger) =
         topics.insertInto(spark.sql(spec.select), tableTopics(spec.target),
-          s"$executionId-${spec.name}", trigger = trigger)
+          if (cfg.stableCheckpoints) spec.name else s"$executionId-${spec.name}",
+          trigger = trigger)
 
       // continuous mode: standing queries first, like the reference's
       // deploy-then-produce ordering
@@ -200,9 +232,18 @@ object GraftRunner {
         insertQueries.foreach(q =>
           BoundedRun.awaitExpectedCount(spark, q, expected, cfg.noProgressTimeoutMs))
       } else {
-        // bounded: everything is on disk now — one AvailableNow pass drains it
-        insertQueries = inserts.map(startInsert(_, Trigger.AvailableNow()))
-        insertQueries.foreach(_.awaitTermination())
+        // bounded: everything is on disk now — one AvailableNow pass per
+        // stage, run SEQUENTIALLY in statement order. AvailableNow fixes
+        // the set of available input at query start, so a downstream
+        // INSERT reading an intermediate topic must not start until the
+        // upstream INSERT has finished writing it (starting all stages
+        // concurrently made stage B snapshot an empty intermediate topic
+        // and terminate with zero rows).
+        inserts.foreach { spec =>
+          val q = startInsert(spec, Trigger.AvailableNow())
+          insertQueries ::= q
+          q.awaitTermination()
+        }
       }
 
       // 9: validate output

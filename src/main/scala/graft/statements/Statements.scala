@@ -31,9 +31,12 @@ object Statements {
   def load(dir: Path): Seq[SqlStatement] = {
     val sqlDir = dir
     require(Files.isDirectory(sqlDir), s"sql directory not found: $sqlDir")
-    val files = Files.list(sqlDir).iterator().asScala
-      .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
-      .toSeq.sortBy(_.getFileName.toString)
+    val listing = Files.list(sqlDir) // must be closed, not just drained
+    val files =
+      try listing.iterator().asScala
+        .filter(p => p.toString.endsWith(".sql") && Files.isRegularFile(p))
+        .toSeq.sortBy(_.getFileName.toString)
+      finally listing.close()
     require(files.nonEmpty, s"no SQL files found in $sqlDir")
     files.zipWithIndex.map { case (p, i) =>
       val raw = new String(Files.readAllBytes(p), "UTF-8").trim

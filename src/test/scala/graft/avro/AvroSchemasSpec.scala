@@ -97,4 +97,24 @@ class AvroSchemasSpec extends SparkSpec {
     assert(back.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
       st.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
   }
+
+  test("fromStructType names nested records by field path (Avro rejects duplicates)") {
+    // two struct fields + a doubly-nested struct: a constant "_nested"
+    // suffix emitted duplicate record names and Schema.Parser threw
+    // "Can't redefine"
+    val inner = StructType(Seq(StructField("x", IntegerType, nullable = false)))
+    val deep = StructType(Seq(
+      StructField("x", IntegerType, nullable = false),
+      StructField("more", inner, nullable = false)))
+    val st = StructType(Seq(
+      StructField("a", deep, nullable = false),
+      StructField("b", inner, nullable = false),
+      StructField("items", ArrayType(inner, containsNull = false), nullable = false)))
+    val json = AvroSchemas.fromStructType("Rec", "graft.test", st)
+    // the real Avro parser is the arbiter of name uniqueness
+    new org.apache.avro.Schema.Parser().parse(json)
+    val back = AvroSchemas.parse(json).structType
+    assert(back.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq ==
+      st.fields.map(f => (f.name, f.dataType, f.nullable)).toSeq)
+  }
 }

@@ -53,6 +53,32 @@ class ConfluentWireSpec extends SparkSpec {
     assert(back == orig)
   }
 
+  test("time-millis (int wire type) and collection timestamps round-trip") {
+    val sp = spark
+    import sp.implicits._
+    // time-millis maps to Spark LongType but its WIRE type is int; the
+    // timestamps array exercises logical-type handling inside collections,
+    // where Catalyst has no per-element metadata and the Avro schema is
+    // the only source of truth
+    val s =
+      """{"type":"record","name":"T","namespace":"g","fields":[
+        |  {"name":"id","type":"string"},
+        |  {"name":"t_ms","type":{"type":"int","logicalType":"time-millis"}},
+        |  {"name":"stamps","type":{"type":"array",
+        |    "items":{"type":"long","logicalType":"timestamp-millis"}}}
+        |]}""".stripMargin
+    val rows = Seq(
+      ("a", 13L * 3600 * 1000 + 123, Seq(new Timestamp(1700000000000L))),
+      ("b", 0L, Seq(new Timestamp(1700000001000L), new Timestamp(1700000002000L))),
+      ("c", 86399999L, Seq.empty[Timestamp]))
+    val df = rows.toDF("id", "t_ms", "stamps")
+    val back = df
+      .select(ConfluentWire.encode(struct(col("id"), col("t_ms"), col("stamps")), s, 3).as("w"))
+      .select(ConfluentWire.decode(col("w"), s).as("v")).select("v.*")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getSeq[Timestamp](2))).toSet
+    assert(back == rows.toSet)
+  }
+
   test("frame layout: magic byte 0x00 + big-endian schema id") {
     val sp = spark
     import sp.implicits._

@@ -61,6 +61,88 @@ class GraftRunnerSpec extends SparkSpec {
     assert(html.contains(res.executionId) && html.contains("SUCCESS") && html.contains("80"))
   }
 
+  test("bounded multi-stage pipeline: chained INSERTs run sequentially, not concurrently") {
+    // stage 2 reads the topic stage 1 writes — AvailableNow snapshots its
+    // input at query start, so concurrent starts made stage 2 see an
+    // empty intermediate topic and finish with zero rows
+    val dir = Files.createTempDirectory("graft-multistage")
+    Files.createDirectories(dir.resolve("sql"))
+    Files.createDirectories(dir.resolve("schemas"))
+    Files.writeString(dir.resolve("schemas/input.avsc"),
+      """{"type":"record","name":"InputEvent","namespace":"g","fields":[
+        |  {"name":"event_id","type":"string"},
+        |  {"name":"event_type","type":"string"},
+        |  {"name":"score","type":"double"}
+        |]}""".stripMargin)
+    Files.writeString(dir.resolve("sql/01_source.sql"),
+      """CREATE TABLE input_events (
+        |  event_id STRING, event_type STRING, score DOUBLE
+        |) WITH ('connector' = 'kafka', 'topic' = 'ms-in')""".stripMargin)
+    Files.writeString(dir.resolve("sql/02_mid.sql"),
+      """CREATE TABLE mid_events (
+        |  event_id STRING, event_type STRING, score DOUBLE
+        |) WITH ('connector' = 'kafka', 'topic' = 'ms-mid')""".stripMargin)
+    Files.writeString(dir.resolve("sql/03_out.sql"),
+      """CREATE TABLE output_results (
+        |  event_id STRING, event_type STRING, score DOUBLE
+        |) WITH ('connector' = 'kafka', 'topic' = 'ms-out')""".stripMargin)
+    Files.writeString(dir.resolve("sql/04_stage1.sql"),
+      "INSERT INTO mid_events SELECT event_id, event_type, score FROM input_events")
+    Files.writeString(dir.resolve("sql/05_stage2.sql"),
+      "INSERT INTO output_results SELECT event_id, event_type, score FROM mid_events")
+    val res = GraftRunner.run(spark, GraftRunner.Config(
+      projectDir = dir,
+      runDir = Files.createTempDirectory("graft-ms-run"),
+      messageRate = 30, durationMs = 1000)) // 30 rows
+    assert(res.produced == 30)
+    assert(res.outputRows == 30,
+      s"stage 2 must see stage 1's output, got ${res.outputRows}")
+    assert(res.status == "SUCCESS")
+  }
+
+  test("CSV-mode project runs end-to-end: filesystem source view, no producer") {
+    val dir = Files.createTempDirectory("graft-csvmode")
+    Files.createDirectories(dir.resolve("sql"))
+    Files.createDirectories(dir.resolve("schemas"))
+    Files.createDirectories(dir.resolve("data"))
+    Files.writeString(dir.resolve("data/events.csv"),
+      """event_id,event_type,score
+        |e1,click,1.5
+        |e2,view,2.0
+        |e3,click,0.5
+        |e4,buy,9.0
+        |""".stripMargin)
+    Files.writeString(dir.resolve("schemas/input.avsc"),
+      """{"type":"record","name":"InputEvent","namespace":"g","fields":[
+        |  {"name":"event_id","type":"string"},
+        |  {"name":"event_type","type":"string"},
+        |  {"name":"score","type":"double"}
+        |]}""".stripMargin)
+    // the Scaffold.initFromCsv statement shape (Ddl.csvSourceTable)
+    Files.writeString(dir.resolve("sql/01_create_source_table.sql"),
+      s"""CREATE TABLE input_events (
+         |  event_id STRING, event_type STRING, score DOUBLE
+         |) WITH (
+         |  'connector' = 'filesystem',
+         |  'path' = '${dir.resolve("data")}',
+         |  'format' = 'csv',
+         |  'csv.ignore-parse-errors' = 'true'
+         |)""".stripMargin)
+    Files.writeString(dir.resolve("sql/02_create_output_table.sql"),
+      """CREATE TABLE output_results (
+        |  event_id STRING, boosted DOUBLE
+        |) WITH ('connector' = 'kafka', 'topic' = 'csv-out')""".stripMargin)
+    Files.writeString(dir.resolve("sql/03_create_processing.sql"),
+      "INSERT INTO output_results SELECT event_id, score * 2 AS boosted FROM input_events")
+    val res = GraftRunner.run(spark, GraftRunner.Config(
+      projectDir = dir,
+      runDir = Files.createTempDirectory("graft-csv-run"),
+      durationMs = 500))
+    assert(res.produced == 0, "CSV mode must not produce synthetic traffic")
+    assert(res.outputRows == 4, s"all CSV rows must flow through, got ${res.outputRows}")
+    assert(res.status == "SUCCESS")
+  }
+
   test("continuous run: standing query stops at expected count") {
     val project = scaffold()
     val cfg = GraftRunner.Config(
