@@ -35,10 +35,13 @@ case class SplitFramesExpr(child: Expression, frameBytes: Int, stride: Int)
     val v = child.eval(input)
     if (v == null) return Iterator.empty
     val payload = v.asInstanceOf[Array[Byte]]
-    val nFrames = (payload.length + frameBytes - 1) / frameBytes
+    // LONG ceil-div: the Int form overflows for frameBytes near
+    // Int.MaxValue (the "whole payload in one frame" call), wrapping
+    // negative and silently emitting zero frames
+    val nFrames = ((payload.length.toLong + frameBytes - 1) / frameBytes).toInt
     Iterator.range(0, nFrames, stride).map { i =>
       val start = i * frameBytes
-      val end = math.min(start + frameBytes, payload.length)
+      val end = math.min(start.toLong + frameBytes, payload.length.toLong).toInt
       InternalRow(i, java.util.Arrays.copyOfRange(payload, start, end))
     }
   }

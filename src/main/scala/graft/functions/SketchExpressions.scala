@@ -52,7 +52,13 @@ case class WordShinglesExpr(child: Expression, n: Int)
     if (nTok < n) return new GenericArrayData(Array.empty[Any])
     val toks = new Array[UTF8String](nTok)
     var i = 0
-    while (i < nTok) { toks(i) = arr.getUTF8String(i); i += 1 }
+    // null tokens become empty strings: UTF8String.concat propagates null,
+    // and a null shingle inside a containsNull=false output corrupts
+    // downstream UnsafeRow writes
+    while (i < nTok) {
+      toks(i) = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      i += 1
+    }
     val seen = new java.util.LinkedHashSet[UTF8String]()
     val space = UTF8String.fromString(" ")
     i = 0
@@ -78,9 +84,15 @@ case class WordShinglesExpr(child: Expression, n: Int)
   * min over the array of xxh64(value, seed=i). Empty/null arrays → null. */
 case class MinHashSigExpr(child: Expression, numHashes: Int)
     extends UnaryExpression with CodegenFallback {
+  require(numHashes >= 1, "numHashes must be >= 1 (0 would make every " +
+    "band key identical, degrading LSH to the full O(n²) pair set)")
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // returns null for empty arrays regardless of child nullability — the
+  // inherited child.nullable would let the optimizer drop isNotNull
+  // filters (or codegen unbox a null) on non-nullable inputs
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -95,7 +107,10 @@ case class MinHashSigExpr(child: Expression, numHashes: Int)
     val sig = Array.fill(numHashes)(Long.MaxValue)
     var i = 0
     while (i < n) {
-      val s = arr.getUTF8String(i)
+      // null elements hash as the empty string (consistent across the
+      // interpreted and unsafe paths — getUTF8String on a null slot NPEs
+      // on GenericArrayData but silently reads garbage on UnsafeArrayData)
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
       var k = 0
       while (k < numHashes) {
         val h = XXH64.hashUTF8String(s, k.toLong)
@@ -119,6 +134,8 @@ case class SimHash64Expr(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
+  // empty arrays → null regardless of child nullability (see MinHashSigExpr)
+  override def nullable: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
@@ -133,7 +150,8 @@ case class SimHash64Expr(child: Expression)
     val votes = new Array[Int](64)
     var i = 0
     while (i < n) {
-      val h = XXH64.hashUTF8String(arr.getUTF8String(i), 42L)
+      val s = if (arr.isNullAt(i)) UTF8String.EMPTY_UTF8 else arr.getUTF8String(i)
+      val h = XXH64.hashUTF8String(s, 42L)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -216,11 +234,16 @@ case class BitmapFromIntsExpr(child: Expression, nBits: Int)
     val n = arr.numElements()
     var i = 0
     while (i < n) {
-      val id = (t match {
+      // range-check as LONG first: narrowing before the check would wrap
+      // out-of-int-range ids into valid range and set a spurious bit
+      val idL = t match {
         case LongType => arr.getLong(i)
         case IntegerType => arr.getInt(i).toLong
-      }).toInt
-      if (id >= 0 && id < nBits) words(id / 64) |= (1L << (id % 64))
+      }
+      if (idL >= 0 && idL < nBits) {
+        val id = idL.toInt
+        words(id / 64) |= (1L << (id % 64))
+      }
       i += 1
     }
     new GenericArrayData(words)

@@ -21,6 +21,32 @@ object LlmHttpClients {
     * 5-minute client (service.go:321,372). */
   val DefaultTimeoutMs: Long = 300000L
 
+  /** Bounded retry for transient transport failures (connect errors,
+    * 429, 5xx): `attempts` total tries with linear backoff. Non-transient
+    * failures (auth, bad request, malformed response) propagate
+    * immediately — retrying those only delays the real error. */
+  private[llm] def withRetry[A](attempts: Int = 3, backoffMs: Long = 500L)
+                               (isTransient: Throwable => Boolean)(body: => A): A = {
+    var tries = 0
+    while (true) {
+      tries += 1
+      try return body
+      catch {
+        case e: Throwable if tries < attempts && isTransient(e) =>
+          Thread.sleep(backoffMs * tries)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  private[llm] def transientStatus(e: Throwable): Boolean = e match {
+    case _: java.io.IOException => true // connect reset / timeout
+    case r: RuntimeException =>
+      val m = Option(r.getMessage).getOrElse("")
+      m.contains("rate limit") || m.contains("status 5")
+    case _ => false
+  }
+
   /** Provider/model selection from the environment
     * (service.go:26-86,201-206): the mock flag wins (PIPEGEN_MOCK_OPENAI,
     * service.go:124-129), then an Ollama model selects Ollama (default
@@ -59,7 +85,8 @@ final class OllamaClient(baseUrl: String, val model: String,
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
-  override def complete(prompt: String): String = {
+  override def complete(prompt: String): String =
+    LlmHttpClients.withRetry()(LlmHttpClients.transientStatus) {
     val body = mapper.createObjectNode()
     body.put("model", model)
     body.put("prompt", prompt)
@@ -73,6 +100,7 @@ final class OllamaClient(baseUrl: String, val model: String,
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
       throw new RuntimeException(
+        (if (resp.statusCode() >= 500) s"status 5xx (${resp.statusCode()}): " else "") +
         s"ollama API returned status ${resp.statusCode()}. Is the model '$model' " +
           s"installed? Run: ollama pull $model") // service.go:330
     val node = mapper.readTree(resp.body())
@@ -92,7 +120,8 @@ final class OpenAiClient(baseUrl: String, apiKey: String, val model: String,
   private val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(timeoutMs)).build()
 
-  override def complete(prompt: String): String = {
+  override def complete(prompt: String): String =
+    LlmHttpClients.withRetry()(LlmHttpClients.transientStatus) {
     val body = mapper.createObjectNode()
     body.put("model", model)
     val messages = body.putArray("messages")
@@ -125,11 +154,19 @@ final class OpenAiClient(baseUrl: String, apiKey: String, val model: String,
     }
 
     val node = mapper.readTree(resp.body())
-    if (node.has("error") && !node.get("error").isNull)
-      throw new RuntimeException(
-        s"OpenAI API error: ${node.get("error").get("message").asText()}")
+    if (node.has("error") && !node.get("error").isNull) {
+      // the error node may be an object with a message, or a bare string —
+      // reporting must not NPE and mask the actual error text
+      val err = node.get("error")
+      val msg = Option(err.get("message")).map(_.asText()).getOrElse(err.asText())
+      throw new RuntimeException(s"OpenAI API error: $msg")
+    }
     val choices = node.get("choices")
     require(choices != null && choices.size() > 0, "OpenAI API returned no choices")
-    choices.get(0).get("message").get("content").asText()
+    val content = Option(choices.get(0).get("message")).flatMap(m => Option(m.get("content")))
+      .filterNot(_.isNull)
+      .getOrElse(throw new RuntimeException(
+        s"OpenAI API choice carries no message content: ${choices.get(0)}"))
+    content.asText()
   }
 }

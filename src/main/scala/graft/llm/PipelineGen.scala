@@ -88,10 +88,16 @@ object PipelineGen {
     * opening quotes. */
   private[llm] def fixCommonJsonIssues(in: String): String = {
     var s = in
-    // backtick template literals -> JSON strings (escape inner quotes/newlines)
-    s = "(?s)`([^`]*)`".r.replaceAllIn(s, m =>
+    // backtick template literals -> JSON strings (escape inner quotes/
+    // newlines). Only spans in a VALUE position (after : , or [) are
+    // rewritten: the prompt demands Spark SQL, whose identifier quote IS
+    // the backtick, so an unanchored rewrite would corrupt valid
+    // responses containing `quoted identifiers` inside proper strings
+    // (and one backtick in each of two values would swallow the JSON
+    // structure between them).
+    s = "(?s)([:,\\[]\\s*)`([^`]*)`".r.replaceAllIn(s, m =>
       Regex.quoteReplacement(
-        "\"" + m.group(1).replace("\\", "\\\\").replace("\"", "\\\"")
+        m.group(1) + "\"" + m.group(2).replace("\\", "\\\\").replace("\"", "\\\"")
           .replace("\n", "\\n").replace("\r", "").replace("\t", "\\t") + "\""))
     // triple-quoted strings -> plain strings
     s = "(?s)\"\"\"(.*?)\"\"\"".r.replaceAllIn(s, m =>

@@ -62,8 +62,11 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val (w, h, meanE4) = decodeStub(r.payload)
-          MediaFeatures(r.media_id, r.payload.length.toLong, w, h, meanE4)
+          // a NULL payload column deserializes to null — treat as an
+          // empty media object rather than NPE-failing the whole stage
+          val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+          val (w, h, meanE4) = decodeStub(payload)
+          MediaFeatures(r.media_id, payload.length.toLong, w, h, meanE4)
         }
       }
   }
@@ -110,7 +113,8 @@ object Multimodal {
       .as[MediaRow]
       .mapPartitions { rows =>
         rows.map { r =>
-          val out = resizeStub(r.payload, tw, th)
+          val payload = if (r.payload == null) Array.emptyByteArray else r.payload
+          val out = resizeStub(payload, tw, th)
           var s = 0L
           var i = 0
           while (i < out.length) { s += (out(i) & 0xFF); i += 1 }

@@ -107,4 +107,53 @@ class SketchExpressionsSpec extends SparkSpec {
     // the negated vector flips every sign bit
     assert(rows(0).zip(rows(2)).forall { case (a, b) => (a ^ b) == -1L })
   }
+
+  test("minhashSig/simhash64 declare nullable (empty input -> null survives the optimizer)") {
+    import graft.functions.{MinHashSigExpr, SimHash64Expr}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    // the expressions return null for empty arrays even over a
+    // non-nullable child — inheriting child.nullable would let the
+    // optimizer remove isNotNull filters and unbox nulls in codegen
+    val nonNullableChild = Literal.create(Seq.empty[String],
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false))
+    assert(!nonNullableChild.nullable)
+    assert(MinHashSigExpr(nonNullableChild, 8).nullable)
+    assert(SimHash64Expr(nonNullableChild).nullable)
+    // and the empty-array filter downstream actually keeps working
+    val sp = spark
+    import sp.implicits._
+    val sigs = Seq("", "a b c").toDF("text")
+      .select(minhashSig(wordShingles(tokens(col("text")), 2), 8).as("sig"))
+      .filter(col("sig").isNotNull)
+    assert(sigs.count() == 1)
+  }
+
+  test("null array elements hash as empty strings instead of crashing") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(Seq[String]("a", null, "b")).toDF("toks")
+    // none of these should NPE; the null element behaves as ""
+    val sig = df.select(minhashSig(col("toks"), 4)).head().getSeq[Long](0)
+    val sigRef = Seq(Seq[String]("a", "", "b")).toDF("toks")
+      .select(minhashSig(col("toks"), 4)).head().getSeq[Long](0)
+    assert(sig == sigRef)
+    val sh = df.select(wordShingles(col("toks"), 2)).head().getSeq[String](0)
+    assert(sh == Seq("a ", " b"))
+    df.select(simhash64(col("toks"))).head().getLong(0) // must not throw
+  }
+
+  test("bitmap_from_ints drops out-of-int-range longs instead of wrapping them") {
+    val sp = spark
+    import sp.implicits._
+    // 2^32+5 wrapped to 5 under the old int-narrowing and set a spurious bit
+    val bm = Seq(Seq(1L, (1L << 32) + 5L)).toDF("ids")
+      .select(bitmapFromInts(col("ids"), 64).as("bm"),
+        bitmapFromInts(typedLit(Seq(5L)), 64).as("probe"))
+      .select(bitAndCount(col("bm"), col("probe")).as("overlap"),
+        bitAndCount(col("bm"), col("bm")).as("card"))
+      .head()
+    assert(bm.getLong(0) == 0L, "wrapped id must not set bit 5")
+    assert(bm.getLong(1) == 1L, "only the in-range id is set")
+  }
 }

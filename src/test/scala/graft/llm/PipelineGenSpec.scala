@@ -22,6 +22,20 @@ class PipelineGenSpec extends SparkSpec {
     assert(p.sqlStatements("a.sql") == "SELECT 1\nFROM \"t\"")
   }
 
+  test("repair leaves valid JSON with backtick-quoted Spark identifiers untouched") {
+    // backtick is Spark SQL's identifier quote — a well-formed response
+    // whose SQL strings contain `order id` must not be rewritten (the old
+    // unanchored rewrite corrupted it, and one backtick in each of two
+    // values swallowed the JSON structure between them)
+    val p = PipelineGen.parse(
+      "{\"input_schema\": \"{}\", \"output_schema\": \"{}\", " +
+        "\"sql_statements\": {\"a.sql\": \"SELECT `order id` FROM t\", " +
+        "\"b.sql\": \"SELECT `user id` FROM u\"}, " +
+        "\"description\": \"d\", \"optimizations\": []}")
+    assert(p.sqlStatements("a.sql") == "SELECT `order id` FROM t")
+    assert(p.sqlStatements("b.sql") == "SELECT `user id` FROM u")
+  }
+
   test("repair: triple quotes and trailing commas") {
     val p = PipelineGen.parse(
       "{\"input_schema\": \"{}\", \"output_schema\": \"{}\", " +
