@@ -1,5 +1,9 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{Dedup, Similarity}
+
 /** Benchmark main (driver contract): runs every SparkEntry query against
   * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query wall times.
   *
@@ -18,6 +22,33 @@ package graft
   *    clean plan). Min-of-N measures the code, not the noise.
   */
 object Bench {
+
+  /** Bench-only entries for the PRODUCTION candidate generators alone,
+    * with the exact parameters their self-verifying `dedup_*`/`sim_ann_*`
+    * gate queries use — the gates deliberately run an exact brute-force
+    * arm next to the operator to compute their contract, so the gate
+    * timing measures the gate, not the operator
+    * (VERDICT_r04 "what's wrong" #2). `op_X` here vs the gate entry in
+    * `queries` attributes the cost: gate − op ≈ contract overhead. These
+    * are NOT correctness entries (the operators' oracle checks live in the
+    * gate queries); they only exist so the bench line makes operator cost
+    * visible. */
+  val operatorBenches: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "op_dedup_minhash" -> ((s, dir) =>
+      Dedup.minHashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)),
+    "op_dedup_simhash" -> ((s, dir) =>
+      Dedup.simHashNearDups(Tables(s, dir, "documents"), "doc_id", "text",
+        maxDist = 3)),
+    "op_sim_ann_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        dim = 64, rowsPerBand = 4, bands = 24, seed = 42, simThreshold = 0.3)),
+    "op_sim_ann_ivf" -> ((s, dir) =>
+      Similarity.ivfNearDupPairs(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)))
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.local("graft-bench",
@@ -33,7 +64,7 @@ object Bench {
     catch { case _: Throwable => () }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = (SparkEntry.queries ++ operatorBenches).toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()

@@ -5,9 +5,12 @@ import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 import graft.GraftSession
+import graft.avro.InMemorySchemaRegistry
 import graft.generator.Scaffold
-import graft.runner.{Clean, Dashboard, GraftRunner, MetricsCollector}
+import graft.llm.LlmHttpClients
+import graft.runner.{Clean, Dashboard, Deploy, GraftRunner, MetricsCollector, Resources}
 import graft.statements.Statements
+import graft.streaming.Topics
 
 /** Unified command-line front-end — the `pipegen` verb surface
   * (reference: cmd/root.go:37-53 persistent flags + `.pipegen.yaml` via
@@ -54,7 +57,15 @@ object Cli {
       force: Boolean = false,
       inputCsv: Option[Path] = None,
       projectName: String = "graft-pipeline",
-      initDir: Option[Path] = None) {
+      initDir: Option[Path] = None,
+      // deploy-verb knobs (cmd/deploy.go:30-37): --clean recreates topics,
+      // --startup-timeout caps the service waiter, --with-schema-registry
+      // gates registration; URLs come from flags or graft.yaml
+      clean: Boolean = false,
+      startupTimeoutMs: Long = 120000L,
+      withSchemaRegistry: Boolean = true,
+      schemaRegistryUrl: Option[String] = None,
+      bootstrapServers: Option[String] = None) {
 
     /** The run-verb mapping onto the orchestrator's config. */
     def toRunnerConfig: GraftRunner.Config = GraftRunner.Config(
@@ -68,7 +79,7 @@ object Cli {
   }
 
   val usage: String =
-    """usage: graft <init|run|validate|clean|dashboard> [flags]
+    """usage: graft <init|run|validate|deploy|check|clean|dashboard|version> [flags]
       |  init <dir>     --project-name N --input-csv F --force
       |  run            --project-dir D --run-dir D --config F
       |                 --message-rate 100 --duration 30s --pipeline-timeout 5m
@@ -76,10 +87,16 @@ object Cli {
       |                 --dashboard --dashboard-port 3000
       |                 --generate-report true|false --cleanup true|false
       |  validate       --project-dir D
+      |  deploy         --project-dir D --run-dir D --clean --dry-run
+      |                 --startup-timeout 2m --with-schema-registry true|false
+      |                 --schema-registry-url U --bootstrap-servers H:P
+      |  check          (AI provider configuration + connectivity)
       |  clean          --run-dir D
-      |  dashboard      --port 3000""".stripMargin
+      |  dashboard      --port 3000
+      |  version""".stripMargin
 
-  private val verbs = Set("init", "run", "validate", "clean", "dashboard")
+  private val verbs =
+    Set("init", "run", "validate", "deploy", "check", "clean", "dashboard", "version")
 
   /** `30s` / `5m` / `1500ms` / `1h` → milliseconds. Go-style duration
     * literals (cmd/run.go uses time.Duration flags); a bare number is an
@@ -98,17 +115,25 @@ object Cli {
 
   /** Minimal `key: value` YAML subset — exactly the shape Scaffold emits
     * (and the reference's flat `.pipegen.yaml` keys). Comments (#) and
-    * blank lines ignored; nested keys are out of scope for this config. */
+    * blank lines ignored; nested keys are out of scope for this config.
+    * A `#` only opens a comment at line start or after whitespace — YAML
+    * semantics — so values like `http://host/path#frag` survive intact. */
   def loadYaml(path: Path): Map[String, String] =
     if (!Files.isRegularFile(path)) Map.empty
     else Files.readAllLines(path).asScala.iterator
-      .map(_.takeWhile(_ != '#').trim)
+      .map(stripYamlComment(_).trim)
       .filter(l => l.nonEmpty && l.contains(":"))
       .map { l =>
         val i = l.indexOf(':')
         l.take(i).trim -> l.drop(i + 1).trim
       }
       .toMap
+
+  private def stripYamlComment(line: String): String = {
+    val i = line.indices.find(i =>
+      line(i) == '#' && (i == 0 || line(i - 1).isWhitespace))
+    i.map(line.take).getOrElse(line)
+  }
 
   /** Pure flag parser: (argv) → CliConfig or an error message. Config-file
     * values (graft.yaml / --config) fill anything not set explicitly. */
@@ -120,7 +145,7 @@ object Cli {
     // split "--k v" pairs (and bare --flags) into a map + positionals
     var flags = Map.empty[String, String]
     var positional = List.empty[String]
-    val boolFlags = Set("force", "dry-run", "dashboard")
+    val boolFlags = Set("force", "dry-run", "dashboard", "clean")
     var rest = args.tail.toList
     while (rest.nonEmpty) rest match {
       case f :: tl if f.startsWith("--") =>
@@ -160,7 +185,12 @@ object Cli {
       duration <- pickDuration("duration", "duration", 30000L)
       timeout <- pickDuration("pipeline-timeout", "pipeline_timeout", 300000L)
       port <- pickInt("dashboard-port", "dashboard_port", 3000)
-      plainPort <- pickInt("port", "port", port)
+      // `--port`/`port:` belong to the dashboard verb only — a stray
+      // `port:` yaml key must not override --dashboard-port for `run`
+      plainPort <- if (verb == "dashboard") pickInt("port", "port", port)
+                   else Right(port)
+      startupTimeout <- pickDuration("startup-timeout", "startup_timeout", 120000L)
+      withRegistry <- pickBool("with-schema-registry", "with_schema_registry", dflt = true)
       cleanup <- pickBool("cleanup", "cleanup", dflt = true)
       report <- pickBool("generate-report", "generate_report", dflt = true)
       expected <- pick("expected-messages", "expected_messages") match {
@@ -193,7 +223,12 @@ object Cli {
         .orElse(yaml.get("project"))
         .orElse(positional.headOption.map(d => Paths.get(d).getFileName.toString))
         .getOrElse("graft-pipeline"),
-      initDir = positional.headOption.map(Paths.get(_)))
+      initDir = positional.headOption.map(Paths.get(_)),
+      clean = flags.get("clean").contains("true"),
+      startupTimeoutMs = startupTimeout,
+      withSchemaRegistry = withRegistry,
+      schemaRegistryUrl = pick("schema-registry-url", "schema_registry_url"),
+      bootstrapServers = pick("bootstrap-servers", "bootstrap_servers"))
   }
 
   /** `validate` verb (reference cmd/validate.go + cmd/validate_test.go):
@@ -210,6 +245,88 @@ object Cli {
         Statements.validate(spark, s.content).map(err => s"${s.name}: $err"))
     }
   }
+
+  /** Version info (reference cmd/version.go:28-38: name + build metadata).
+    * The Spark-native analog reports the engine plus its runtime versions
+    * — the facts a bug report needs. */
+  val Version: String = "0.5.0"
+  def versionLines: Seq[String] = Seq(
+    s"graft $Version",
+    s"Spark: ${org.apache.spark.SPARK_VERSION}",
+    s"Scala: ${scala.util.Properties.versionNumberString}")
+
+  /** `deploy --dry-run`: the resources `deploy` WOULD provision (topics,
+    * checkpoint dirs, registry subjects), derived purely from the project
+    * layout — no Spark session, no side effects. */
+  def deployPlan(cfg: CliConfig): Seq[String] = {
+    val statements = Statements.load(cfg.projectDir.resolve("sql"))
+    val resources = Resources.generate(statements)
+    val schemasDir = cfg.projectDir.resolve("schemas")
+    val schemaNames =
+      if (Files.isDirectory(schemasDir))
+        graft.avro.AvroSchemas.loadDirectory(schemasDir).keys.toSeq.sorted
+      else Seq.empty
+    val subjects = schemaNames.flatMap { name =>
+      val topic = if (name == "output") resources.outputTopic else resources.inputTopic
+      if (name == "output") Seq(s"$topic-value", s"$topic-key") else Seq(s"$topic-value")
+    }
+    Seq(s"project-dir: ${cfg.projectDir}") ++
+      resources.topics.map(t => s"  topic: $t") ++
+      statements.filter(s => Statements.classify(s.content) == Statements.Insert)
+        .map(s => s"  checkpoint: ${s.name}") ++
+      (if (cfg.withSchemaRegistry) subjects.sorted.map(s => s"  subject: $s") else Seq.empty)
+  }
+
+  /** `check` verb logic (reference cmd/check.go:29-66 +
+    * internal/llm/utils.go:22-80): detect the provider from env, then
+    * probe connectivity — Ollama's `/api/tags` must answer 200 and list
+    * the model (or `model:latest`); non-Ollama providers need no probe
+    * (utils.go:24-26). Pure over (env, httpGet) so CliSpec can drive it
+    * against an in-process endpoint. Returns (report lines, ready). */
+  def checkProvider(env: Map[String, String],
+                    httpGet: String => Either[String, String]): (Seq[String], Boolean) =
+    LlmHttpClients.fromEnv(env) match {
+      case Left(_) =>
+        (Seq(
+          "no AI provider configured",
+          "to enable AI features, set PIPEGEN_OLLAMA_MODEL (local) or " +
+            "PIPEGEN_OPENAI_API_KEY (cloud)"), false)
+      case Right(client: graft.llm.OllamaClient) =>
+        val baseUrl = env.getOrElse("PIPEGEN_OLLAMA_URL", "http://localhost:11434")
+        val info = s"provider: Ollama (local) - Model: ${client.model}, URL: $baseUrl"
+        httpGet(s"${baseUrl.stripSuffix("/")}/api/tags") match {
+          case Left(_) =>
+            (Seq(info,
+              s"ollama is not running at $baseUrl. Start it with: ollama serve"), false)
+          case Right(body) =>
+            val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+            val models = Option(mapper.readTree(body).get("models"))
+              .map(arr => (0 until arr.size()).map(i => arr.get(i).get("name").asText()))
+              .getOrElse(Seq.empty)
+            if (models.contains(client.model) || models.contains(s"${client.model}:latest"))
+              (Seq(info, "AI provider is ready"), true)
+            else
+              (Seq(info, s"model '${client.model}' is not installed. " +
+                s"Install it with: ollama pull ${client.model}"), false)
+        }
+      case Right(client: graft.llm.OpenAiClient) =>
+        (Seq(s"provider: OpenAI (cloud) - Model: ${client.model}",
+          "AI provider is ready"), true)
+      case Right(_) =>
+        (Seq("provider: mock", "AI provider is ready"), true)
+    }
+
+  private def defaultHttpGet(url: String): Either[String, String] =
+    try {
+      val http = java.net.http.HttpClient.newBuilder()
+        .connectTimeout(java.time.Duration.ofSeconds(5)).build()
+      val resp = http.send(
+        java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET()
+          .timeout(java.time.Duration.ofSeconds(5)).build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      if (resp.statusCode() == 200) Right(resp.body())
+      else Left(s"status ${resp.statusCode()}")
+    } catch { case e: Exception => Left(e.toString) }
 
   /** `run --dry-run` (reference cmd/run.go dry-run): the would-be plan as
     * printable lines, no Spark work. */
@@ -266,6 +383,48 @@ object Cli {
       Clean.removeRunDir(runDir)
       println(s"removed $runDir")
 
+    case "version" =>
+      versionLines.foreach(println)
+
+    case "check" =>
+      val (lines, _) = checkProvider(sys.env, defaultHttpGet)
+      lines.foreach(println)
+
+    case "deploy" =>
+      // cmd/deploy.go:39-213 minus the compose lifecycle (in-process
+      // engine): validate layout, optionally wait for external services,
+      // create topics/checkpoints, register schemas
+      if (cfg.dryRun) { deployPlan(cfg).foreach(println); return }
+      val spark = GraftSession.local("graft-deploy")
+      try {
+        val runDir = cfg.runDir.getOrElse(cfg.projectDir.resolve("run"))
+        val topics = Topics.forSession(spark, runDir.toString)
+        val registry: graft.avro.SchemaRegistry = cfg.schemaRegistryUrl match {
+          case Some(url) if cfg.withSchemaRegistry =>
+            new graft.avro.HttpSchemaRegistry(url)
+          case _ => new InMemorySchemaRegistry
+        }
+        val services =
+          cfg.bootstrapServers.map(b =>
+            Deploy.ServiceCheck("kafka", b, "tcp")).toSeq ++
+          (if (cfg.withSchemaRegistry)
+            cfg.schemaRegistryUrl.map(u =>
+              Deploy.ServiceCheck("schema-registry", s"${u.stripSuffix("/")}/subjects", "http"))
+          else None)
+        val waiter =
+          if (services.isEmpty) None
+          else Some(new Deploy.ServiceWaiter(services, timeoutMs = cfg.startupTimeoutMs))
+        if (cfg.clean) { // deploy.go --clean: recreate from scratch
+          val resources = Resources.generate(Statements.load(cfg.projectDir.resolve("sql")))
+          resources.topics.filter(topics.topicExists).foreach(topics.deleteTopic)
+        }
+        val result = Deploy.run(spark, cfg.projectDir, topics, registry, waiter)
+        result.topics.foreach(t => println(s"topic: $t"))
+        result.checkpoints.foreach(c => println(s"checkpoint: $c"))
+        result.registeredSubjects.foreach(s => println(s"subject: $s"))
+        println("deployed")
+      } finally spark.stop()
+
     case "dashboard" =>
       // standalone mode (cmd/dashboard.go --standalone): serve the empty
       // collector until interrupted
@@ -276,6 +435,10 @@ object Cli {
     case "run" =>
       if (cfg.dryRun) { dryRunPlan(cfg).foreach(println); return }
       val spark = GraftSession.local("graft-run")
+      // a timed-out run must FAIL the command (cmd/run.go fails on
+      // --pipeline-timeout expiry), not just print to stderr — the
+      // watchdog records the expiry and the exit code reflects it
+      val timedOut = new java.util.concurrent.atomic.AtomicBoolean(false)
       try {
         val rcfg = cfg.toRunnerConfig
         // overall pipeline timeout (cmd/run.go --pipeline-timeout):
@@ -284,6 +447,7 @@ object Cli {
         val watchdog = new Thread(() => {
           try {
             Thread.sleep(cfg.pipelineTimeoutMs)
+            timedOut.set(true)
             Console.err.println(s"pipeline timeout after ${cfg.pipelineTimeoutMs} ms")
             Clean.stopQueries(spark)
           } catch { case _: InterruptedException => () }
@@ -297,12 +461,14 @@ object Cli {
         try {
           val result = GraftRunner.run(spark, rcfg)
           watchdog.interrupt()
-          println(s"execution ${result.executionId}: ${result.status}, " +
+          val status = if (timedOut.get) "TIMEOUT" else result.status
+          println(s"execution ${result.executionId}: $status, " +
             s"produced=${result.produced}, output=${result.outputRows}, " +
             s"took ${result.durationMs} ms" +
             result.reportPath.map(p => s", report $p").getOrElse(""))
           if (cfg.cleanup) Clean.removeRunDir(rcfg.runDir)
         } finally dash.foreach(_.stop())
       } finally spark.stop()
+      if (timedOut.get) sys.exit(1)
   }
 }

@@ -17,6 +17,12 @@ import com.fasterxml.jackson.databind.ObjectMapper
   */
 object LlmHttpClients {
 
+  /** Non-2xx API response, classified by the actual status code so the
+    * retry policy never has to pattern-match message text (a message that
+    * merely *contains* "status 5" must not trigger a retry). */
+  final case class HttpStatusException(status: Int, msg: String)
+      extends RuntimeException(msg)
+
   /** Generation calls run minutes, not seconds — the reference uses a
     * 5-minute client (service.go:321,372). */
   val DefaultTimeoutMs: Long = 300000L
@@ -41,9 +47,7 @@ object LlmHttpClients {
 
   private[llm] def transientStatus(e: Throwable): Boolean = e match {
     case _: java.io.IOException => true // connect reset / timeout
-    case r: RuntimeException =>
-      val m = Option(r.getMessage).getOrElse("")
-      m.contains("rate limit") || m.contains("status 5")
+    case HttpStatusException(code, _) => code == 429 || code >= 500
     case _ => false
   }
 
@@ -99,8 +103,7 @@ final class OllamaClient(baseUrl: String, val model: String,
         .build(),
       HttpResponse.BodyHandlers.ofString())
     if (resp.statusCode() != 200)
-      throw new RuntimeException(
-        (if (resp.statusCode() >= 500) s"status 5xx (${resp.statusCode()}): " else "") +
+      throw LlmHttpClients.HttpStatusException(resp.statusCode(),
         s"ollama API returned status ${resp.statusCode()}. Is the model '$model' " +
           s"installed? Run: ollama pull $model") // service.go:330
     val node = mapper.readTree(resp.body())
@@ -143,13 +146,13 @@ final class OpenAiClient(baseUrl: String, apiKey: String, val model: String,
 
     resp.statusCode() match {
       case 200 => ()
-      case 401 => throw new RuntimeException( // service.go:384
+      case 401 => throw LlmHttpClients.HttpStatusException(401, // service.go:384
         "OpenAI API authentication failed. Please check your PIPEGEN_OPENAI_API_KEY environment variable")
-      case 429 => throw new RuntimeException(
+      case 429 => throw LlmHttpClients.HttpStatusException(429,
         "OpenAI API rate limit exceeded. Please try again in a few minutes")
-      case 400 => throw new RuntimeException(
+      case 400 => throw LlmHttpClients.HttpStatusException(400,
         s"OpenAI API bad request (status 400): ${resp.body()}")
-      case other => throw new RuntimeException(
+      case other => throw LlmHttpClients.HttpStatusException(other,
         s"OpenAI API returned status $other: ${resp.body()}")
     }
 

@@ -29,6 +29,11 @@ import graft.functions.{cosineSim, dotProduct, hyperplaneBits, ivfAssign, l2Norm
   */
 object Similarity {
 
+  /** Above this k, [[trainIvfCentroids]] switches from exact distributed
+    * farthest-point init (k−1 TakeOrdered scans, quadratic in k) to the
+    * k-means‖-style oversample + driver-local refine. */
+  val FarthestPointExactK: Int = 16
+
   /** Per-band numeric bucket keys from packed hyperplane sign bits:
     * band i covers bits [i*r, (i+1)*r); key packs (band, bits) so a single
     * equality join covers all bands after an explode. */
@@ -68,8 +73,8 @@ object Similarity {
     val numPlanes = rowsPerBand * bands
     // persist: base feeds the banded self-join AND both verify joins —
     // without it the O(dim·numPlanes)-per-row hyperplane projection (and
-    // the source scan) re-executes once per reference (same discipline as
-    // trainIvfCentroids; reclaimed by clearCache/session end)
+    // the source scan) re-executes once per reference. Released before
+    // return by materializeAndRelease.
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       l2NormSq(col(embCol)).as("nsq"),
       hyperplaneBits(col(embCol), dim, numPlanes, seed).as("bits"))
@@ -81,7 +86,21 @@ object Similarity {
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold)
+    materializeAndRelease(
+      verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold),
+      base)
+  }
+
+  /** Eagerly materialize the (small) verified pair output so the persisted
+    * working set can be unpersisted BEFORE returning — a long-lived session
+    * calling these operators repeatedly must not accumulate CacheManager
+    * entries that only `spark.catalog.clearCache()` reclaims. The
+    * checkpoint blocks themselves are ContextCleaner-managed: they are
+    * dropped when the returned frame is garbage-collected. */
+  private def materializeAndRelease(out: DataFrame, cached: DataFrame): DataFrame = {
+    val result = out.localCheckpoint(eager = true)
+    cached.unpersist()
+    result
   }
 
   /** Exact cosine verification of candidate (id_a, id_b) pairs — the shared
@@ -147,37 +166,81 @@ object Similarity {
       if (n == 0) v else v.map(_ / n)
     }
 
-    // Farthest-point (k-means++-style, deterministic) init: first seed by
-    // xxhash64 rank, then greedily the point whose max cosine to the chosen
-    // set is smallest (ties -> lower id). Guards against the plain random
-    // sample landing several seeds in one dense cluster and Lloyd merging
-    // cells. Cost: k-1 extra TakeOrdered scans over the training set — at
-    // 100 TB you train on a ~1% sample (`trainFraction`), where k scans of
-    // the sample are noise next to the full-corpus assignment pass.
-    val first = base
-      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      .limit(1)
-      .select(col("emb"))
-      .collect()
-    require(first.nonEmpty, "empty training set for IVF centroids")
+    // Farthest-point (k-means++-style, deterministic) init. Two regimes:
+    //
+    //  - k <= FarthestPointExactK: first seed by xxhash64 rank, then
+    //    greedily the point whose max cosine to the chosen set is smallest
+    //    (ties -> lower id), each step one TakeOrdered scan. Guards
+    //    against the plain random sample landing several seeds in one
+    //    dense cluster and Lloyd merging cells. Cost: k-1 scans, each
+    //    projecting `greatest` over the chosen set — O(k²·dim) per row by
+    //    the last pass, fine for small k but quadratic in k.
+    //  - k > FarthestPointExactK (the 100 TB regime, k ≈ √N in the
+    //    thousands): k-means‖-style — ONE TakeOrdered oversample by
+    //    xxhash64 rank (max(64·k, 4096) candidate rows to the driver,
+    //    k×dim-scale, never the data), then the same greedy farthest-point
+    //    refine LOCALLY over the candidates: O(|cand|·k·dim) driver flops
+    //    instead of k distributed scans. Deterministic for a given seed
+    //    (hash-ranked sample; ties broken by sample order).
     var cents: Seq[Seq[Double]] =
-      Seq(normalized(first.head.getSeq[Double](0).toArray).toSeq)
-    val dim = cents.head.length
-    while (cents.size < k) {
-      val cosines = cents.map { c =>
-        dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq"))
+      if (k <= FarthestPointExactK) {
+        val first = base
+          .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+          .limit(1)
+          .select(col("emb"))
+          .collect()
+        require(first.nonEmpty, "empty training set for IVF centroids")
+        var cs: Seq[Seq[Double]] =
+          Seq(normalized(first.head.getSeq[Double](0).toArray).toSeq)
+        while (cs.size < k) {
+          val cosines = cs.map { c =>
+            dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq"))
+          }
+          val maxCos =
+            if (cosines.size == 1) cosines.head
+            else greatest(cosines: _*)
+          val next = base
+            .select(col("id"), col("emb"), maxCos.as("max_cos"))
+            .orderBy(col("max_cos"), col("id"))
+            .limit(1)
+            .select(col("emb"))
+            .collect()
+          cs = cs :+ normalized(next.head.getSeq[Double](0).toArray).toSeq
+        }
+        cs
+      } else {
+        val sampleSize = math.max(64 * k, 4096)
+        val cand = base
+          .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+          .limit(sampleSize)
+          .select(col("emb"))
+          .collect()
+          .map(r => normalized(r.getSeq[Double](0).toArray))
+        require(cand.nonEmpty, "empty training set for IVF centroids")
+        require(cand.length >= k,
+          s"IVF k=$k exceeds the ${cand.length}-row training set — size k to the corpus")
+        val chosen = new Array[Array[Double]](k)
+        chosen(0) = cand(0) // lowest hash rank == the distributed first seed
+        val maxCos = Array.fill(cand.length)(-2.0)
+        for (step <- 1 until k) {
+          val last = chosen(step - 1)
+          var best = -1
+          var bestCos = Double.MaxValue
+          var i = 0
+          while (i < cand.length) {
+            var d = 0.0
+            val v = cand(i)
+            var j = 0
+            while (j < v.length && j < last.length) { d += v(j) * last(j); j += 1 }
+            if (d > maxCos(i)) maxCos(i) = d
+            if (maxCos(i) < bestCos) { bestCos = maxCos(i); best = i }
+            i += 1
+          }
+          chosen(step) = cand(best)
+        }
+        chosen.map(_.toSeq).toSeq
       }
-      val maxCos =
-        if (cosines.size == 1) cosines.head
-        else greatest(cosines: _*)
-      val next = base
-        .select(col("id"), col("emb"), maxCos.as("max_cos"))
-        .orderBy(col("max_cos"), col("id"))
-        .limit(1)
-        .select(col("emb"))
-        .collect()
-      cents = cents :+ normalized(next.head.getSeq[Double](0).toArray).toSeq
-    }
+    val dim = cents.head.length
 
     for (_ <- 1 to lloydIters) {
       // mean of row-normalized members per (cell, dim): partial+final agg,
@@ -229,7 +292,7 @@ object Similarity {
                       trainFraction: Double = 1.0): DataFrame = {
     val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed, trainFraction)
     // persist — base feeds the cell self-join and both verify joins (see
-    // lshNearDupPairs)
+    // lshNearDupPairs); released before return by materializeAndRelease
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
       l2NormSq(col(embCol)).as("nsq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -240,7 +303,9 @@ object Similarity {
         col("cell") === col("cell_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
-    verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold)
+    materializeAndRelease(
+      verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold),
+      base)
   }
 
   /** IVF-accelerated top-k for one query vector: probe the query's

@@ -87,18 +87,19 @@ object Embeddings extends QueryPack {
     //      recall_ok — LSH found >= 90% of the true pairs;
     //      nonempty  — the bucketing produced pairs at all.
     "sim_ann_lsh" -> ((s, dir) => {
-      // both sides feed two contract arms each (count + except): persist
-      // so the O(n²) brute join and the banding pipeline run once, not
-      // twice (storage reclaimed by clearCache/session end, same
-      // discipline as Dedup.jaccardPairs)
+      // both sides feed two contract arms each (count + except):
+      // materialize once via localCheckpoint so the O(n²) brute join and
+      // the banding pipeline run once, not twice. ContextCleaner-managed —
+      // blocks are released when the frames are GC'd, unlike persist whose
+      // CacheManager entries outlive the call until clearCache().
       val brute = queries("dedup_embedding_cosine")(s, dir)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val lsh = Similarity.lshNearDupPairs(Tables(s, dir, "embeddings"),
           "vec_id", "embedding",
           dim = 64, rowsPerBand = 4, bands = 24, seed = 42, simThreshold = 0.3)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       brute.agg(count(lit(1)).as("n_true"))
         .crossJoin(lsh.except(brute).agg(count(lit(1)).as("n_extra")))
         .crossJoin(lsh.agg(count(lit(1)).as("n_found")))
@@ -171,15 +172,15 @@ object Embeddings extends QueryPack {
     //    sim_ann_lsh — exact pair count anchored by DuckDB, subset via
     //    except, recall >= 0.9, nonempty.
     "sim_ann_ivf" -> ((s, dir) => {
-      // persist both sides — see sim_ann_lsh
+      // materialize both sides once — see sim_ann_lsh
       val brute = queries("dedup_embedding_cosine")(s, dir)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val ivf = Similarity.ivfNearDupPairs(Tables(s, dir, "embeddings"),
           "vec_id", "embedding",
           k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       brute.agg(count(lit(1)).as("n_true"))
         .crossJoin(ivf.except(brute).agg(count(lit(1)).as("n_extra")))
         .crossJoin(ivf.agg(count(lit(1)).as("n_found")))

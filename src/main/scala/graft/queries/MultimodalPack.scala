@@ -71,16 +71,20 @@ object MultimodalPack extends QueryPack {
     //      nonempty      — the banding produced candidates at all.
     "dedup_minhash_lsh" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // persist both pair sets: each feeds two contract arms (count +
-      // except), and the exact side's O(n²) bitmap loop must not run twice
+      // materialize both pair sets once: each feeds two contract arms
+      // (count + except), and the exact side's O(n²) bitmap loop must not
+      // run twice. localCheckpoint (not persist): the blocks are
+      // ContextCleaner-managed — released when the frames are GC'd, so
+      // repeated calls in a long session don't accumulate CacheManager
+      // entries that only clearCache() reclaims.
       val cand = Dedup.minHashNearDups(docs, "doc_id", "text",
           shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val exactHigh = Dedup.jaccardPairs(docs, "doc_id", "text",
           shingleN = 2, threshold = 0.8)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       exactHigh.agg(count(lit(1)).as("n_exact_high"))
         .crossJoin(exactHigh.except(cand).agg(count(lit(1)).as("n_missed")))
         .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
@@ -103,17 +107,17 @@ object MultimodalPack extends QueryPack {
     //                      seeds near-dups, so an empty set is a bug).
     "dedup_simhash" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      // persist both pair sets — each feeds two contract arms (see
-      // dedup_minhash_lsh)
+      // materialize both pair sets once — each feeds two contract arms
+      // (ContextCleaner-managed localCheckpoint, see dedup_minhash_lsh)
       val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val sh = Dedup.simHash(docs, "doc_id", "text")
       val brute = sh.toDF("id_a", "sh_a")
         .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
         .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
         .select(col("id_a"), col("id_b"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       docs.agg(count(lit(1)).as("n_docs"))
         .crossJoin(brute.except(banded).agg(count(lit(1)).as("n_missing")))
         .crossJoin(banded.except(brute).agg(count(lit(1)).as("n_extra")))

@@ -52,12 +52,16 @@ object Relational extends QueryPack {
     //    decimal inputs is precision+10 = 28, past the compact-long
     //    representation, so every row paid a BigDecimal add; the long
     //    sums stay in whole-stage codegen (2.4 s → ~0.8 s at sf0.1).
-    //    Exactness is unchanged: the monetary values have <= 2 decimals,
+    //    Correctness story: the monetary values have <= 2 decimals,
     //    round(x*100) recovers the exact integer (the true value is
-    //    integral, double error ~1e-10 — never near a .5 boundary), the
-    //    long sums are exact (< 2^53 through sf100), and long→double→
-    //    /100.0 produces the identical nearest-double the decimal cast
-    //    did. The oracle mirrors the same scaled-integer formulation.
+    //    integral, double error ~1e-10 — never near a .5 boundary), and
+    //    sum_qty/sum_base long totals stay exact (< 2^53) through sf100.
+    //    sum_disc's 10^-4-scaled total crosses 2^53 around sf100 (~6e17),
+    //    so its final long→double conversion is then rounded, not exact —
+    //    but both engines convert the IDENTICAL integer with the same
+    //    nearest-double rule, so the outputs remain bit-identical
+    //    cross-engine at every scale. The oracle mirrors the same
+    //    scaled-integer formulation.
     "q03_tpch_q1_agg" -> ((s, dir) => {
       val qc = round(col("l_quantity") * 100).cast("long")      // qty * 100
       val pc = round(col("l_extendedprice") * 100).cast("long") // cents

@@ -190,15 +190,19 @@ object Text extends QueryPack {
     //    TakeOrderedAndProject.
     "text_tfidf" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val n = docs.count() // corpus size: one scalar action, O(1) result
+      // corpus size as a 1-row scalar agg folded into the plan (broadcast
+      // crossJoin) — no driver action, so the whole query is one lazy plan
+      // and at 100 TB there is no extra full pass before the real job.
+      // cast-to-double order matches the oracle's CAST(n AS DOUBLE) + 1.0.
+      val nDf = broadcast(docs.agg(count(lit(1)).cast("double").as("nd")))
       val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val tf = terms.groupBy(col("doc_id"), col("term"))
         .agg(count(lit(1)).as("tf"))
       val df = terms.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term")
+      tf.join(broadcast(df), "term").crossJoin(nDf)
         .select(col("doc_id"), col("term"),
-          (col("tf") * (lit(n + 1.0) / (col("df") + lit(1.0))))
+          (col("tf") * ((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
             .cast(DecimalType(18, 4)).cast("double").as("tfidf"))
         .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
         .limit(20)
@@ -211,23 +215,32 @@ object Text extends QueryPack {
     //    expression tree mirrored token-for-token in the oracle, so both
     //    engines execute the identical op sequence on identical inputs.
     //    avgdl is derived the same way on both sides (exact integer token
-    //    total → double → one division). Plan shape: tf + dl are hash
-    //    aggs, df joins back BROADCAST, doc-length joins on doc_id,
+    //    total → double → one division). n and avgdl are 1-row scalar aggs
+    //    folded into the plan via broadcast crossJoin — zero driver
+    //    actions, so the query is one lazy plan (no extra full passes over
+    //    the terms relation before the real job). Plan shape: tf + dl are
+    //    hash aggs, df joins back BROADCAST, doc-length joins on doc_id,
     //    top-20 is TakeOrderedAndProject.
     "text_bm25" -> ((s, dir) => {
       val docs = Tables(s, dir, "documents")
-      val n = docs.count()
       val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val avgdl = dl.agg(sum(col("dl"))).head().getLong(0).toDouble / n
       val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       val df = terms.select(col("doc_id"), col("term")).distinct()
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term").join(dl, "doc_id")
+      // scalars: n (corpus count) and avgdl (= exact long token total cast
+      // to double, divided by n-as-double) — same IEEE op sequence as the
+      // oracle's `CAST(SUM(dl) AS DOUBLE) / n`.
+      val scalars = broadcast(
+        docs.agg(count(lit(1)).as("n"))
+          .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl")))
+          .select(col("n").cast("double").as("nd"),
+            (col("sum_dl") / col("n").cast("double")).as("avgdl")))
+      tf.join(broadcast(df), "term").join(dl, "doc_id").crossJoin(scalars)
         .select(col("doc_id"), col("term"),
           ((col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / lit(avgdl)))))
-            * (lit(n + 1.0) / (col("df") + lit(1.0))))
+              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+            * ((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
             .cast(DecimalType(18, 4)).cast("double").as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id"), col("term"))
         .limit(20)

@@ -117,6 +117,109 @@ class CliSpec extends AnyFunSuite {
     // project name defaults to the directory basename
     assert(cfg.projectName == "newproj")
   }
+
+  test("version verb parses and reports engine + runtime versions") {
+    assert(Cli.parse(Seq("version")).exists(_.verb == "version"))
+    assert(Cli.versionLines.exists(_.startsWith("graft ")))
+    assert(Cli.versionLines.exists(_.contains("Spark")))
+    assert(Cli.versionLines.exists(_.contains("Scala")))
+  }
+
+  test("yaml '#' only opens a comment at line start or after whitespace") {
+    val dir = Files.createTempDirectory("graft-cli-yamlhash")
+    Files.writeString(dir.resolve("graft.yaml"),
+      """schema_registry_url: http://host:8081/path#frag
+        |bootstrap_servers: kafka://h:9092   # trailing comment
+        |# full-line comment
+        |""".stripMargin)
+    val cfg = Cli.parse(Seq("deploy", "--project-dir", dir.toString)).toOption.get
+    assert(cfg.schemaRegistryUrl.contains("http://host:8081/path#frag"))
+    assert(cfg.bootstrapServers.contains("kafka://h:9092"))
+  }
+
+  test("a stray `port:` yaml key must not override --dashboard-port for run") {
+    val dir = Files.createTempDirectory("graft-cli-port")
+    Files.writeString(dir.resolve("graft.yaml"), "port: 9999\n")
+    val run = Cli.parse(Seq("run", "--project-dir", dir.toString,
+      "--dashboard-port", "3210")).toOption.get
+    assert(run.dashboardPort == 3210)
+    val runDefault = Cli.parse(Seq("run", "--project-dir", dir.toString)).toOption.get
+    assert(runDefault.dashboardPort == 3000)
+    // the dashboard verb DOES honor --port / port: (cmd/dashboard.go)
+    val dash = Cli.parse(Seq("dashboard", "--project-dir", dir.toString)).toOption.get
+    assert(dash.dashboardPort == 9999)
+    val dashFlag = Cli.parse(Seq("dashboard", "--project-dir", dir.toString,
+      "--port", "4100")).toOption.get
+    assert(dashFlag.dashboardPort == 4100)
+  }
+
+  test("deploy flags parse with reference defaults (cmd/deploy.go:30-37)") {
+    val dflt = Cli.parse(Seq("deploy")).toOption.get
+    assert(dflt.verb == "deploy")
+    assert(!dflt.clean && dflt.withSchemaRegistry)
+    assert(dflt.startupTimeoutMs == 120000L)
+    val cfg = Cli.parse(Seq("deploy", "--project-dir", "/tmp/p",
+      "--clean", "--startup-timeout", "30s",
+      "--with-schema-registry", "false",
+      "--schema-registry-url", "http://127.0.0.1:8081",
+      "--bootstrap-servers", "kafka://b:9092", "--dry-run")).toOption.get
+    assert(cfg.clean && cfg.dryRun && !cfg.withSchemaRegistry)
+    assert(cfg.startupTimeoutMs == 30000L)
+    assert(cfg.schemaRegistryUrl.contains("http://127.0.0.1:8081"))
+    assert(cfg.bootstrapServers.contains("kafka://b:9092"))
+  }
+
+  test("deploy --dry-run on a scaffolded project lists topics/checkpoints/subjects") {
+    val dir = Files.createTempDirectory("graft-cli-deploy-dry")
+    Scaffold.init(dir, "deploy-dry")
+    val cfg = Cli.parse(Seq("deploy", "--project-dir", dir.toString, "--dry-run")).toOption.get
+    val plan = Cli.deployPlan(cfg)
+    assert(plan.head.contains(dir.toString))
+    assert(plan.exists(l => l.trim.startsWith("topic: ")))
+    assert(plan.exists(_.contains("checkpoint: 03_create_processing")))
+    assert(plan.exists(l => l.trim.startsWith("subject: ") && l.endsWith("-value")))
+    assert(plan.exists(l => l.trim.startsWith("subject: ") && l.endsWith("-key")))
+    // --with-schema-registry false drops the registry subjects from the plan
+    val noReg = Cli.deployPlan(cfg.copy(withSchemaRegistry = false))
+    assert(!noReg.exists(_.trim.startsWith("subject: ")))
+  }
+
+  test("check: no provider configured reports setup guidance, not ready") {
+    val (lines, ready) = Cli.checkProvider(Map.empty, _ => Left("unused"))
+    assert(!ready)
+    assert(lines.exists(_.contains("no AI provider configured")))
+    assert(lines.exists(l => l.contains("PIPEGEN_OLLAMA_MODEL") &&
+      l.contains("PIPEGEN_OPENAI_API_KEY")))
+  }
+
+  test("check: Ollama ready iff /api/tags lists the model (utils.go:22-63)") {
+    val env = Map("PIPEGEN_OLLAMA_MODEL" -> "llama3.1",
+      "PIPEGEN_OLLAMA_URL" -> "http://127.0.0.1:11434")
+    // server down → "not running" guidance
+    val (downLines, downReady) = Cli.checkProvider(env, _ => Left("connection refused"))
+    assert(!downReady)
+    assert(downLines.exists(_.contains("ollama is not running")))
+    // model present (as model:latest) → ready
+    val tags = """{"models":[{"name":"llama3.1:latest","size":1}]}"""
+    val (okLines, okReady) = Cli.checkProvider(env, url => {
+      assert(url == "http://127.0.0.1:11434/api/tags"); Right(tags)
+    })
+    assert(okReady)
+    assert(okLines.exists(_.contains("Ollama (local) - Model: llama3.1")))
+    // model absent → pull guidance
+    val (missLines, missReady) =
+      Cli.checkProvider(env, _ => Right("""{"models":[{"name":"other:latest"}]}"""))
+    assert(!missReady)
+    assert(missLines.exists(_.contains("ollama pull llama3.1")))
+  }
+
+  test("check: OpenAI needs no probe (utils.go:24-26) and reports the model") {
+    val (lines, ready) = Cli.checkProvider(
+      Map("PIPEGEN_OPENAI_API_KEY" -> "sk-x", "PIPEGEN_LLM_MODEL" -> "gpt-4.1"),
+      _ => Left("probe must not be called for OpenAI"))
+    assert(ready)
+    assert(lines.exists(_.contains("OpenAI (cloud) - Model: gpt-4.1")))
+  }
 }
 
 /** validate / dry-run against a scaffolded temp project (needs Spark for

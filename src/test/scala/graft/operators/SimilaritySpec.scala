@@ -134,6 +134,49 @@ class SimilaritySpec extends SparkSpec {
       s"nprobe=1 on well-separated clusters must match brute force: $got vs $expect")
   }
 
+  test("trainIvfCentroids at k=64 uses the oversample init and stays fast") {
+    // 64 well-separated direction clusters in 128-d (random high-dim
+    // centers are near-orthogonal), 10 members each. Above
+    // FarthestPointExactK the init must switch to the one-pass oversample
+    // + driver-local farthest-point refine — the exact k−1-scan init is
+    // quadratic in k and would dominate here.
+    assert(64 > Similarity.FarthestPointExactK)
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(11)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val centers = Seq.fill(64)(unit(Array.fill(128)(rng.nextGaussian())))
+    val df = centers.zipWithIndex.flatMap { case (c, ci) =>
+      (0 until 10).map { j =>
+        (ci * 100L + j, unit(c.map(_ + rng.nextGaussian() * 0.05)).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+
+    val t0 = System.nanoTime()
+    val cents = Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      k = 64, lloydIters = 2, seed = 42)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(cents.size == 64)
+    cents.foreach(c => assert(math.abs(c.map(x => x * x).sum - 1.0) < 1e-9))
+    // deterministic across runs (hash-ranked sample, fixed refine order)
+    assert(cents == Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+      k = 64, lloydIters = 2, seed = 42))
+    // farthest-point over near-orthogonal clusters must spread the seeds:
+    // the 64 centroids should stay mutually far (no two in one cluster)
+    val tooClose = (for {
+      i <- 0 until 64; j <- i + 1 until 64
+      dot = cents(i).zip(cents(j)).map { case (x, y) => x * y }.sum
+      if dot > 0.8
+    } yield (i, j)).size
+    assert(tooClose == 0, s"$tooClose centroid pairs collapsed into one cluster")
+    // "finishing in seconds": generous wall bound so a loaded box doesn't
+    // flake, while the quadratic k−1-scan init (minutes of job overhead at
+    // k=64) would still blow it
+    assert(secs < 60.0, s"k=64 init took $secs s — oversample path not engaged?")
+  }
+
   test("topKForVector returns exact top-k by cosine") {
     val rows = embs.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
     val q = rows.find(_._1 == 0L).get._2
