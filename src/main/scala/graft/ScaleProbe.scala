@@ -1,37 +1,97 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Dev utility: empirical scaling check for the operators whose 100 TB
-  * posture the docs claim. Builds a K×-replicated copy of the sf0.1
-  * documents/embeddings tables in /tmp (ids offset per replica so near-dup
-  * structure replicates rather than collides), then times the scale-path
-  * operators at 1× and K× — near-linear growth is the pass condition;
-  * the O(n²) exact baselines are deliberately NOT run at K×.
+/** Empirical scaling evidence for the operators whose 100 TB posture the
+  * docs claim (VERDICT_r04 next-round #1). Results are committed in
+  * SCALE.md; the CI-able assertion lives in ScaleSpec.
+  *
+  * Replication model: K *decoupled shards*, not K exact copies. A naive
+  * K× replication (ids offset, payload identical) is all-duplicate-
+  * adversarial — every document gains K−1 perfect near-dups, dup groups
+  * grow to size K, and pair-emitting operators' OUTPUT grows ~K² inside
+  * the groups, so wall-time can't be judged for linearity. Instead each
+  * replica i is transformed so its within-shard structure is exactly the
+  * original corpus but cross-shard similarity collapses:
+  *
+  *  - documents: every token gets an `_r<i>` suffix — shingle sets across
+  *    shards are disjoint (cross-shard Jaccard = 0), within-shard shingle
+  *    relations are isomorphic to the original;
+  *  - embeddings: the vector is circularly shifted by i positions — a
+  *    permutation preserves norms and all within-shard cosines exactly,
+  *    while cross-shard cosines of shifted gaussian vectors are ~0.
+  *
+  * So the K× corpus models "K independent slices of the same
+  * distribution" — the actual shape of a 100 TB corpus — and near-linear
+  * wall-time growth is the honest pass condition. The 1× input goes
+  * through the identical transform+parquet round trip (replica 0 only) so
+  * the comparison is apples-to-apples.
+  *
+  * IVF note: the pair-join cost is O(Σ cell²); holding k fixed while the
+  * corpus grows K× makes cells K× bigger and the join K²×. The documented
+  * contract (Similarity scaladoc) is "size k to the corpus", so the probe
+  * scales k with K — constant expected cell size — which also exercises
+  * the k-means‖-style oversample init at k > FarthestPointExactK.
+  *
+  * Usage: `runMain graft.ScaleProbe [K ...]` (default `10 30`). For K >= 20
+  * only the two headline ops run (minhash LSH, hyperplane-LSH ANN), keeping
+  * the probe's wall time bounded.
   */
 object ScaleProbe {
-  def main(args: Array[String]): Unit = {
-    val k = args.headOption.map(_.toInt).getOrElse(10)
-    val src = "/root/testdata/sf0.1"
-    val dst = s"/tmp/graft-scale-${k}x"
-    val spark = GraftSession.local("scale-probe")
 
+  private val IdStride = 10_000_000L
+
+  /** Replica i of the documents table: ids offset, every token suffixed
+    * `_r<i>` so shingles never collide across replicas. */
+  private def docReplica(docs: DataFrame, i: Int): DataFrame =
+    docs.select(
+      (col("doc_id") + lit(i * IdStride)).as("doc_id"),
+      expr(s"array_join(transform(filter(split(text, '\\\\s+'), x -> x <> ''), " +
+        s"x -> concat(x, '_r$i')), ' ')").as("text"))
+
+  /** Replica i of the embeddings table: ids offset, vector circularly
+    * shifted by i (norm- and within-shard-cosine-preserving), PLUS a 2%
+    * planted near-dup per shard (deterministic small perturbation,
+    * cosine ≈ 0.99) so the sim ≥ 0.8 answer set is nonempty and linear in
+    * the shard count — the synthetic corpus itself has zero pairs at 0.8,
+    * and probing the ANN ops at their gate threshold 0.3 would measure an
+    * inherently quadratic answer set (~0.8% of ALL random dim-64 pairs
+    * clear 0.3), not the operator. */
+  private def embReplica(emb: DataFrame, i: Int, dim: Int): DataFrame = {
+    val shift = i % dim
+    val shifted =
+      (if (shift == 0) col("embedding")
+       else expr(s"concat(slice(embedding, ${shift + 1}, ${dim - shift}), " +
+         s"slice(embedding, 1, $shift))")).cast("array<double>")
+    val base = emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
+      shifted.as("embedding"))
+    val dups = base.filter(col("vec_id") % 50 === 0) // IdStride % 50 == 0
+      .select((col("vec_id") + lit(IdStride / 2)).as("vec_id"),
+        expr("transform(embedding, (x, j) -> x + 0.03d * sin(cast(vec_id * 37 + j as double)))")
+          .as("embedding"))
+    base.unionAll(dups)
+  }
+
+  /** Build the K-shard corpus under `dst` and read it back. */
+  def shardedCorpus(spark: SparkSession, src: String, dst: String, k: Int,
+                    dim: Int = 64): (DataFrame, DataFrame) = {
     val docs0 = Tables(spark, src, "documents")
     val emb0 = Tables(spark, src, "embeddings")
-    val nDocs0 = docs0.count()
-    val nEmb0 = emb0.count()
-    val docs = (0 until k).map(i => docs0.select(
-      (col("doc_id") + lit(i.toLong * 10_000_000L)).as("doc_id"),
-      col("text"))).reduce(_ unionAll _)
-    val emb = (0 until k).map(i => emb0.select(
-      (col("vec_id") + lit(i.toLong * 10_000_000L)).as("vec_id"),
-      col("embedding"))).reduce(_ unionAll _)
-    docs.write.mode("overwrite").parquet(s"$dst/documents.parquet")
-    emb.write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
-    val bigDocs = spark.read.parquet(s"$dst/documents.parquet")
-    val bigEmb = spark.read.parquet(s"$dst/embeddings.parquet")
-    println(s"SCALE corpus: ${nDocs0} -> ${bigDocs.count()} docs, " +
-      s"${nEmb0} -> ${bigEmb.count()} vectors")
+    (0 until k).map(docReplica(docs0, _)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+    (0 until k).map(embReplica(emb0, _, dim)).reduce(_ unionAll _)
+      .write.mode("overwrite").parquet(s"$dst/embeddings.parquet")
+    (spark.read.parquet(s"$dst/documents.parquet"),
+      spark.read.parquet(s"$dst/embeddings.parquet"))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val ks = (if (args.isEmpty) Seq(10, 30) else args.map(_.toInt).toSeq).distinct.sorted
+    val src = "/root/testdata/sf0.1"
+    val spark = GraftSession.local("scale-probe")
+
+    import graft.operators.{Dedup, Sampling, Similarity}
 
     def t(name: String)(body: => Long): Unit = {
       val t0 = System.nanoTime()
@@ -40,21 +100,48 @@ object ScaleProbe {
       spark.catalog.clearCache()
     }
 
-    import graft.operators.{Dedup, Sampling, Similarity}
-    // 1x warm reference numbers
-    t("minhash_lsh_1x")(Dedup.minHashNearDups(docs0, "doc_id", "text", 2, 128, 32, 0.1).count())
-    t(s"minhash_lsh_${k}x")(Dedup.minHashNearDups(bigDocs, "doc_id", "text", 2, 128, 32, 0.1).count())
-    t("simhash_1x")(Dedup.simHashNearDups(docs0, "doc_id", "text", 3).count())
-    t(s"simhash_${k}x")(Dedup.simHashNearDups(bigDocs, "doc_id", "text", 3).count())
-    t("lsh_ann_1x")(Similarity.lshNearDupPairs(emb0, "vec_id", "embedding", 64, 4, 24, 42, 0.3).count())
-    t(s"lsh_ann_${k}x")(Similarity.lshNearDupPairs(bigEmb, "vec_id", "embedding", 64, 4, 24, 42, 0.3).count())
-    t(s"components_${k}x") {
-      val pairs = Dedup.minHashNearDups(bigDocs, "doc_id", "text", 2, 128, 32, 0.5)
-      Dedup.connectedComponentsStar(pairs, "id_a", "id_b").count()
+    // 1× corpus through the same transform + parquet round trip
+    val (docs1, emb1) = shardedCorpus(spark, src, "/tmp/graft-scale-1x", 1)
+    println(s"SCALE corpus 1x: ${docs1.count()} docs, ${emb1.count()} vectors")
+
+    def probe(tag: String, docs: DataFrame, emb: DataFrame,
+              ivfK: Int, headlineOnly: Boolean): Unit = {
+      t(s"minhash_lsh_$tag")(
+        Dedup.minHashNearDups(docs, "doc_id", "text", 2, 128, 32, 0.1).count())
+      // near-dup regime (sim >= 0.8, 12-plane bands): the banding prunes
+      // ~99.8% of random pairs, so candidates ∝ planted dups, and the
+      // answer set is the planted dups — both linear in shards
+      t(s"lsh_ann_$tag")(
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 64, 12, 8, 42, 0.8).count())
+      if (!headlineOnly) {
+        t(s"simhash_$tag")(
+          Dedup.simHashNearDups(docs, "doc_id", "text", 3).count())
+        t(s"ivf_ann_$tag")(
+          Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
+            k = ivfK, probes = 3, lloydIters = 2, seed = 42,
+            simThreshold = 0.8, trainFraction = 1.0).count())
+        t(s"components_$tag") {
+          val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 2, 128, 32, 0.5)
+          Dedup.connectedComponentsStar(pairs, "id_a", "id_b").count()
+        }
+        t(s"split_$tag")(Sampling.stableSplit(docs, "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+          .groupBy(col("split")).count().count())
+        t(s"exact_dedup_$tag")(
+          docs.groupBy(md5(col("text"))).agg(count(lit(1))).count())
+      }
     }
-    t(s"split_${k}x")(Sampling.stableSplit(bigDocs, "doc_id",
-      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
-      .groupBy(col("split")).count().count())
+
+    // warm the JVM/codegen on the 1× shapes, unmeasured
+    Dedup.minHashNearDups(docs1, "doc_id", "text", 2, 128, 32, 0.1).count()
+    spark.catalog.clearCache()
+
+    probe("1x", docs1, emb1, ivfK = 8, headlineOnly = false)
+    ks.foreach { k =>
+      val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
+      println(s"SCALE corpus ${k}x: ${docsK.count()} docs, ${embK.count()} vectors")
+      probe(s"${k}x", docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20)
+    }
     spark.stop()
   }
 }

@@ -69,7 +69,8 @@ object Similarity {
     */
   def lshNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                       dim: Int, rowsPerBand: Int, bands: Int, seed: Long,
-                      simThreshold: Double): DataFrame = {
+                      simThreshold: Double,
+                      materialize: Boolean = true): DataFrame = {
     val numPlanes = rowsPerBand * bands
     // persist: base feeds the banded self-join AND both verify joins —
     // without it the O(dim·numPlanes)-per-row hyperplane projection (and
@@ -88,7 +89,7 @@ object Similarity {
       .distinct()
     materializeAndRelease(
       verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold),
-      base)
+      base, materialize)
   }
 
   /** Eagerly materialize the (small) verified pair output so the persisted
@@ -96,12 +97,20 @@ object Similarity {
     * calling these operators repeatedly must not accumulate CacheManager
     * entries that only `spark.catalog.clearCache()` reclaims. The
     * checkpoint blocks themselves are ContextCleaner-managed: they are
-    * dropped when the returned frame is garbage-collected. */
-  private def materializeAndRelease(out: DataFrame, cached: DataFrame): DataFrame = {
-    val result = out.localCheckpoint(eager = true)
-    cached.unpersist()
-    result
-  }
+    * dropped when the returned frame is garbage-collected.
+    *
+    * `materialize = false` opts out (plan inspection, or a caller that
+    * composes the lazy plan further and manages the cache itself): the
+    * working set STAYS persisted and the caller owns releasing it
+    * (`spark.catalog.clearCache()` or unpersisting via its own handle). */
+  private def materializeAndRelease(out: DataFrame, cached: DataFrame,
+                                    materialize: Boolean): DataFrame =
+    if (!materialize) out
+    else {
+      val result = out.localCheckpoint(eager = true)
+      cached.unpersist()
+      result
+    }
 
   /** Exact cosine verification of candidate (id_a, id_b) pairs — the shared
     * tail of every approximate candidate generator (LSH, IVF). Joins
@@ -289,7 +298,8 @@ object Similarity {
   def ivfNearDupPairs(df: DataFrame, idCol: String, embCol: String,
                       k: Int, probes: Int, lloydIters: Int, seed: Long,
                       simThreshold: Double,
-                      trainFraction: Double = 1.0): DataFrame = {
+                      trainFraction: Double = 1.0,
+                      materialize: Boolean = true): DataFrame = {
     val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed, trainFraction)
     // persist — base feeds the cell self-join and both verify joins (see
     // lshNearDupPairs); released before return by materializeAndRelease
@@ -305,7 +315,7 @@ object Similarity {
       .distinct()
     materializeAndRelease(
       verifyPairs(pairs, base.select(col("id"), col("emb"), col("nsq")), simThreshold),
-      base)
+      base, materialize)
   }
 
   /** IVF-accelerated top-k for one query vector: probe the query's

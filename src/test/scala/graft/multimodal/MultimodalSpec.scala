@@ -35,4 +35,22 @@ class MultimodalSpec extends SparkSpec {
     assert(run() == run())
     assert(run().size == 3)
   }
+
+  test("documents corpus is pure ASCII — the mm_* oracle contract") {
+    // The mm_decode_features / mm_resize oracles index CHARACTERS
+    // (substr/ord) while the Spark side reads UTF-8 BYTES — equivalent
+    // only while every document is single-byte ASCII (MultimodalPack
+    // oracle notes). Enforce the precondition so a test-data refresh with
+    // non-ASCII text fails HERE with a clear message instead of as an
+    // opaque hash mismatch in the driver's oracle compare.
+    for (dir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val nonAscii = graft.Tables(spark, dir, "documents")
+        .filter(length(col("text")) =!= octet_length(col("text")) ||
+          col("text").rlike("[^\\x00-\\x7F]"))
+        .count()
+      assert(nonAscii == 0L,
+        s"$dir/documents has $nonAscii non-ASCII rows — the mm_* " +
+          "character-indexed oracles no longer match byte-indexed Spark results")
+    }
+  }
 }

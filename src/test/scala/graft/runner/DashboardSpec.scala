@@ -129,4 +129,85 @@ class DashboardSpec extends SparkSpec {
       } finally ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
     } finally push.stop()
   }
+
+  /** JDK WS client feeding complete text frames into a queue. */
+  private def wsClient(port: Int, q: java.util.concurrent.LinkedBlockingQueue[String])
+      : java.net.http.WebSocket = {
+    val listener = new java.net.http.WebSocket.Listener {
+      private val buf = new StringBuilder
+      override def onText(ws: java.net.http.WebSocket, data: CharSequence,
+                          last: Boolean): java.util.concurrent.CompletionStage[_] = {
+        buf.append(data)
+        if (last) { q.add(buf.toString); buf.clear() }
+        ws.request(1)
+        null
+      }
+    }
+    HttpClient.newHttpClient().newWebSocketBuilder()
+      .buildAsync(URI.create(s"ws://127.0.0.1:$port/ws"), listener)
+      .get(5, java.util.concurrent.TimeUnit.SECONDS)
+  }
+
+  test("WsPush broadcasts to multiple concurrent clients") {
+    val push = new WsPush(() => """{"beat": 1}""", pushIntervalMs = 20L).start()
+    try {
+      val q1 = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val q2 = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val ws1 = wsClient(push.boundPort, q1)
+      val ws2 = wsClient(push.boundPort, q2)
+      try {
+        assert(q1.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null, "client 1 first frame")
+        assert(q2.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null, "client 2 first frame")
+        // both keep receiving — the loop is per-connection, not round-robin
+        q1.clear(); q2.clear()
+        assert(q1.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null, "client 1 steady state")
+        assert(q2.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null, "client 2 steady state")
+      } finally {
+        ws1.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+        ws2.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+      }
+    } finally push.stop()
+  }
+
+  test("a stalled client cannot wedge the push loop for healthy clients") {
+    // 64 KiB frames every 10 ms: a client that never reads backs up its
+    // kernel buffers within ~1 s and blocks ITS connection thread's write —
+    // the design under test is that each connection pushes on its own
+    // thread, so a healthy client keeps receiving fresh frames while the
+    // stalled one is wedged.
+    val pad = "x" * 65536
+    val push = new WsPush(() => pad, pushIntervalMs = 10L).start()
+    val slow = new java.net.Socket()
+    try {
+      slow.setReceiveBufferSize(4096) // fill fast
+      slow.connect(new java.net.InetSocketAddress("127.0.0.1", push.boundPort), 5000)
+      val sout = slow.getOutputStream
+      sout.write(("GET /ws HTTP/1.1\r\nHost: x\r\nUpgrade: websocket\r\n" +
+        "Connection: Upgrade\r\nSec-WebSocket-Key: c2xvd2NsaWVudDEyMzQ=\r\n" +
+        "Sec-WebSocket-Version: 13\r\n\r\n").getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      sout.flush()
+      // read just the 101 head, then never read again
+      val sin = slow.getInputStream
+      val head = new StringBuilder
+      var done = false
+      var b = sin.read()
+      while (b >= 0 && !done) {
+        head.append(b.toChar)
+        done = head.endsWith("\r\n\r\n")
+        if (!done) b = sin.read()
+      }
+      assert(head.toString.startsWith("HTTP/1.1 101"), "stalled client handshake")
+      Thread.sleep(2000) // let writes to the stalled socket back up
+
+      val q = new java.util.concurrent.LinkedBlockingQueue[String]()
+      val ws = wsClient(push.boundPort, q)
+      try {
+        assert(q.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null,
+          "healthy client starved while a peer is stalled")
+        q.clear()
+        assert(q.poll(5, java.util.concurrent.TimeUnit.SECONDS) != null,
+          "push loop stopped delivering fresh frames")
+      } finally ws.sendClose(java.net.http.WebSocket.NORMAL_CLOSURE, "done").join()
+    } finally { push.stop(); slow.close() }
+  }
 }

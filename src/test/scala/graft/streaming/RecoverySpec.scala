@@ -73,4 +73,38 @@ class RecoverySpec extends SparkSpec {
     assert(after == (0L to 4L).map(_ -> 30L).toMap,
       s"state must span both runs, got $after")
   }
+
+  test("restart latency from an existing checkpoint is bounded (reported)") {
+    val sp = spark
+    import sp.implicits._
+    val src = Files.createTempDirectory("graft-rec3-src").toString
+    val ckpt = Files.createTempDirectory("graft-rec3-ckpt").toString
+    val out = Files.createTempDirectory("graft-rec3-out").toString
+
+    def run(): Double = {
+      val t0 = System.nanoTime()
+      val q = sp.readStream.schema("v LONG").json(src)
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .format("parquet").option("path", out)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(120000), "drain timed out")
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    (1L to 1000L).toDF("v").coalesce(4).write.mode("append").json(src)
+    run() // cold start: builds the checkpoint
+    (1001L to 1100L).toDF("v").coalesce(1).write.mode("append").json(src)
+    // warm restart: WAL replay + offset restore + one small batch — the
+    // number recorded in README's streaming posture
+    val restart = run()
+    info(f"checkpoint restart latency: $restart%.2f s (offset restore + 100-row drain)")
+    println(f"RECOVERY restart_latency=$restart%.2f s")
+    assert(sp.read.parquet(out).count() == 1100)
+    // generous bound: the restart must be seconds, not a reprocess of the
+    // full history (which at this size would not show, so the real gate is
+    // the exactly-once row count above plus the recorded latency)
+    assert(restart < 30.0, f"restart took $restart%.1f s")
+  }
 }
