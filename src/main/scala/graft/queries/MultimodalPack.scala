@@ -56,6 +56,52 @@ object MultimodalPack extends QueryPack {
         .orderBy(col("media_id"))
     }),
 
+    // -- REAL codec roundtrip (round-5: the JDK ships actual PNG/WAV
+    //    codecs — javax.imageio / javax.sound.sampled — so the decode
+    //    path no longer needs to be a stub for these formats). Each doc's
+    //    text bytes are packed into a genuine grayscale PNG (one byte =
+    //    one pixel, zero-padded to the ceil(sqrt) rectangle), then decoded
+    //    back with ImageIO and feature-extracted. PNG is lossless, so
+    //    DuckDB recomputes geometry + pixel sum straight from the source
+    //    characters while Spark proves them through the real
+    //    encode→decode roundtrip — a codec, geometry, or padding bug
+    //    turns the hash red.
+    "mm_img_png_roundtrip" -> ((s, dir) => {
+      val bin = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val png = Multimodal.packGrayPng(bin, "doc_id", "payload")
+      Multimodal.decodeImageFeatures(png, "media_id", "png")
+        .toDF().orderBy(col("media_id"))
+    }),
+
+    // -- REAL resize through the codec: PNG decode → nearest-neighbor
+    //    resample to 8×8 (integer index math over the decoded raster,
+    //    padding included) → PNG re-encode → decode again. Two full codec
+    //    roundtrips; the oracle mirrors the NN index formula on the
+    //    padded geometry.
+    "mm_img_resize_png" -> ((s, dir) => {
+      val bin = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val png = Multimodal.packGrayPng(bin, "doc_id", "payload")
+      val resized = Multimodal.resizePng(png, "media_id", "png", tw = 8, th = 8)
+      Multimodal.decodeImageFeatures(resized, "media_id", "png")
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"), col("pixel_sum"))
+        .orderBy(col("media_id"))
+    }),
+
+    // -- REAL audio roundtrip: text bytes as 8-bit unsigned PCM samples
+    //    in a genuine RIFF/WAV container (AudioSystem.write), parsed back
+    //    with the JDK sound stack. 8-bit PCM is lossless → header fields
+    //    and sample sum are oracle-exact.
+    "mm_audio_wav" -> ((s, dir) => {
+      val bin = Tables(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      val wav = Multimodal.packWavPcm8(bin, "doc_id", "payload", sampleRate = 8000f)
+      Multimodal.decodeAudioFeatures(wav, "media_id", "wav")
+        .toDF().orderBy(col("media_id"))
+    }),
+
     // -- MinHash+LSH near-dup candidates, SELF-VERIFYING (round-4: was
     //    rows-only; now the query emits its own oracle-checkable contract,
     //    so a banding/signature regression turns THIS row red).
@@ -250,6 +296,52 @@ object MultimodalPack extends QueryPack {
         |SELECT doc_id AS media_id, CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
         |  CAST(byte_sum AS BIGINT) AS byte_sum
         |FROM r ORDER BY media_id""".stripMargin,
+
+    // Real-codec roundtrip oracles (ASCII contract as mm_resize above:
+    // the SQL indexes characters, the Spark side packs UTF-8 bytes —
+    // equivalent on this pure-ASCII corpus, enforced by MultimodalSpec's
+    // ASCII guard). PNG packing geometry: w = max(1, ceil(sqrt(n))),
+    // h = max(1, ceil(n/w)) via integer ceil-div; zero padding beyond n.
+    "mm_img_png_roundtrip" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |g AS (SELECT doc_id, text, n,
+        |  CAST(greatest(1, ceil(sqrt(n))) AS BIGINT) AS w FROM b),
+        |g2 AS (SELECT doc_id, text, n, w, greatest(1, (n + w - 1) // w) AS h FROM g)
+        |SELECT doc_id AS media_id, TRUE AS decode_ok, 'png' AS format,
+        |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        |  CAST(w * h AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(list_transform(range(1, n + 1),
+        |    i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS pixel_sum
+        |FROM g2 ORDER BY media_id""".stripMargin,
+
+    // NN resize mirror on the PADDED packed geometry: source index for
+    // output pixel k (8×8 row-major) is (k//8 * h // 8) * w + (k%8 * w // 8),
+    // 0-based; indices past n-1 read zero padding.
+    "mm_img_resize_png" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents),
+        |g AS (SELECT doc_id, text, n,
+        |  CAST(greatest(1, ceil(sqrt(n))) AS BIGINT) AS w FROM b),
+        |g2 AS (SELECT doc_id, text, n, w, greatest(1, (n + w - 1) // w) AS h FROM g),
+        |r AS (SELECT doc_id,
+        |  list_sum(list_transform(range(0, 64),
+        |    k -> CASE WHEN ((k // 8) * h // 8) * w + ((k % 8) * w // 8) < n
+        |         THEN ord(substr(text,
+        |           CAST(((k // 8) * h // 8) * w + ((k % 8) * w // 8) + 1 AS INT), 1))
+        |         ELSE 0 END)) AS pixel_sum
+        |  FROM g2)
+        |SELECT doc_id AS media_id, CAST(8 AS INT) AS width,
+        |  CAST(8 AS INT) AS height, CAST(pixel_sum AS BIGINT) AS pixel_sum
+        |FROM r ORDER BY media_id""".stripMargin,
+
+    // WAV 8-bit PCM: one byte per sample frame, mono, 8 kHz.
+    "mm_audio_wav" ->
+      """WITH b AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+        |SELECT doc_id AS media_id, TRUE AS decode_ok,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(list_sum(list_transform(range(1, n + 1),
+        |    i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS sample_sum
+        |FROM b ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH b AS (SELECT doc_id, octet_length(encode(text)) AS n FROM documents),
