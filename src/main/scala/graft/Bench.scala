@@ -64,31 +64,47 @@ object Bench {
     catch { case _: Throwable => () }
 
     val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
-    val results = (SparkEntry.queries ++ operatorBenches).toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        // operators may persist intermediates (e.g. the bitmap docSets
-        // table); drop them so repetitions and other queries measure the
-        // full pipeline, not a warm cache
-        spark.catalog.clearCache()
-        dt
-      }.sorted
-      name -> times
-    }
-    def obj(f: Seq[Double] => Double): String =
-      results.map { case (k, ts) => "\"" + k + "\":" + f(ts) }
+    def time(entries: Seq[(String, (SparkSession, String) => DataFrame)]) =
+      entries.sortBy(_._1).map { case (name, fn) =>
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          // operators may persist intermediates (e.g. the bitmap docSets
+          // table); drop them so repetitions and other queries measure the
+          // full pipeline, not a warm cache
+          spark.catalog.clearCache()
+          // the self-verifying gates materialize pair sets via eager
+          // localCheckpoint; those blocks are ContextCleaner-managed and
+          // only release after the frames are COLLECTED BY GC. Across
+          // 70+ queries × reps the unreferenced blocks otherwise pile up
+          // until storage eviction + GC churn dominates the tail of the
+          // run (r5: medians 10× the mins). One explicit GC per rep keeps
+          // each measurement starting from a clean block store.
+          System.gc()
+          dt
+        }.sorted
+        name -> times
+      }
+    val results = time(SparkEntry.queries.toSeq)
+    // the op_* diagnostics go in a SEPARATE key: their cost is already
+    // inside the gate queries' timings (the gates run operator + exact
+    // contract arm), so folding them into `total` would double-count the
+    // operators and break round-over-round comparability of the headline.
+    val opResults = time(operatorBenches.toSeq)
+    def obj(rs: Seq[(String, Seq[Double])])(f: Seq[Double] => Double): String =
+      rs.map { case (k, ts) => "\"" + k + "\":" + f(ts) }
         .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
     // headline numbers stay min-of-N (measures the code, not the noise);
     // median + spread (max-min) expose per-query run-to-run variance so a
     // one-off box-contention spike is distinguishable from a regression
     println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""reps":$reps,"queries":${obj(_.min)},""" +
-      s""""median":${obj(ts => ts(ts.length / 2))},""" +
-      s""""spread":${obj(ts => ts.max - ts.min)},"sf":"$sfDir"}""")
+      s""""reps":$reps,"queries":${obj(results)(_.min)},""" +
+      s""""median":${obj(results)(ts => ts(ts.length / 2))},""" +
+      s""""spread":${obj(results)(ts => ts.max - ts.min)},""" +
+      s""""operators":${obj(opResults)(_.min)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

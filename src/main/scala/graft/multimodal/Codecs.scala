@@ -29,6 +29,13 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   */
 object Codecs {
 
+  // ImageIO's default stream cache is a temp FILE per encode/decode —
+  // for small per-row images that disk round trip dominates the codec
+  // itself. Memory-cached streams are safe here (payloads are already
+  // byte arrays) and ~an order of magnitude faster. JVM-wide, set once
+  // per executor when the class loads.
+  ImageIO.setUseCache(false)
+
   /** Geometry used to pack an n-byte payload into a grayscale image:
     * width = max(1, ceil(sqrt(n))), height = max(1, ceil(n / width)), and
     * the final w*h - n pixels are zero padding. Mirrored exactly by the
