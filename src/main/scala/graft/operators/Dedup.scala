@@ -219,13 +219,21 @@ object Dedup {
     val par = spark.sparkContext.defaultParallelism
     val a = docSets.toDF("id_a", "sz_a", "bm_a").repartition(par)
     val b = docSets.toDF("id_b", "sz_b", "bm_b")
-    a.join(b, col("id_a") < col("id_b"))
+    // size-ratio prefilter INSIDE the join condition: jaccard <= min/max
+    // (inter <= min(|A|,|B|), union >= max(|A|,|B|)), so a pair whose
+    // rounded jaccard can reach t needs min >= (t - 1e-4) * max. Two
+    // integer compares per pair kill the V-word popcount for the vast
+    // majority of the n² pairs at high thresholds — the popcount loop was
+    // the dominant cost of the whole operator, not the pair enumeration.
+    a.join(b, col("id_a") < col("id_b") &&
+        least(col("sz_a"), col("sz_b")).cast("double") >=
+          greatest(col("sz_a"), col("sz_b")).cast("double") * (threshold - 1e-4))
       .select(col("id_a"), col("id_b"),
         bitAndCount(col("bm_a"), col("bm_b")).as("inter"),
         col("sz_a"), col("sz_b"))
       // any pair whose ROUNDED jaccard can reach t has true j >= t - 5e-5;
       // prefilter at t' = t - 1e-4 (slack for the rounding) — cheap integer
-      // compare before the double division, removes ~all of the n² pairs
+      // compare before the double division, removes ~all remaining pairs
       .filter(col("inter").cast("double") * (1.0 + (threshold - 1e-4)) >=
         (col("sz_a") + col("sz_b")).cast("double") * (threshold - 1e-4))
       .select(col("id_a"), col("id_b"),
