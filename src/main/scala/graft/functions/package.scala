@@ -53,6 +53,13 @@ package object functions {
   def bitAndCount(a: Column, b: Column): Column =
     toColumn(BitAndCountExpr(toExpr(a), toExpr(b)))
 
+  /** Pushdown barrier: identity on the value, but a Filter containing it
+    * is never pushed into a join condition or through a projection — pins
+    * expensive predicates above cheap pair-join conditions (see
+    * [[EvalBarrierExpr]]). */
+  def evalBarrier(c: Column): Column =
+    toColumn(EvalBarrierExpr(toExpr(c)))
+
   /** L2 norm. */
   def l2Norm(a: Column): Column = sqrt(l2NormSq(a))
 

@@ -219,23 +219,29 @@ object Dedup {
     val par = spark.sparkContext.defaultParallelism
     val a = docSets.toDF("id_a", "sz_a", "bm_a").repartition(par)
     val b = docSets.toDF("id_b", "sz_b", "bm_b")
-    // size-ratio prefilter INSIDE the join condition: jaccard <= min/max
-    // (inter <= min(|A|,|B|), union >= max(|A|,|B|)), so a pair whose
-    // rounded jaccard can reach t needs min >= (t - 1e-4) * max. Two
-    // integer compares per pair kill the V-word popcount for the vast
-    // majority of the n² pairs at high thresholds — the popcount loop was
-    // the dominant cost of the whole operator, not the pair enumeration.
+    // Evaluation order (pinned — see graft.functions.evalBarrier):
+    //  1. join condition: id ordering + size-ratio prefilter, four integer
+    //     compares per pair. jaccard <= min/max (inter <= min(|A|,|B|),
+    //     union >= max(|A|,|B|)), so a pair whose ROUNDED jaccard can
+    //     reach t needs min >= (t - 1e-4) * max — at high thresholds this
+    //     alone kills the vast majority of the n² pairs;
+    //  2. projection: ONE V-word popcount per surviving pair (this loop,
+    //     not pair enumeration, dominates the operator's cost);
+    //  3. barrier filter: integer intersection prefilter (any pair whose
+    //     rounded jaccard can reach t has inter*(1+t') >= (|A|+|B|)*t'),
+    //     then the exact rounded-jaccard gate above it.
+    // Without the barrier, Catalyst fuses the popcount conjuncts into the
+    // join predicate AHEAD of the cheap compares and evaluates them for
+    // every ordered pair.
     a.join(b, col("id_a") < col("id_b") &&
         least(col("sz_a"), col("sz_b")).cast("double") >=
           greatest(col("sz_a"), col("sz_b")).cast("double") * (threshold - 1e-4))
       .select(col("id_a"), col("id_b"),
         bitAndCount(col("bm_a"), col("bm_b")).as("inter"),
         col("sz_a"), col("sz_b"))
-      // any pair whose ROUNDED jaccard can reach t has true j >= t - 5e-5;
-      // prefilter at t' = t - 1e-4 (slack for the rounding) — cheap integer
-      // compare before the double division, removes ~all remaining pairs
-      .filter(col("inter").cast("double") * (1.0 + (threshold - 1e-4)) >=
-        (col("sz_a") + col("sz_b")).cast("double") * (threshold - 1e-4))
+      .filter(graft.functions.evalBarrier(
+        col("inter").cast("double") * (1.0 + (threshold - 1e-4)) >=
+          (col("sz_a") + col("sz_b")).cast("double") * (threshold - 1e-4)))
       .select(col("id_a"), col("id_b"),
         round(col("inter").cast("double") /
           (col("sz_a") + col("sz_b") - col("inter")).cast("double"), 4).as("jaccard"))

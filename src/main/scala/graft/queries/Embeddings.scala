@@ -60,11 +60,18 @@ object Embeddings extends QueryPack {
       val a = emb.toDF("id_a", "emb_a", "nsq_a")
         .repartition(s.sparkContext.defaultParallelism)
       val b = emb.toDF("id_b", "emb_b", "nsq_b")
+      // evaluation-order control: Catalyst fuses every pushable conjunct
+      // into the pair-join predicate ordered by push origin, which put
+      // the dot product BEFORE the id compare — evaluated for all n²
+      // ordered pairs. The evalBarrier filter cannot be pushed, so the
+      // join condition stays the bare id compare (halves the pairs), the
+      // projection computes the dot product ONCE per surviving pair, and
+      // the threshold tests run above it.
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           (graft.functions.dotProduct(col("emb_a"), col("emb_b")) /
             (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
-        .filter(col("sim_d") >= 0.2999)
+        .filter(graft.functions.evalBarrier(col("sim_d") >= 0.2999))
         .select(col("id_a"), col("id_b"),
           col("sim_d").cast(DecimalType(9, 4)).as("sim_q"))
         .filter(col("sim_q") >= 0.3)

@@ -159,9 +159,12 @@ object MultimodalPack extends QueryPack {
         .select(col("id_a"), col("id_b"))
         .localCheckpoint()
       val sh = Dedup.simHash(docs, "doc_id", "text")
+      // barrier keeps the XOR/popcount above the join, after the id
+      // compare halves the pairs (see graft.functions.evalBarrier)
       val brute = sh.toDF("id_a", "sh_a")
         .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
-        .filter(bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3)
+        .filter(graft.functions.evalBarrier(
+          bit_count(col("sh_a").bitwiseXOR(col("sh_b"))) <= 3))
         .select(col("id_a"), col("id_b"))
         .localCheckpoint()
       docs.agg(count(lit(1)).as("n_docs"))
@@ -207,11 +210,13 @@ object MultimodalPack extends QueryPack {
       val docs = Tables(s, dir, "documents")
       val banded = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3)
       val sh = Dedup.simHash(docs, "doc_id", "text")
+      // barrier keeps the XOR/popcount above the join, after the id
+      // compare halves the pairs (see graft.functions.evalBarrier)
       val brute = sh.toDF("id_a", "sh_a")
         .join(sh.toDF("id_b", "sh_b"), col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
           bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
-        .filter(col("hamming") <= 3)
+        .filter(graft.functions.evalBarrier(col("hamming") <= 3))
       banded.agg(count(lit(1)).as("n_banded"))
         .crossJoin(brute.agg(count(lit(1)).as("n_brute")))
         .select((col("n_banded") === col("n_brute")).as("banding_exact"))
