@@ -300,3 +300,70 @@ case class BitAndCountExpr(left: Expression, right: Expression)
       newLeft: Expression, newRight: Expression): BitAndCountExpr =
     copy(left = newLeft, right = newRight)
 }
+
+/** Intersection size of two SORTED string arrays (two-pointer merge) —
+  * the exact-verify hot path of the prefix-filtered Jaccard join
+  * (graft.operators.Dedup.jaccardPrefixPairs). Unlike the bitmap
+  * popcount ([[BitAndCountExpr]]) it needs no dense dictionary and no
+  * V-sized structure, so it works at unbounded vocabulary; cost is
+  * O(|A| + |B|) string compares per CANDIDATE pair (candidates are the
+  * few prefix-sharing pairs, never n²). Inputs must be sorted ascending
+  * (binary UTF8 order — `sort_array` produces exactly this) and
+  * duplicate-free; both hold for the per-doc distinct-shingle arrays. */
+case class SortedIntersectCountExpr(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sorted_intersect_count needs two array<string>, got ${l.catalogString}, ${r.catalogString}")
+    }
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var acc = 0L
+    while (i < na && j < nb) {
+      val c = a.getUTF8String(i).compareTo(b.getUTF8String(j))
+      if (c == 0) { acc += 1; i += 1; j += 1 }
+      else if (c < 0) i += 1
+      else j += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $na = $a.numElements();
+         |int $nb = $b.numElements();
+         |int $i = 0; int $j = 0;
+         |long $acc = 0L;
+         |while ($i < $na && $j < $nb) {
+         |  int $c = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+         |  if ($c == 0) { $acc++; $i++; $j++; }
+         |  else if ($c < 0) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCountExpr =
+    copy(left = newLeft, right = newRight)
+}

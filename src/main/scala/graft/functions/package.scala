@@ -53,6 +53,11 @@ package object functions {
   def bitAndCount(a: Column, b: Column): Column =
     toColumn(BitAndCountExpr(toExpr(a), toExpr(b)))
 
+  /** Intersection size of two sorted, duplicate-free string-array columns
+    * (codegen'd two-pointer merge — the prefix-join verify hot path). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    toColumn(SortedIntersectCountExpr(toExpr(a), toExpr(b)))
+
   /** Pushdown barrier: identity on the value, but a Filter containing it
     * is never pushed into a join condition or through a projection — pins
     * expensive predicates above cheap pair-join conditions (see

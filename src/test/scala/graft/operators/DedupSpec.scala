@@ -230,4 +230,33 @@ class DedupSpec extends SparkSpec {
       Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
     }
   }
+
+  test("jaccardPrefixPairs equals brute-force jaccard exactly at high thresholds") {
+    for (t <- Seq(0.5, 0.8)) {
+      val got = Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 2, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == bruteJaccard(t), s"threshold=$t")
+    }
+    assert(bruteJaccard(0.8).size >= 10,
+      "planted near-dups must qualify at 0.8 or the equality check is vacuous")
+  }
+
+  test("jaccardPairs past the bitmap gates routes high thresholds to the prefix path") {
+    // force past the bitmap vocabulary gate: high threshold → prefix
+    // (the strategy keeps bitmaps whenever they are admissible — measured
+    // fastest within their gates — so prefix is the beyond-gate path)
+    val pf = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.8, maxBitmapVocab = 1L)
+    val plan = pf.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") && !plan.contains("broadcastnestedloop"),
+      s"prefix path must never enumerate all pairs:\n$plan")
+    assert(!plan.contains("bit_and_count"), "prefix path must not build bitmaps")
+    assert(plan.contains("sorted_intersect_count"),
+      "exact verify must be the two-pointer merge")
+    val got = pf.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == bruteJaccard(0.8))
+    // within the gates the bitmap path keeps the high-threshold corpus
+    val bm = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.8)
+    assert(bm.queryExecution.executedPlan.toString.toLowerCase.contains("bit_and_count"),
+      "bitmap path must keep admissible corpora at any threshold")
+  }
 }
