@@ -46,6 +46,32 @@ object Sampling {
     df.filter(bucket(col(idCol)) < lit(boundary(fraction)))
   }
 
+  /** Per-stratum stable sampling — the training-mix downsampler (cap the
+    * over-represented language/domain, keep the rare one whole). Keeps
+    * ~`fractions(stratum)` of each stratum's rows; strata absent from the
+    * map keep `defaultFraction`.
+    *
+    * The decision is keyed on `md5(stratum || ':' || id)`, NOT on the id
+    * alone: two strata draw independent buckets for the same id (no
+    * correlated keep/drop across strata), and a stratum's subset is fixed
+    * regardless of what other strata contain — adding a new language to
+    * the corpus cannot change which English rows survive. Same contract
+    * as [[stableSample]] otherwise: pure per-row map, no shuffle, stable
+    * across reruns, partitionings and engines. */
+  def stableStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
+                             fractions: Map[String, Double],
+                             defaultFraction: Double = 1.0): DataFrame = {
+    (fractions.values.toSeq :+ defaultFraction).foreach(f =>
+      require(f >= 0 && f <= 1, s"fraction $f out of [0,1]"))
+    val b = bucket(concat(col(stratumCol).cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    val bound = fractions.foldLeft(lit(boundary(defaultFraction)): Column) {
+      case (acc, (s, f)) =>
+        when(col(stratumCol) === lit(s), lit(boundary(f))).otherwise(acc)
+    }
+    df.filter(b < bound)
+  }
+
   /** Assign every row a split label by id hash; `weights` must sum to 1
     * (e.g. train/val/test 0.8/0.1/0.1). Splits are disjoint, exhaustive
     * and stable. Returns df plus a `split` column. */

@@ -300,6 +300,22 @@ object Text extends QueryPack {
         .orderBy(col("split"))
     }),
 
+    // -- per-stratum stable sampling: the training-mix downsampler (cap
+    //    the dominant language, keep the rare one whole). Decision =
+    //    md5(lang || ':' || doc_id) bucket vs a per-stratum boundary, so
+    //    strata draw independent subsets and one stratum's sample cannot
+    //    shift when another changes. Fully deterministic → the oracle
+    //    recomputes the EXACT surviving row set (not just counts) with
+    //    md5+substr alone; hash-checked row for row.
+    "text_sample_stratified" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.stableStratifiedSample(Tables(s, dir, "documents"),
+          "doc_id", "lang", Map("en" -> 0.5, "zh" -> 1.0),
+          defaultFraction = 0.25)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- decontamination: flag training documents sharing any word 3-gram
     //    with a held-out eval set (every 50th doc) — the train-vs-eval
     //    overlap check run before any release. Shape at 100 TB: the eval
@@ -443,6 +459,15 @@ object Text extends QueryPack {
         |SELECT split, COUNT(*) AS n_docs, MIN(doc_id) AS min_id,
         |  MAX(doc_id) AS max_id, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+
+    // boundaries = floor(fraction * 0x10000) as 4-hex (Sampling.boundary):
+    // en 0.5 -> '8000', default 0.25 -> '4000'; zh 1.0 -> 'g', which sorts
+    // after every 4-hex bucket ('g' > 'f') = keep all
+    "text_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 4) <
+        |  CASE lang WHEN 'en' THEN '8000' WHEN 'zh' THEN 'g' ELSE '4000' END
+        |ORDER BY doc_id""".stripMargin,
 
     // expression tree mirrors the Spark side token for token (see query
     // note); avgdl derived identically: exact integer token total → DOUBLE

@@ -66,4 +66,46 @@ class SamplingSpec extends SparkSpec {
         Seq("train" -> -0.2, "val" -> 0.6, "test" -> 0.6))
     }
   }
+
+  test("stableStratifiedSample: per-stratum rates, partition-invariant, other-strata-independent") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 6000L).map(i => (i, Seq("en", "de", "zh")(i.toInt % 3)))
+      .toDF("id", "lang")
+    val kept = Sampling.stableStratifiedSample(rows, "id", "lang",
+      Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+    val byLang = kept.groupBy(col("lang")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(byLang("en") - 1000.0) < 150, s"en ~50% of 2000: $byLang")
+    assert(byLang("zh") == 2000L, s"zh fraction 1.0 keeps everything: $byLang")
+    assert(math.abs(byLang("de") - 500.0) < 100, s"de default 25%: $byLang")
+
+    // partition-invariant
+    val a = kept.collect().map(_.getLong(0)).sorted.toSeq
+    val b = Sampling.stableStratifiedSample(rows.repartition(17), "id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(a == b)
+
+    // one stratum's subset must not depend on what other strata contain:
+    // drop every zh row from the input — the surviving en set is identical
+    val enOnly = Sampling.stableStratifiedSample(
+        rows.filter(col("lang") =!= "zh"), "id", "lang",
+        Map("en" -> 0.5, "zh" -> 1.0), defaultFraction = 0.25)
+      .filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    val enFull = kept.filter(col("lang") === "en")
+      .collect().map(_.getLong(0)).toSet
+    assert(enOnly == enFull, "en subset must be independent of zh rows")
+
+    // strata draw INDEPENDENT buckets: the SAME id in two strata must not
+    // share one keep/drop decision (an id-only hash would make the kept
+    // sets identical at equal fractions)
+    val dup = (0L until 2000L).flatMap(i => Seq((i, "en"), (i, "de")))
+      .toDF("id", "lang")
+    val dupKept = Sampling.stableStratifiedSample(dup, "id", "lang",
+      Map("en" -> 0.5, "de" -> 0.5))
+    val enSet = dupKept.filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
+    val deSet = dupKept.filter(col("lang") === "de").collect().map(_.getLong(0)).toSet
+    assert(enSet != deSet, "same ids in two strata must draw independent buckets")
+  }
 }
