@@ -43,4 +43,49 @@ class ScaleSpec extends SparkSpec {
     val bound = 12.0 * math.max(t1, 0.3)
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
+
+  test("prefix-filtered exact jaccard grows near-linearly on a growing-vocabulary corpus") {
+    // the prefix path's design regime: vocabulary grows WITH the corpus
+    // (real text), so each document's rarest prefix tokens stay rare and
+    // the candidate set stays ∝ corpus. The regression this trips on is a
+    // candidate blowup (prefix join degenerating toward all-pairs), which
+    // turns the 5× run quadratic.
+    val sp = spark
+    import sp.implicits._
+    def corpus(n: Int) = {
+      val rng = new scala.util.Random(11)
+      val vocab = n * 8
+      def sentence() = List.fill(30)(s"w${rng.nextInt(vocab)}").mkString(" ")
+      val originals = (0 until n).map(i => (i.toLong, sentence()))
+      val nearDups = originals.filter(_._1 % 10 == 0).map { case (id, text) =>
+        (1000000L + id, text.split(" ").updated(5, "CHANGED").mkString(" "))
+      }
+      (originals ++ nearDups).toDF("doc_id", "text")
+        .repartition(8).cache()
+    }
+
+    def run(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Dedup.jaccardPrefixPairs(df, "doc_id", "text", 2, 0.8).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      (n, dt)
+    }
+
+    val c1 = corpus(1000)
+    val c5 = corpus(5000)
+    c1.count(); c5.count() // materialize inputs outside the timing
+    run(c1) // warm codegen/shuffle paths, unmeasured
+    val (n1, t1) = run(c1)
+    val (n5, t5) = run(c5)
+    c1.unpersist(); c5.unpersist()
+    info(f"1x: $n1 pairs in $t1%.2f s; 5x: $n5 pairs in $t5%.2f s")
+
+    // planted near-dups qualify (j ≈ 0.87 > 0.8); random pairs over a
+    // corpus-proportional vocabulary essentially never do — the answer
+    // set must replicate ~5×, not ~25×
+    assert(n1 >= 90 && n5 >= 4 * n1 && n5 <= 6 * n1,
+      s"pair count $n1 -> $n5 is not ~5x")
+    val bound = 12.0 * math.max(t1, 0.3)
+    assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
+  }
 }
