@@ -57,7 +57,13 @@ object Sampling {
     * regardless of what other strata contain — adding a new language to
     * the corpus cannot change which English rows survive. Same contract
     * as [[stableSample]] otherwise: pure per-row map, no shuffle, stable
-    * across reruns, partitionings and engines. */
+    * across reruns, partitionings and engines.
+    *
+    * Rows with a NULL stratum are DROPPED (null concat → null bucket →
+    * three-valued filter false) — identical to what `md5(stratum || ':'
+    * || id)` yields in any SQL engine, so the behavior is deliberately
+    * left engine-portable rather than special-cased; filter nulls first
+    * if they should be kept. */
   def stableStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                              fractions: Map[String, Double],
                              defaultFraction: Double = 1.0): DataFrame = {

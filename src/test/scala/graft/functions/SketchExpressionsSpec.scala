@@ -156,4 +156,22 @@ class SketchExpressionsSpec extends SparkSpec {
     assert(bm.getLong(0) == 0L, "wrapped id must not set bit 5")
     assert(bm.getLong(1) == 1L, "only the in-range id is set")
   }
+
+  test("sorted_intersect_count equals exact set intersection on random sorted arrays") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(17)
+    // mixed-length tokens so the two-pointer compare crosses length
+    // boundaries; includes empty strings and shared prefixes
+    def randSet() = (1 to rng.nextInt(60))
+      .map(_ => "tok" + rng.nextInt(40) + ("x" * rng.nextInt(3)))
+      .distinct.sorted.toList
+    val sets = (1 to 15).map(_ => randSet()) :+ List.empty[String] :+ List("", "a")
+    for (i <- sets.indices; j <- sets.indices if i <= j) {
+      val expect = sets(i).toSet.intersect(sets(j).toSet).size.toLong
+      val got = Seq((sets(i), sets(j))).toDF("a", "b")
+        .select(sortedIntersectCount(col("a"), col("b"))).head().getLong(0)
+      assert(got == expect, s"pair ($i,$j): ${sets(i)} ∩ ${sets(j)}")
+    }
+  }
 }

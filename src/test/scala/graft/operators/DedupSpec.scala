@@ -259,4 +259,17 @@ class DedupSpec extends SparkSpec {
     assert(bm.queryExecution.executedPlan.toString.toLowerCase.contains("bit_and_count"),
       "bitmap path must keep admissible corpora at any threshold")
   }
+
+  test("jaccardPrefixPairs degenerate inputs: too-short docs, identical docs, threshold 1.0") {
+    val sp = spark
+    import sp.implicits._
+    // docs shorter than the shingle produce no rows and no pairs, not a crash
+    val shorts = Seq((1L, "one"), (2L, "two"), (3L, "alpha beta")).toDF("doc_id", "text")
+    assert(Dedup.jaccardPrefixPairs(shorts, "doc_id", "text", 2, 0.8).count() == 0L)
+    // identical docs at threshold 1.0: prefix length 1 still pairs them
+    val same = Seq((1L, "a b c d"), (2L, "a b c d"), (3L, "x y z w")).toDF("doc_id", "text")
+    val got = Dedup.jaccardPrefixPairs(same, "doc_id", "text", 2, 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 1.0)))
+  }
 }

@@ -107,5 +107,13 @@ class SamplingSpec extends SparkSpec {
     val enSet = dupKept.filter(col("lang") === "en").collect().map(_.getLong(0)).toSet
     val deSet = dupKept.filter(col("lang") === "de").collect().map(_.getLong(0)).toSet
     assert(enSet != deSet, "same ids in two strata must draw independent buckets")
+
+    // NULL stratum drops (documented engine-portable three-valued filter)
+    val withNull = Seq((1L, "en"), (2L, null.asInstanceOf[String]))
+      .toDF("id", "lang")
+    val keptNull = Sampling.stableStratifiedSample(withNull, "id", "lang",
+      Map.empty[String, Double], defaultFraction = 1.0)
+    assert(keptNull.collect().map(_.getLong(0)).toSeq == Seq(1L),
+      "null stratum must drop, matching md5(stratum || ':' || id) SQL semantics")
   }
 }
