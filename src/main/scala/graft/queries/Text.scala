@@ -354,6 +354,21 @@ object Text extends QueryPack {
       Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
           shingleN = 2, threshold = 0.2)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- the PREFIX-FILTERED exact path invoked directly (the strategy
+    //    routes the full synthetic corpus to bitmaps — its tiny vocabulary
+    //    is the degenerate regime, see Dedup.jaccardPairs scaladoc — so
+    //    this query pins the prefix implementation itself under the
+    //    driver's hash gate at every scale). Subset keeps the bench cost
+    //    of running a token-indexed join over a 931-shingle vocabulary
+    //    bounded; results are exact, so the oracle is the same plain
+    //    brute-force SQL at t=0.8.
+    "dedup_jaccard_prefix" -> ((s, dir) => {
+      Dedup.jaccardPrefixPairs(
+          Tables(s, dir, "documents").filter(col("doc_id") % 4 === 0),
+          "doc_id", "text", shingleN = 2, threshold = 0.8)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -561,6 +576,25 @@ object Text extends QueryPack {
         |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "dedup_jaccard_prefix" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 4 = 0),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
         |ORDER BY id_a, id_b""".stripMargin
   )
 }
