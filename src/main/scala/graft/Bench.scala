@@ -99,8 +99,13 @@ object Bench {
     val total = results.map(_._2.min).sum
     // headline numbers stay min-of-N (measures the code, not the noise);
     // median + spread (max-min) expose per-query run-to-run variance so a
-    // one-off box-contention spike is distinguishable from a regression
-    println(s"""{"metric":"total","value":$total,"unit":"sec",""" +
+    // one-off box-contention spike is distinguishable from a regression.
+    // "schema":2 marks the round-5 output change (op_* moved out of the
+    // headline into "operators"); "total_with_operators" is the old
+    // round-4-and-earlier definition so a consumer diffing the raw JSON
+    // across rounds has a like-for-like number without reading BASELINE.md.
+    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":2,""" +
+      s""""total_with_operators":${total + opResults.map(_._2.min).sum},""" +
       s""""reps":$reps,"queries":${obj(results)(_.min)},""" +
       s""""median":${obj(results)(ts => ts(ts.length / 2))},""" +
       s""""spread":${obj(results)(ts => ts.max - ts.min)},""" +

@@ -23,10 +23,21 @@ import org.apache.spark.sql.types.DataType
   * Codegen is a pass-through of the child (no fallback — the hot filters
   * stay inside whole-stage codegen); `eval` likewise. Results are exactly
   * the child's results, so correctness contracts are unaffected.
+  *
+  * USAGE CONSTRAINT: the barrier blocks EVERY pushdown rule, not just
+  * join-condition fusion — a predicate wrapped in it will never reach a
+  * scan's PushedFilters or prune partitions. Only wrap post-join
+  * predicates (the expensive verify above a pair join); never wrap a
+  * scan-level filter.
   */
 case class EvalBarrierExpr(child: Expression) extends UnaryExpression {
   // the lie that blocks pushdown (expressions are otherwise assumed pure)
   override lazy val deterministic: Boolean = false
+  // flag consistency with the lie: UnaryExpression's default foldable
+  // delegates to the child, and a rule that only checks foldable would
+  // happily constant-fold a barrier over a literal — resurrecting the
+  // evaluation-order movement the barrier exists to prevent
+  override val foldable: Boolean = false
 
   override def dataType: DataType = child.dataType
   override def nullable: Boolean = child.nullable

@@ -52,6 +52,12 @@ object Codecs {
     * row-major, zero-padded to the packed geometry). Lossless. */
   def encodeGrayPng(payload: Array[Byte]): Array[Byte] = {
     val (w, h) = packedGeometry(payload.length)
+    // the packed raster is square-ish, so w*h can exceed payload.length by
+    // up to w-1 — for payloads near 2^31 the Int product overflows negative
+    // and Arrays.copyOf would throw an opaque NegativeArraySizeException
+    require(w.toLong * h <= Int.MaxValue,
+      s"payload of ${payload.length} bytes packs to $w x $h pixels, " +
+        "which overflows a JVM array")
     val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
     val px = java.util.Arrays.copyOf(payload, w * h) // zero padding
     img.getRaster.setDataElements(0, 0, w, h, px)

@@ -274,7 +274,7 @@ object MultimodalPack extends QueryPack {
         |SELECT doc_id AS media_id, CAST(n AS BIGINT) AS n_bytes,
         |  CAST(greatest(1, floor(sqrt(n))) AS INT) AS width,
         |  CAST(greatest(1, n // CAST(greatest(1, floor(sqrt(n))) AS INT)) AS INT) AS height,
-        |  CAST(sb * 10000 // n AS BIGINT) AS mean_intensity_e4
+        |  CAST(CASE WHEN n = 0 THEN 0 ELSE sb * 10000 // n END AS BIGINT) AS mean_intensity_e4
         |FROM s ORDER BY media_id""".stripMargin,
 
     // resize stub mirror: w/h from the decode geometry, nearest-neighbor
@@ -315,8 +315,12 @@ object MultimodalPack extends QueryPack {
         |SELECT doc_id AS media_id, TRUE AS decode_ok, 'png' AS format,
         |  CAST(w AS INT) AS width, CAST(h AS INT) AS height,
         |  CAST(w * h AS BIGINT) AS n_pixels,
-        |  CAST(list_sum(list_transform(range(1, n + 1),
-        |    i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS pixel_sum
+        |  -- COALESCE: list_sum of an empty list (n = 0, an empty document)
+        |  -- is NULL in DuckDB while the Spark side packs a 1x1 zero PNG
+        |  -- whose pixel_sum is 0 (the geometry columns already agree:
+        |  -- greatest(1, ...) pins both sides to 1x1)
+        |  CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+        |    i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS pixel_sum
         |FROM g2 ORDER BY media_id""".stripMargin,
 
     // NN resize mirror on the PADDED packed geometry: source index for
@@ -344,8 +348,8 @@ object MultimodalPack extends QueryPack {
         |SELECT doc_id AS media_id, TRUE AS decode_ok,
         |  CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
         |  CAST(n AS BIGINT) AS n_frames,
-        |  CAST(list_sum(list_transform(range(1, n + 1),
-        |    i -> ord(substr(text, CAST(i AS INT), 1)))) AS BIGINT) AS sample_sum
+        |  CAST(COALESCE(list_sum(list_transform(range(1, n + 1),
+        |    i -> ord(substr(text, CAST(i AS INT), 1)))), 0) AS BIGINT) AS sample_sum
         |FROM b ORDER BY media_id""".stripMargin,
 
     "mm_frame_sample" ->

@@ -1,8 +1,9 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.storage.StorageLevel
 
 import graft.Tables
 import graft.functions.{tokens, wordShingles}
@@ -35,6 +36,84 @@ object Text extends QueryPack {
     * and exact-dedup'd. */
   private def normText(c: Column): Column =
     lower(trim(regexp_replace(c, "\\s+", " ")))
+
+  /** Broadcast cap for the per-term document-frequency relation in the
+    * ranking queries (VERDICT_r05 next-round #2). A real-text vocabulary
+    * grows with the corpus (heaps' law) — at 100 TB the df relation is
+    * NOT a dimension table, and an unconditional `broadcast(df)` hint
+    * would ship a multi-GB map to every executor (or OOM the driver
+    * building it). 2^20 terms ≈ tens of MB serialized — comfortably
+    * broadcastable — while anything larger falls back to a shuffle join
+    * keyed on `term`, which is the correct plan at scale. */
+  private[graft] val MaxBroadcastVocab: Long = 1L << 20
+
+  /** Join term-level stats `tf` with the document-frequency relation
+    * `dfRel`, broadcasting only under a MEASURED vocabulary bound —
+    * the same measure-then-route pattern as Dedup.jaccardPairs. The df
+    * relation is persisted first, so the routing count is one cheap pass
+    * over the (vocab-sized) aggregate the query needs anyway, not an
+    * extra scan of the corpus; the count itself is the aggregation's
+    * output cardinality. Storage is reclaimed by
+    * `spark.catalog.clearCache()` (Bench does this between queries) or
+    * session end. */
+  private[graft] def idfJoinVocabGated(tf: DataFrame, dfRel: DataFrame,
+                                       maxBroadcastVocab: Long): DataFrame = {
+    val dfp = dfRel.persist(StorageLevel.MEMORY_AND_DISK)
+    val vocab = dfp.count()
+    if (vocab <= maxBroadcastVocab) tf.join(broadcast(dfp), "term")
+    else tf.join(dfp, "term")
+  }
+
+  /** TF-IDF top-20 (doc, term) scores — the `text_tfidf` query body,
+    * parameterized on the broadcast gate so the routing spec can force
+    * both plans. Scoring semantics documented at the map entry. */
+  private[graft] def tfidf(docs: DataFrame,
+                           maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    // corpus size as a 1-row scalar agg folded into the plan (broadcast
+    // crossJoin); cast-to-double order matches the oracle's
+    // CAST(n AS DOUBLE) + 1.0. The df-relation routing count below is the
+    // one driver action (measure-then-route, as Dedup.jaccardPairs).
+    val nDf = broadcast(docs.agg(count(lit(1)).cast("double").as("nd")))
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    idfJoinVocabGated(tf, df, maxBroadcastVocab).crossJoin(nDf)
+      .select(col("doc_id"), col("term"),
+        (col("tf") * ((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
+          .cast(DecimalType(18, 4)).cast("double").as("tfidf"))
+      .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
+      .limit(20)
+  }
+
+  /** BM25 top-20 (doc, term) scores — the `text_bm25` query body,
+    * parameterized on the broadcast gate so the routing spec can force
+    * both plans. Scoring semantics documented at the map entry. */
+  private[graft] def bm25(docs: DataFrame,
+                          maxBroadcastVocab: Long = MaxBroadcastVocab): DataFrame = {
+    val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = terms.select(col("doc_id"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // scalars: n (corpus count) and avgdl (= exact long token total cast
+    // to double, divided by n-as-double) — same IEEE op sequence as the
+    // oracle's `CAST(SUM(dl) AS DOUBLE) / n`.
+    val scalars = broadcast(
+      docs.agg(count(lit(1)).as("n"))
+        .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl")))
+        .select(col("n").cast("double").as("nd"),
+          (col("sum_dl") / col("n").cast("double")).as("avgdl")))
+    idfJoinVocabGated(tf, df, maxBroadcastVocab).join(dl, "doc_id").crossJoin(scalars)
+      .select(col("doc_id"), col("term"),
+        ((col("tf") * lit(2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
+          * ((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
+          .cast(DecimalType(18, 4)).cast("double").as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"), col("term"))
+      .limit(20)
+  }
 
   val queries: Map[String, QFn] = Map(
     // -- Q24: token counting (split → explode → count), global top-20
@@ -186,27 +265,9 @@ object Text extends QueryPack {
     //    contractual — exactly the 1-ulp-flips-decimal-rounding class that
     //    made round 1's only red pair). The ln form is a one-line swap.
     //    Plan shape is the graded part: tf is one hash agg, df one more,
-    //    df joins back BROADCAST (vocab ≪ corpus), top-20 is
-    //    TakeOrderedAndProject.
-    "text_tfidf" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      // corpus size as a 1-row scalar agg folded into the plan (broadcast
-      // crossJoin) — no driver action, so the whole query is one lazy plan
-      // and at 100 TB there is no extra full pass before the real job.
-      // cast-to-double order matches the oracle's CAST(n AS DOUBLE) + 1.0.
-      val nDf = broadcast(docs.agg(count(lit(1)).cast("double").as("nd")))
-      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      tf.join(broadcast(df), "term").crossJoin(nDf)
-        .select(col("doc_id"), col("term"),
-          (col("tf") * ((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
-            .cast(DecimalType(18, 4)).cast("double").as("tfidf"))
-        .orderBy(col("tfidf").desc, col("doc_id"), col("term"))
-        .limit(20)
-    }),
+    //    df joins back broadcast under the measured vocab gate (shuffle
+    //    join past it), top-20 is TakeOrderedAndProject.
+    "text_tfidf" -> ((s, dir) => tfidf(Tables(s, dir, "documents"))),
 
     // -- BM25 document-term ranking (k1=1.2, b=0.75) with the SAME
     //    rational smoothed idf as text_tfidf ((N+1)/(df+1), log-free —
@@ -219,32 +280,10 @@ object Text extends QueryPack {
     //    folded into the plan via broadcast crossJoin — zero driver
     //    actions, so the query is one lazy plan (no extra full passes over
     //    the terms relation before the real job). Plan shape: tf + dl are
-    //    hash aggs, df joins back BROADCAST, doc-length joins on doc_id,
+    //    hash aggs, df joins back broadcast under the measured vocab gate
+    //    (shuffle join past it), doc-length joins on doc_id,
     //    top-20 is TakeOrderedAndProject.
-    "text_bm25" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val terms = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dl = terms.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-      val df = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
-      // scalars: n (corpus count) and avgdl (= exact long token total cast
-      // to double, divided by n-as-double) — same IEEE op sequence as the
-      // oracle's `CAST(SUM(dl) AS DOUBLE) / n`.
-      val scalars = broadcast(
-        docs.agg(count(lit(1)).as("n"))
-          .crossJoin(dl.agg(sum(col("dl")).cast("double").as("sum_dl")))
-          .select(col("n").cast("double").as("nd"),
-            (col("sum_dl") / col("n").cast("double")).as("avgdl")))
-      tf.join(broadcast(df), "term").join(dl, "doc_id").crossJoin(scalars)
-        .select(col("doc_id"), col("term"),
-          ((col("tf") * lit(2.2) /
-              (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / col("avgdl")))))
-            * ((col("nd") + lit(1.0)) / (col("df") + lit(1.0))))
-            .cast(DecimalType(18, 4)).cast("double").as("bm25"))
-        .orderBy(col("bm25").desc, col("doc_id"), col("term"))
-        .limit(20)
-    }),
+    "text_bm25" -> ((s, dir) => bm25(Tables(s, dir, "documents"))),
 
     // -- within-document repetition scoring (the Gopher-class quality
     //    filter): fraction of NON-DISTINCT word 2-grams inside each doc —
