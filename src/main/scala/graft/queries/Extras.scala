@@ -216,6 +216,47 @@ object Extras extends QueryPack {
           (col("wm._1") / col("wm._2"))
             .cast(DecimalType(9, 4)).cast("double").as("wavg_discount"))
         .orderBy(col("l_returnflag"))
+    }),
+
+    // -- Q41: the DECIMAL aggregation contract (VERDICT_r05 next-round #6).
+    //    TPC-H Q1 in HONEST decimal arithmetic: q03 runs the fast
+    //    scaled-long formulation, so this row is the oracle proof that the
+    //    engine's native DECIMAL(18,2) SUM / AVG / multiply semantics match
+    //    DuckDB digit-for-digit — native decimal aggs over exact decimal
+    //    intermediates, accepted to be slower than q03.
+    //    Type discipline (both engines compute the identical exact values):
+    //     - ep*(1-disc): (18,2)x(19,2) -> scale-4 product, exact; quantized
+    //       to DECIMAL(18,4) before the next multiply because DuckDB's
+    //       multiply requires width1+width2 <= 38 (the values need only ~7
+    //       integer digits, so the narrowing is lossless);
+    //     - *(1+tax): (18,4)x(19,2) -> scale-6, exact in both engines;
+    //     - AVG: Spark's decimal avg yields DECIMAL(22,6) with HALF_UP at
+    //       scale 6; the oracle emulates exactly that with integer math
+    //       ((2*S*10^6 + C) // (2*C) is round-half-up of S*10^6/C), since
+    //       DuckDB's own avg() returns DOUBLE.
+    //    Outputs present the decimals as doubles (one correctly-rounded
+    //    conversion of identical exact decimal values on both sides) —
+    //    raw decimal OUTPUT columns hash-mismatch in the driver's
+    //    canonicalization even when numerically equal (round-2 red row,
+    //    see q32 above); the decimal SEMANTICS are what this row proves.
+    "q41_decimal_agg" -> ((s, dir) => {
+      val one = lit(1).cast(DecimalType(3, 2))
+      val qty = dec2(col("l_quantity"))
+      val ep = dec2(col("l_extendedprice"))
+      val disc = dec2(col("l_discount"))
+      val tax = dec2(col("l_tax"))
+      val discPrice = (ep * (one - disc)).cast(DecimalType(18, 4))
+      Tables(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(qty).cast("double").as("sum_qty"),
+          sum(ep).cast("double").as("sum_base_price"),
+          sum(discPrice).cast("double").as("sum_disc_price"),
+          sum(discPrice * (one + tax)).cast("double").as("sum_charge"),
+          avg(qty).cast("double").as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
     })
   )
 
@@ -289,6 +330,34 @@ object Extras extends QueryPack {
       """SELECT l_returnflag,
         |  CAST(CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
         |     / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS DECIMAL(9,4)) AS DOUBLE) AS wavg_discount
-        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // Honest-decimal TPC-H Q1 (semantics notes at the query). The avg
+    // emulates Spark's DECIMAL(22,6) HALF_UP average with integer math
+    // because DuckDB's avg() over decimal returns DOUBLE.
+    "q41_decimal_agg" ->
+      """WITH l AS (
+        |  SELECT l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS ep,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc,
+        |    CAST(l_tax AS DECIMAL(18,2)) AS tax,
+        |    CAST(l_quantity AS BIGINT) AS qty_i
+        |  FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+        |p AS (
+        |  SELECT l_returnflag, l_linestatus, qty, ep, qty_i,
+        |    CAST(ep * (CAST(1 AS DECIMAL(3,2)) - disc) AS DECIMAL(18,4)) AS disc_price,
+        |    (CAST(1 AS DECIMAL(3,2)) + tax) AS one_tax
+        |  FROM l)
+        |SELECT l_returnflag, l_linestatus,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(ep) AS DOUBLE) AS sum_base_price,
+        |  CAST(SUM(disc_price) AS DOUBLE) AS sum_disc_price,
+        |  CAST(SUM(disc_price * one_tax) AS DOUBLE) AS sum_charge,
+        |  CAST((2 * SUM(qty_i) * 1000000 + COUNT(*)) // (2 * COUNT(*)) AS DOUBLE)
+        |    / 1000000.0 AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM p GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
   )
 }
