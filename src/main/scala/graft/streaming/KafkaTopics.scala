@@ -96,45 +96,21 @@ final case class KafkaTopics(bootstrapServers: String, checkpointRoot: String,
   // -- topic lifecycle (A19) via AdminClient, reflectively: kafka-clients
   //    is not a compile-time dependency of this repo, and `Class.forName`
   //    keeps the swap honest — the SAME binary runs file-backed offline and
-  //    against a broker when the jars are present.
+  //    against a broker when the jars are present. The reflective wiring
+  //    itself lives in [[KafkaAdminOps]] so it is unit-testable against a
+  //    mock admin without a broker.
 
   def createTopic(topic: String, partitions: Int = 1, replication: Int = 1): Unit =
     withAdmin { admin =>
-      val newTopic = Class.forName("org.apache.kafka.clients.admin.NewTopic")
-        .getConstructor(classOf[String], classOf[Int], classOf[Short])
-        .newInstance(topic, Int.box(partitions), Short.box(replication.toShort))
-        .asInstanceOf[AnyRef]
-      val result = admin.getClass
-        .getMethod("createTopics", classOf[java.util.Collection[_]])
-        .invoke(admin, java.util.Collections.singletonList(newTopic))
-      await(result.getClass.getMethod("all").invoke(result))
+      KafkaAdminOps.createTopics(admin, java.util.Collections.singletonList(
+        KafkaAdminOps.newTopic(topic, partitions, replication)))
     }
 
   def deleteTopic(topic: String): Unit =
-    withAdmin { admin =>
-      val result = admin.getClass
-        .getMethod("deleteTopics", classOf[java.util.Collection[_]])
-        .invoke(admin, java.util.Collections.singletonList(topic))
-      try await(result.getClass.getMethod("all").invoke(result))
-      catch {
-        // reference kafka.go:60-64: deleting an absent topic is fine.
-        // KafkaFuture.get throws ExecutionException(cause = UnknownTopic…)
-        // and Method.invoke wraps THAT in InvocationTargetException, so
-        // the marker sits anywhere on the cause chain — walk it.
-        case e: java.lang.reflect.InvocationTargetException
-          if Iterator.iterate(e.getCause)(_.getCause)
-            .takeWhile(_ != null).take(5)
-            .exists(_.getClass.getName.contains("UnknownTopicOrPartition")) => ()
-      }
-    }
+    withAdmin(KafkaAdminOps.deleteTopic(_, topic))
 
   def topicExists(topic: String): Boolean =
-    withAdmin { admin =>
-      val result = admin.getClass.getMethod("listTopics").invoke(admin)
-      val names = await(result.getClass.getMethod("names").invoke(result))
-        .asInstanceOf[java.util.Set[String]]
-      names.contains(topic)
-    }
+    withAdmin(KafkaAdminOps.topicExists(_, topic))
 
   private def withAdmin[A](f: AnyRef => A): A = {
     val cls =
@@ -153,11 +129,62 @@ final case class KafkaTopics(bootstrapServers: String, checkpointRoot: String,
     try f(admin)
     finally admin.getClass.getMethod("close").invoke(admin)
   }
+}
 
-  /** Block on a KafkaFuture reflectively. */
+/** The reflective AdminClient surface, factored out of [[KafkaTopics]] so
+  * the method-name/signature wiring, KafkaFuture unwrapping and the
+  * delete-absent-topic tolerance are all unit-testable against a MOCK
+  * admin object (KafkaTopicsSpec) — the only part that still needs a real
+  * broker is AdminClient.create itself, which stays in
+  * `KafkaTopics.withAdmin`. Everything here resolves methods by name and
+  * erased signature, exactly as they exist on
+  * `org.apache.kafka.clients.admin.AdminClient`
+  * (reference lifecycle analog: internal/pipeline/kafka.go:24-72). */
+private[streaming] object KafkaAdminOps {
+
+  /** Instantiate `NewTopic(topic, partitions, replication)` reflectively —
+    * requires kafka-clients on the classpath (callers reach this only from
+    * inside `withAdmin`, which has already verified that). */
+  def newTopic(topic: String, partitions: Int, replication: Int): AnyRef =
+    Class.forName("org.apache.kafka.clients.admin.NewTopic")
+      .getConstructor(classOf[String], classOf[Int], classOf[Short])
+      .newInstance(topic, Int.box(partitions), Short.box(replication.toShort))
+      .asInstanceOf[AnyRef]
+
+  def createTopics(admin: AnyRef, newTopics: java.util.Collection[_]): Unit = {
+    val result = admin.getClass
+      .getMethod("createTopics", classOf[java.util.Collection[_]])
+      .invoke(admin, newTopics)
+    await(result.getClass.getMethod("all").invoke(result))
+  }
+
+  def deleteTopic(admin: AnyRef, topic: String): Unit = {
+    val result = admin.getClass
+      .getMethod("deleteTopics", classOf[java.util.Collection[_]])
+      .invoke(admin, java.util.Collections.singletonList(topic))
+    try await(result.getClass.getMethod("all").invoke(result))
+    catch {
+      // reference kafka.go:60-64: deleting an absent topic is fine.
+      // KafkaFuture.get throws ExecutionException(cause = UnknownTopic…)
+      // and Method.invoke wraps THAT in InvocationTargetException, so
+      // the marker sits anywhere on the cause chain — walk it.
+      case e: java.lang.reflect.InvocationTargetException
+        if Iterator.iterate(e.getCause)(_.getCause)
+          .takeWhile(_ != null).take(5)
+          .exists(_.getClass.getName.contains("UnknownTopicOrPartition")) => ()
+    }
+  }
+
+  def topicExists(admin: AnyRef, topic: String): Boolean = {
+    val result = admin.getClass.getMethod("listTopics").invoke(admin)
+    val names = await(result.getClass.getMethod("names").invoke(result))
+      .asInstanceOf[java.util.Set[String]]
+    names.contains(topic)
+  }
+
   /** Block on a KafkaFuture and return its value — MUST return AnyRef,
     * not Unit: topicExists casts the result, and a Unit-typed await would
     * hand it BoxedUnit (ClassCastException on every call). */
-  private def await(future: AnyRef): AnyRef =
+  def await(future: AnyRef): AnyRef =
     future.getClass.getMethod("get").invoke(future)
 }

@@ -68,6 +68,51 @@ class KafkaTopicsSpec extends SparkSpec {
     assert(!ft.topicExists("t1"))
   }
 
+  // -- reflective AdminClient wiring against the mock admin (the real
+  //    class is absent here; FakeAdmin mirrors its method names and erased
+  //    signatures, so these tests pin the reflection itself)
+
+  test("createTopics resolves by name+signature and drains the all() future") {
+    val admin = new FakeAdmin(java.util.Collections.emptySet())
+    KafkaAdminOps.createTopics(admin,
+      java.util.Collections.singletonList("stand-in-newtopic"))
+    assert(admin.createdTopics.size() == 1)
+    assert(admin.createdTopics.get(0) == "stand-in-newtopic")
+  }
+
+  test("deleteTopic tolerates UnknownTopicOrPartition anywhere on the cause chain") {
+    val admin = new FakeAdmin(java.util.Collections.emptySet(),
+      deleteFailure = new FakeUnknownTopicOrPartitionException)
+    KafkaAdminOps.deleteTopic(admin, "absent-topic") // must not throw
+    assert(admin.deletedTopics.size() == 1 && admin.deletedTopics.get(0) == "absent-topic")
+  }
+
+  test("deleteTopic propagates every other broker failure") {
+    val admin = new FakeAdmin(java.util.Collections.emptySet(),
+      deleteFailure = new FakeBrokerException)
+    val e = intercept[java.lang.reflect.InvocationTargetException](
+      KafkaAdminOps.deleteTopic(admin, "t"))
+    assert(Iterator.iterate(e.getCause.asInstanceOf[Throwable])(_.getCause)
+      .takeWhile(_ != null).exists(_.isInstanceOf[FakeBrokerException]))
+  }
+
+  test("topicExists unwraps the names() future into the membership check") {
+    val topics = new java.util.HashSet[String]()
+    topics.add("present")
+    val admin = new FakeAdmin(topics)
+    assert(KafkaAdminOps.topicExists(admin, "present"))
+    assert(!KafkaAdminOps.topicExists(admin, "absent"))
+  }
+
+  test("await returns the future's VALUE (not BoxedUnit) for downstream casts") {
+    val payload = new java.util.HashSet[String]()
+    assert(KafkaAdminOps.await(new FakeKafkaFuture(payload)) eq payload)
+  }
+
+  test("newTopic without kafka-clients fails with ClassNotFound (the documented boundary)") {
+    intercept[ClassNotFoundException](KafkaAdminOps.newTopic("t", 1, 1))
+  }
+
   test("kafka streaming read plan resolves the envelope contract (no broker contact)") {
     // format("kafka") is absent from this classpath; the CONTRACT we can
     // still pin is that decode maps (key,value,timestamp) → (key, kafka_ts,
