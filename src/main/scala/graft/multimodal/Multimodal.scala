@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   *    [[decodeImageFeatures]], [[resizePng]], [[packWavPcm8]],
   *    [[decodeAudioFeatures]]. Lossless formats make these
   *    oracle-checkable end to end (the `mm_img_*`/`mm_audio_*` queries).
-  *  - Deterministic STUBs ([[extractFeatures]]/[[resize]]) for media the
-  *    JDK has no codec for (video containers, compressed audio) — the
+  *  - The [[MediaCodec]] tier ([[extractFeatures]]/[[resize]]) for media
+  *    the JDK has no codec for (video containers, compressed audio) — the
   *    Spark-side contract (schema, partition-parallel execution, batch
-  *    shape) is real and tested; the stub body is the swap point for a
-  *    JNI/FFmpeg codec.
+  *    shape) is real and tested; the codec is an injected trait whose
+  *    default is the deterministic [[StubMediaCodec]], so a JNI/FFmpeg
+  *    implementation is a drop-in parameter, not an edit.
   */
 object Multimodal {
 
@@ -36,36 +37,18 @@ object Multimodal {
     * must be able to reference the class. */
   case class MediaRow(media_id: Long, payload: Array[Byte])
 
-  /** ======== STUB ========
-    * Deterministic fake "image decode": derives a fake geometry from the
-    * payload length and a mean "pixel intensity" from the raw bytes.
-    * Replace this body with a real codec call (e.g. TwelveMonkeys/FFmpeg
-    * JNI) — the signature and the distributed execution shape stay as-is.
-    */
-  /** Stub geometry shared by decode and resize (and mirrored in both
-    * DuckDB oracles): one definition so a future real-codec swap cannot
-    * leave resize computing stale geometry. */
-  private def stubGeometry(n: Int): (Int, Int) = {
-    val width = math.max(1, math.sqrt(n.toDouble).toInt)
-    (width, math.max(1, n / width))
-  }
-
-  private def decodeStub(payload: Array[Byte]): (Int, Int, Long) = {
-    val n = payload.length
-    val (width, height) = stubGeometry(n)
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (payload(i) & 0xFF); i += 1 }
-    val meanE4 = if (n == 0) 0L else sum * 10000L / n
-    (width, height, meanE4)
-  }
-
   /** Decode + feature-extract over a (id, binary) DataFrame. Runs
     * partition-parallel via mapPartitions — per-partition imperative logic
     * is the legitimate use-case for dropping below the DataFrame API
     * (decoders are black-box byte crunchers, not expressible as Catalyst
-    * expressions). Input partitioning is preserved; no shuffle. */
-  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String): Dataset[MediaFeatures] = {
+    * expressions). Input partitioning is preserved; no shuffle.
+    *
+    * `codec` is the [[MediaCodec]] swap point: the default
+    * [[StubMediaCodec]] is the deterministic oracle-mirrored stand-in;
+    * an FFmpeg/JNI implementation drops in without touching the Spark
+    * plumbing. */
+  def extractFeatures(df: DataFrame, idCol: String, payloadCol: String,
+                      codec: MediaCodec = StubMediaCodec): Dataset[MediaFeatures] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long").as("media_id"), col(payloadCol).as("payload"))
@@ -75,8 +58,9 @@ object Multimodal {
           // a NULL payload column deserializes to null — treat as an
           // empty media object rather than NPE-failing the whole stage
           val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-          val (w, h, meanE4) = decodeStub(payload)
-          MediaFeatures(r.media_id, payload.length.toLong, w, h, meanE4)
+          val d = codec.decode(payload)
+          MediaFeatures(r.media_id, payload.length.toLong, d.width, d.height,
+            d.meanIntensityE4)
         }
       }
   }
@@ -87,33 +71,13 @@ object Multimodal {
   case class ResizedMedia(media_id: Long, width: Int, height: Int,
                           resized: Array[Byte], byte_sum: Long)
 
-  /** ======== STUB ========
-    * Deterministic fake "resize": nearest-neighbor downsample over the
-    * stub geometry (w×h from decodeStub; pixel (y,x) = payload byte at
-    * sy*w+sx with sy = y*h/th, sx = x*w/tw — pure integer index math, so
-    * any engine reproduces it). Replace with a real scaler next to the
-    * real codec; the mapPartitions execution shape stays. */
-  private def resizeStub(payload: Array[Byte], tw: Int, th: Int): Array[Byte] = {
-    if (payload.isEmpty) return Array.emptyByteArray
-    val n = payload.length
-    val (w, h) = stubGeometry(n)
-    val out = new Array[Byte](tw * th)
-    var y = 0
-    var i = 0
-    while (y < th) {
-      val sy = y * h / th
-      var x = 0
-      while (x < tw) { out(i) = payload(sy * w + x * w / tw); i += 1; x += 1 }
-      y += 1
-    }
-    out
-  }
-
-  /** Resize every payload to `tw`×`th` via the stub scaler —
+  /** Resize every payload to `tw`×`th` via the [[MediaCodec]] scaler
+    * (default: the oracle-mirrored [[StubMediaCodec]]) —
     * partition-parallel mapPartitions, same rationale as
     * [[extractFeatures]]. */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
-             tw: Int, th: Int): Dataset[ResizedMedia] = {
+             tw: Int, th: Int,
+             codec: MediaCodec = StubMediaCodec): Dataset[ResizedMedia] = {
     require(tw >= 1 && th >= 1, "target dims must be >= 1")
     require(tw.toLong * th.toLong <= Int.MaxValue,
       s"target ${tw}x$th overflows a byte array")
@@ -124,7 +88,7 @@ object Multimodal {
       .mapPartitions { rows =>
         rows.map { r =>
           val payload = if (r.payload == null) Array.emptyByteArray else r.payload
-          val out = resizeStub(payload, tw, th)
+          val out = codec.resize(payload, tw, th)
           var s = 0L
           var i = 0
           while (i < out.length) { s += (out(i) & 0xFF); i += 1 }
