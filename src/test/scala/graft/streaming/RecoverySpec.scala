@@ -74,6 +74,79 @@ class RecoverySpec extends SparkSpec {
       s"state must span both runs, got $after")
   }
 
+  test("transformWithState carries ~1e5 keys of RocksDB state across a restart") {
+    // VERDICT_r05 next-round #7: the toy-sized TWS goldens (StatefulSpec)
+    // prove semantics; this one proves the recovery path at realistic
+    // per-partition state volume — 100k keys, each with a ListState +
+    // ValueState + a registered timer, checkpointed by run 1 and REQUIRED
+    // by run 2's merge logic (every output row must contain run 1's
+    // amount, so a state loss is 100k failed rows, not a flake).
+    val sp = spark
+    import sp.implicits._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = sp.conf.getOption(providerKey)
+    sp.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val src = Files.createTempDirectory("graft-tws-src").toString
+    val ckpt = Files.createTempDirectory("graft-tws-ckpt").toString
+    val nKeys = 100000
+    val base = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+
+    def writeBatch(amount: Double, offsetSec: Int): Unit =
+      (0 until nKeys)
+        .map(i => (s"u$i", new java.sql.Timestamp(base.getTime + offsetSec * 1000L), amount))
+        .toDF("user", "ts", "amount")
+        .coalesce(4).write.mode("append").parquet(src)
+
+    // the memory sink cannot recover from a checkpoint in update mode, so
+    // each run drains through foreachBatch into its own parquet dir (the
+    // foreachBatch sink IS checkpoint-recoverable)
+    def run(outDir: String): Unit = {
+      val events = sp.readStream
+        .schema("user STRING, ts TIMESTAMP, amount DOUBLE").parquet(src)
+        .as[Stateful.Event]
+      val q = Stateful.topKTracker(events, k = 2, idleTimeoutMs = 3600L * 1000)
+        .toDF().writeStream
+        .option("checkpointLocation", ckpt)
+        .outputMode("update")
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          df.write.mode("append").parquet(outDir)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      assert(q.awaitTermination(300000), "drain timed out")
+    }
+
+    def readOut(outDir: String): Array[(String, List[Double], Boolean)] =
+      sp.read.parquet(outDir)
+        .collect().map(r => (r.getString(0), r.getSeq[Double](1).toList, r.getBoolean(2)))
+
+    val out1 = Files.createTempDirectory("graft-tws-out1").toString
+    val out2 = Files.createTempDirectory("graft-tws-out2").toString
+    try {
+      writeBatch(1.0, 0)
+      run(out1)
+      val first = readOut(out1)
+      assert(first.length == nKeys)
+      assert(first.forall { case (_, top, closed) => top == List(1.0) && !closed })
+
+      // new input lands while the query is DOWN; the restarted instance
+      // must restore every key's ListState and merge, not re-initialize
+      writeBatch(2.0, 60)
+      run(out2)
+      val second = readOut(out2)
+      assert(second.length == nKeys, s"expected $nKeys updated keys, got ${second.length}")
+      val carried = second.count { case (_, top, closed) => top == List(2.0, 1.0) && !closed }
+      assert(carried == nKeys,
+        s"state carryover: only $carried/$nKeys keys merged run 1's amount")
+    } finally {
+      prev match {
+        case Some(v) => sp.conf.set(providerKey, v)
+        case None    => sp.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("restart latency from an existing checkpoint is bounded (reported)") {
     val sp = spark
     import sp.implicits._
