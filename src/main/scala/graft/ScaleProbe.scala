@@ -51,25 +51,64 @@ object ScaleProbe {
         s"x -> concat(x, '_r$i')), ' ')").as("text"))
 
   /** Replica i of the embeddings table: ids offset, vector circularly
-    * shifted by i (norm- and within-shard-cosine-preserving), PLUS a 2%
-    * planted near-dup per shard (deterministic small perturbation,
-    * cosine ≈ 0.99) so the sim ≥ 0.8 answer set is nonempty and linear in
-    * the shard count — the synthetic corpus itself has zero pairs at 0.8,
-    * and probing the ANN ops at their gate threshold 0.3 would measure an
-    * inherently quadratic answer set (~0.8% of ALL random dim-64 pairs
-    * clear 0.3), not the operator. */
+    * shifted by i AND sign-flipped per coordinate by a deterministic
+    * per-shard ±1 pattern (hash(i, j) parity). Both transforms preserve
+    * norms and all within-shard cosines exactly (the flip multiplies each
+    * dot-product term by s_j² = 1); cross-shard cosines are ~0. The sign
+    * pattern matters beyond aesthetics: shifts alone repeat at i ≥ dim
+    * (i % 64), so a K > 64 probe would hand shard pairs (i, i+64)
+    * IDENTICAL vectors — 2 040 exact duplicates per such pair, an answer
+    * set the decoupling is supposed to exclude; the 2^64 sign patterns
+    * keep every shard pair decorrelated. PLUS a 2% planted near-dup per
+    * shard (deterministic small perturbation, cosine ≈ 0.99) so the
+    * sim ≥ 0.8 answer set is nonempty and linear in the shard count —
+    * the synthetic corpus itself has zero pairs at 0.8, and probing the
+    * ANN ops at their gate threshold 0.3 would measure an inherently
+    * quadratic answer set (~0.8% of ALL random dim-64 pairs clear 0.3),
+    * not the operator. */
   private def embReplica(emb: DataFrame, i: Int, dim: Int): DataFrame = {
     val shift = i % dim
     val shifted =
       (if (shift == 0) col("embedding")
        else expr(s"concat(slice(embedding, ${shift + 1}, ${dim - shift}), " +
          s"slice(embedding, 1, $shift))")).cast("array<double>")
-    val base = emb.select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
-      shifted.as("embedding"))
+    val base = emb
+      .select((col("vec_id") + lit(i * IdStride)).as("vec_id"),
+        shifted.as("sgn_in"))
+      .select(col("vec_id"),
+        (if (i == 0) col("sgn_in") // replica 0 IS the original corpus
+         else expr(s"transform(sgn_in, (x, j) -> " +
+           s"CASE WHEN pmod(hash($i, j), 2) = 0 THEN x ELSE -x END)")
+           .cast("array<double>"))
+          .as("embedding"))
     val dups = base.filter(col("vec_id") % 50 === 0) // IdStride % 50 == 0
       .select((col("vec_id") + lit(IdStride / 2)).as("vec_id"),
         expr("transform(embedding, (x, j) -> x + 0.03d * sin(cast(vec_id * 37 + j as double)))")
           .as("embedding"))
+    base.unionAll(dups)
+  }
+
+  /** Growing-vocabulary document corpus for the prefix-jaccard probes —
+    * the prefix path's DESIGN regime (real text: vocabulary grows with
+    * the corpus; the sf0.1 synthetic documents are the opposite,
+    * degenerate regime — 931 shingles over 5 000 docs — where
+    * [[graft.operators.Dedup.jaccardPairs]] deliberately routes to
+    * bitmaps instead). Fully distributed and deterministic (Murmur3 via
+    * `hash()`, no driver-side row building), so it scales to the 100×
+    * probe (500k docs) and gives CI-stable candidate counts: doc i =
+    * 30 tokens `w<hash(i,j) mod 8n>`; every 10th doc gets a planted
+    * near-dup (token 5 replaced → 2-shingle jaccard ≈ 0.87 ≥ 0.8) under
+    * id + 10^9. */
+  def prefixCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val vocab = n * 8
+    def sentence(changed: Boolean) = {
+      val tok = s"concat('w', pmod(hash(id, j), ${vocab}L))"
+      val body = if (changed) s"CASE WHEN j = 5 THEN 'CHANGED' ELSE $tok END" else tok
+      expr(s"array_join(transform(sequence(0, 29), j -> $body), ' ')").as("text")
+    }
+    val base = spark.range(n).select(col("id").as("doc_id"), sentence(changed = false))
+    val dups = spark.range(0, n, 10)
+      .select((col("id") + 1000000000L).as("doc_id"), sentence(changed = true))
     base.unionAll(dups)
   }
 
@@ -104,22 +143,97 @@ object ScaleProbe {
     val (docs1, emb1) = shardedCorpus(spark, src, "/tmp/graft-scale-1x", 1)
     println(s"SCALE corpus 1x: ${docs1.count()} docs, ${emb1.count()} vectors")
 
-    def probe(tag: String, docs: DataFrame, emb: DataFrame,
-              ivfK: Int, headlineOnly: Boolean): Unit = {
+    /** Prefix-filtered exact Jaccard on its design-regime corpus (5 000·K
+      * docs, vocabulary ∝ corpus): wall time AND candidate-set cardinality
+      * — the candidate count is the deterministic signal (an all-pairs
+      * degeneration is superlinear there regardless of box speed). */
+    def prefixProbe(tag: String, k: Int): Unit = {
+      val docs = prefixCorpus(spark, 5000L * k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count() // materialize outside the timing
+      t(s"prefix_jaccard_$tag")(
+        Dedup.jaccardPrefixPairs(docs, "doc_id", "text", 2, 0.8).count())
+      t(s"prefix_candidates_$tag")(
+        Dedup.jaccardPrefixCandidates(docs, "doc_id", "text", 2, 0.8).count())
+      docs.unpersist()
+    }
+
+    /** The IVF partitioned-layout story at scale: train centroids (on a
+      * bounded sample past 1×), write the cell-partitioned layout
+      * (Layout.ivfPartition), then time a pruned top-k probe against it.
+      * k scales with the corpus (constant expected cell size), so the
+      * pruned probe should stay ~FLAT as the corpus grows — the scan
+      * touches nprobe cells of ~constant size, which is the whole point
+      * of the layout. */
+    def ivfLayoutProbe(tag: String, dir: String, nCells: Int): Unit = {
+      val emb = Tables(spark, dir, "embeddings")
+      val nVec = emb.count()
+      val frac = math.min(1.0, 20000.0 / nVec)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = nCells, lloydIters = 2, seed = 42, trainFraction = frac)
+      val table = s"emb_ivf_$tag"
+      // a previous probe run's managed-table LOCATION can survive the
+      // session (the catalog is in-memory, the warehouse dir is not) —
+      // saveAsTable then refuses with LOCATION_ALREADY_EXISTS
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      t(s"ivf_layout_write_$tag") {
+        graft.catalog.Layout.ivfPartition(spark, dir, cents, table)
+        nVec
+      }
+      val qv = emb.filter(col("vec_id") === 7).select(col("embedding"))
+        .first().getSeq[Double](0).toSeq
+      t(s"ivf_layout_probe_$tag")(
+        Similarity.topKForVectorIvf(spark.table(table), "vec_id", "embedding",
+          qv, k = 10, centroids = cents, nprobe = 3,
+          trustCellColumn = true).count())
+    }
+
+    def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
+              ivfK: Int, headlineOnly: Boolean, trainFraction: Double): Unit = {
       t(s"minhash_lsh_$tag")(
         Dedup.minHashNearDups(docs, "doc_id", "text", 2, 128, 32, 0.1).count())
-      // near-dup regime (sim >= 0.8, 12-plane bands): the banding prunes
-      // ~99.8% of random pairs, so candidates ∝ planted dups, and the
-      // answer set is the planted dups — both linear in shards
+      // near-dup regime (sim >= 0.8): hyperplane-LSH banding is SIZED TO
+      // THE CORPUS — bits per band grows with log2(shards), bands grow to
+      // hold planted-dup recall (cos ≈ 0.99 → per-plane agree prob 0.955).
+      // A fixed 12-bit bucket space (4096 buckets) goes birthday-quadratic
+      // past ~10^5 rows (~40M random candidate pairs at 204k vectors);
+      // with bits ∝ log n the per-bucket occupancy stays O(1) and
+      // candidates stay ∝ planted dups. Same story as scaling IVF's k —
+      // index geometry is a function of corpus size, which is exactly what
+      // the operator's parameters are for. (MinHash needs no such scaling:
+      // its bucket key is a tuple of 64-bit minhashes, not a fixed-width
+      // code, so its key space never saturates.)
+      val lshBits = 12 + (if (k <= 1) 0 else 32 - Integer.numberOfLeadingZeros(k - 1))
+      val lshBands = if (lshBits <= 16) 8 else 12
       t(s"lsh_ann_$tag")(
-        Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 64, 12, 8, 42, 0.8).count())
+        Similarity.lshNearDupPairs(emb, "vec_id", "embedding", 64,
+          lshBits, lshBands, 42, 0.8).count())
+      // IVF pair generation: the deterministic signal — candidate-pair
+      // cardinality BEFORE exact verification — runs at EVERY tier. With
+      // k ∝ corpus (constant expected cell size) and isotropic vectors,
+      // candidates ≈ probes²·n²/2k, i.e. LINEAR in the corpus with a
+      // constant ~probes²·(n/k)/2 per vector; occupancy blowups are
+      // superlinear here regardless of box speed. The full verify
+      // (ivf_ann) additionally ships two embeddings per candidate — on
+      // this deliberately structureless corpus that is ~1000× the answer
+      // set and dominates wall clock, so it probes only the !headlineOnly
+      // tiers; the at-scale IVF SEARCH story is ivfLayoutProbe below
+      // (partition-pruned, stays flat through 100×).
+      t(s"ivf_candidates_$tag")(
+        Similarity.ivfCandidatePairs(emb, "vec_id", "embedding",
+          k = ivfK, probes = 3, lloydIters = 2, seed = 42,
+          trainFraction = trainFraction).count())
       if (!headlineOnly) {
-        t(s"simhash_$tag")(
-          Dedup.simHashNearDups(docs, "doc_id", "text", 3).count())
         t(s"ivf_ann_$tag")(
           Similarity.ivfNearDupPairs(emb, "vec_id", "embedding",
             k = ivfK, probes = 3, lloydIters = 2, seed = 42,
-            simThreshold = 0.8, trainFraction = 1.0).count())
+            simThreshold = 0.8, trainFraction = trainFraction).count())
+        t(s"simhash_$tag")(
+          Dedup.simHashNearDups(docs, "doc_id", "text", 3).count())
         t(s"components_$tag") {
           val pairs = Dedup.minHashNearDups(docs, "doc_id", "text", 2, 128, 32, 0.5)
           Dedup.connectedComponentsStar(pairs, "id_a", "id_b").count()
@@ -136,11 +250,17 @@ object ScaleProbe {
     Dedup.minHashNearDups(docs1, "doc_id", "text", 2, 128, 32, 0.1).count()
     spark.catalog.clearCache()
 
-    probe("1x", docs1, emb1, ivfK = 8, headlineOnly = false)
+    probe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false, trainFraction = 1.0)
+    prefixProbe("1x", 1)
+    ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
     ks.foreach { k =>
       val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
-      println(s"SCALE corpus ${k}x: ${docsK.count()} docs, ${embK.count()} vectors")
-      probe(s"${k}x", docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20)
+      val nVec = embK.count()
+      println(s"SCALE corpus ${k}x: ${docsK.count()} docs, $nVec vectors")
+      probe(s"${k}x", k, docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20,
+        trainFraction = math.min(1.0, 20000.0 / nVec))
+      prefixProbe(s"${k}x", k)
+      ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
     }
     spark.stop()
   }

@@ -115,6 +115,12 @@ object Layout {
     Tables(spark, dataDir, "embeddings")
       .withColumn("cell",
         element_at(graft.functions.ivfAssign(col("embedding"), centroids, 1), 1))
+      // cluster by the partition column before writing: without this every
+      // input task writes a file into every cell directory (tasks × k
+      // small files — a metadata bomb at k in the hundreds); hashed on
+      // cell, each directory receives files only from the tasks owning
+      // that cell, so file count ~ k instead of tasks × k
+      .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .format("parquet").saveAsTable(tableName)
 }

@@ -239,7 +239,19 @@ object Dedup {
     jaccardPrefixFrom(sh, threshold)
   }
 
-  private def jaccardPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
+  /** The prefix path's candidate pairs BEFORE exact verification — the
+    * deterministic regression target for the near-linearity gates
+    * (ScaleSpec / ScaleProbe): an all-pairs degeneration shows up here as
+    * a superlinear candidate count regardless of box speed, while wall
+    * clock alone is noisy on a shared box. Shares the exact candidate
+    * generation of [[jaccardPrefixPairs]]. */
+  private[graft] def jaccardPrefixCandidates(df: DataFrame, idCol: String,
+                                             textCol: String, shingleN: Int,
+                                             threshold: Double): DataFrame =
+    jaccardPrefixCandidatesFrom(
+      shingleRows(df, idCol, textCol, shingleN), threshold)
+
+  private def jaccardPrefixCandidatesFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(threshold > 0.0 && threshold <= 1.0,
       s"prefix filtering needs threshold in (0, 1], got $threshold")
@@ -252,11 +264,16 @@ object Dedup {
     val prefix = ranked
       .filter(col("rnk") <= col("sz") - ceil(col("sz") * t) + 1)
       .select(col("id"), col("sh"))
-    val cand = prefix.toDF("id_a", "sh")
+    prefix.toDF("id_a", "sh")
       .join(prefix.toDF("id_b", "sh_b"),
         col("sh") === col("sh_b") && col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
       .distinct()
+  }
+
+  private def jaccardPrefixFrom(sh: DataFrame, threshold: Double): DataFrame = {
+    val t = threshold - 1e-4 // rounded-jaccard slack, as in the other paths
+    val cand = jaccardPrefixCandidatesFrom(sh, threshold)
     // per-doc sorted distinct-shingle arrays: sh rows are distinct per
     // (id, sh), so collect_list is duplicate-free; sort_array yields the
     // ascending binary-UTF8 order the two-pointer merge requires

@@ -49,20 +49,11 @@ class ScaleSpec extends SparkSpec {
     // (real text), so each document's rarest prefix tokens stay rare and
     // the candidate set stays ∝ corpus. The regression this trips on is a
     // candidate blowup (prefix join degenerating toward all-pairs), which
-    // turns the 5× run quadratic.
-    val sp = spark
-    import sp.implicits._
-    def corpus(n: Int) = {
-      val rng = new scala.util.Random(11)
-      val vocab = n * 8
-      def sentence() = List.fill(30)(s"w${rng.nextInt(vocab)}").mkString(" ")
-      val originals = (0 until n).map(i => (i.toLong, sentence()))
-      val nearDups = originals.filter(_._1 % 10 == 0).map { case (id, text) =>
-        (1000000L + id, text.split(" ").updated(5, "CHANGED").mkString(" "))
-      }
-      (originals ++ nearDups).toDF("doc_id", "text")
-        .repartition(8).cache()
-    }
+    // turns the 5× run quadratic. Corpus = ScaleProbe.prefixCorpus — the
+    // same deterministic distributed generator the 10×/100× SCALE.md
+    // probes use (hash-based, so counts below are run-to-run stable).
+    def corpus(n: Int) = ScaleProbe.prefixCorpus(spark, n.toLong)
+      .repartition(8).cache()
 
     def run(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
       val t0 = System.nanoTime()
@@ -77,14 +68,28 @@ class ScaleSpec extends SparkSpec {
     run(c1) // warm codegen/shuffle paths, unmeasured
     val (n1, t1) = run(c1)
     val (n5, t5) = run(c5)
-    c1.unpersist(); c5.unpersist()
     info(f"1x: $n1 pairs in $t1%.2f s; 5x: $n5 pairs in $t5%.2f s")
 
-    // planted near-dups qualify (j ≈ 0.87 > 0.8); random pairs over a
-    // corpus-proportional vocabulary essentially never do — the answer
-    // set must replicate ~5×, not ~25×
-    assert(n1 >= 90 && n5 >= 4 * n1 && n5 <= 6 * n1,
-      s"pair count $n1 -> $n5 is not ~5x")
+    // planted near-dups qualify (j ≈ 0.87 > 0.8, one per 10 docs); random
+    // pairs over a corpus-proportional vocabulary essentially never do —
+    // the answer set must replicate ~5×, not ~25×
+    assert(n1 >= 100 && n1 <= 110, s"1x pair count $n1 != ~100 planted dups")
+    assert(n5 >= 4 * n1 && n5 <= 6 * n1, s"pair count $n1 -> $n5 is not ~5x")
+
+    // the DETERMINISTIC gate (ADVICE r5): candidate-pair cardinality
+    // before exact verification must also replicate ~linearly — an
+    // all-pairs degeneration is ~25× here regardless of box speed, while
+    // wall-clock bounds are noisy on a shared box
+    val cand1 = Dedup.jaccardPrefixCandidates(c1, "doc_id", "text", 2, 0.8).count()
+    val cand5 = Dedup.jaccardPrefixCandidates(c5, "doc_id", "text", 2, 0.8).count()
+    c1.unpersist(); c5.unpersist()
+    info(s"candidates: 1x=$cand1 5x=$cand5")
+    assert(cand1 >= n1 && cand1 <= 3 * n1,
+      s"1x candidate set $cand1 is not ~planted-sized (pairs $n1)")
+    assert(cand5 <= 7 * cand1,
+      s"candidate cardinality $cand1 -> $cand5 grew superlinearly (all-pairs regression)")
+
+    // wall clock stays as a secondary, generous tripwire
     val bound = 12.0 * math.max(t1, 0.3)
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
