@@ -47,7 +47,15 @@ object Bench {
     "op_sim_ann_ivf" -> ((s, dir) =>
       Similarity.ivfNearDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding",
-        k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)))
+        k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)),
+    "op_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
+        shingleN = 2, threshold = 0.2)),
+    "op_dedup_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPrefixPairs(
+        Tables(s, dir, "documents")
+          .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
+        "doc_id", "text", shingleN = 2, threshold = 0.8)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -30,16 +30,22 @@ object Dedup {
         minhashSig(wordShingles(tokens(col(textCol)), shingleN), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
 
+  /** One numeric LSH key per band over a `sig` column:
+    * xxhash64(band, sig[band*rows+1..+rows]). Deriving band keys from a
+    * STORED signature is a per-row array read — no re-shingling, no text
+    * rescan — which is what makes the signature table a reusable index
+    * (see [[minHashNearDupsAgainst]]). */
+  private def bandBucketKeys(bands: Int, rows: Int) =
+    array((0 until bands).map { b =>
+      xxhash64(lit(b) +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
+    }: _*)
+
   /** Candidate pairs from LSH banding: signatures agreeing on all rows of
     * any band collide. The banded join ships (bucketKey, id) only; the
     * estimated Jaccard (fraction of agreeing signature positions) is
     * computed after pair dedup by joining signatures back per side. */
   def minHashCandidatePairs(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    // one numeric key per band: xxhash64(band, sig[band*rows+1..+rows])
-    val bucketKeys = array((0 until bands).map { b =>
-      xxhash64(lit(b) +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
-    }: _*)
-    val banded = sigs.select(col("id"), explode(bucketKeys).as("bucket"))
+    val banded = sigs.select(col("id"), explode(bandBucketKeys(bands, rows)).as("bucket"))
     val pairs = banded.toDF("id_a", "bucket")
       .join(banded.toDF("id_b", "bucket_b"),
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -62,6 +68,58 @@ object Dedup {
     minHashCandidatePairs(sigs, bands, numHashes / bands)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Incremental near-dup detection: candidates of a NEW batch against a
+    * previously materialized signature index, without touching the
+    * historical text. `corpusSigs` is the output of [[minHashSignatures]]
+    * (schema `(id, sig)`) persisted from an earlier run — the index costs
+    * ~numHashes×8 bytes/doc (1 KB at 128 hashes), written once.
+    *
+    * Output: (batch_id, corpus_id, est_jaccard), one row per cross pair
+    * colliding in >= 1 LSH band with estimated Jaccard >= `estThreshold`.
+    * Batch-internal pairs are NOT emitted (run [[minHashNearDups]] on the
+    * batch for those); rows whose ids appear on both sides are excluded.
+    *
+    * 100 TB shape — the daily-increment path: each batch pays one row
+    * pass over the BATCH only (shingle + hash); the corpus side derives
+    * its band keys from stored signatures map-side ([[bandBucketKeys]] —
+    * array reads, no re-shingling) and the join ships (bucket, id) from
+    * both sides. At cluster scale, persist the index's exploded band
+    * table `bucketBy(N, "bucket")` so the join co-locates on the corpus
+    * side and only the (small) batch shuffles; signature join-back is per
+    * surviving candidate, sized to the duplicates, not the corpus. With
+    * fixed seeds the same parameters give the identical pair set as
+    * running [[minHashNearDups]] over corpus∪batch and keeping the cross
+    * pairs — asserted in DedupSpec. */
+  def minHashNearDupsAgainst(batch: DataFrame, corpusSigs: DataFrame,
+                             idCol: String, textCol: String,
+                             shingleN: Int = 2, numHashes: Int = 32,
+                             bands: Int = 8, estThreshold: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val rows = numHashes / bands
+    val batchSigs = minHashSignatures(batch, idCol, textCol, shingleN, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keys = bandBucketKeys(bands, rows)
+    val bandedBatch = batchSigs.select(col("id"), explode(keys).as("bucket"))
+    val bandedCorpus = corpusSigs.select(col("id"), explode(keys).as("bucket"))
+    val pairs = bandedBatch.toDF("batch_id", "bucket")
+      .join(bandedCorpus.toDF("corpus_id", "bucket_b"),
+        col("bucket") === col("bucket_b") && col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"))
+      .distinct()
+    val out = pairs
+      .join(batchSigs.toDF("batch_id", "sig_a"), "batch_id")
+      .join(corpusSigs.toDF("corpus_id", "sig_b"), "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
+          .cast("double") / size(col("sig_a"))).as("est_jaccard"))
+      .filter(col("est_jaccard") >= estThreshold)
+      .select(col("batch_id"), col("corpus_id"),
+        round(col("est_jaccard"), 4).as("est_jaccard"))
+      .localCheckpoint(eager = true)
+    batchSigs.unpersist()
+    out
   }
 
   /** 64-bit SimHash per document — one row pass, no shuffle. */

@@ -139,6 +139,53 @@ object MultimodalPack extends QueryPack {
           (col("n_cand") > 0).as("nonempty"))
     }),
 
+    // -- INCREMENTAL MinHash dedup, SELF-VERIFYING: the daily-increment
+    //    shape — dedup a new batch (doc_id % 3 == 0) against a previously
+    //    materialized signature index of the historical corpus (the other
+    //    docs) WITHOUT re-shingling the history. Parameters match
+    //    dedup_minhash_lsh. Contract columns:
+    //      n_exact_high  — exact count of CROSS (batch×corpus) pairs with
+    //                      2-shingle Jaccard >= 0.8, recomputed
+    //                      independently by DuckDB;
+    //      high_sim_covered — every such pair appears among the
+    //                      incremental candidates (same 1-(1-0.8^4)^32
+    //                      per-band coverage argument as the full gate,
+    //                      deterministic under fixed seeds);
+    //      nonempty      — the cross banding produced candidates at all;
+    //      sides_ok      — every emitted pair is batch-on-the-left,
+    //                      corpus-on-the-right (no history×history or
+    //                      batch×batch leakage).
+    "dedup_minhash_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+      val batch = docs.filter(col("doc_id") % 3 === 0)
+      // the "previously computed" index premise: signatures materialized
+      // once (ContextCleaner-managed localCheckpoint, see dedup_minhash_lsh)
+      val index = Dedup.minHashSignatures(corpus, "doc_id", "text",
+          shingleN = 2, numHashes = 128)
+        .localCheckpoint()
+      val cand = Dedup.minHashNearDupsAgainst(batch, index, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
+        .select(col("batch_id"), col("corpus_id"))
+        .localCheckpoint()
+      val exactHigh = Dedup.jaccardPairs(docs, "doc_id", "text",
+          shingleN = 2, threshold = 0.8)
+        .filter((col("id_a") % 3 === 0) =!= (col("id_b") % 3 === 0))
+        .select(
+          when(col("id_a") % 3 === 0, col("id_a")).otherwise(col("id_b")).as("batch_id"),
+          when(col("id_a") % 3 === 0, col("id_b")).otherwise(col("id_a")).as("corpus_id"))
+        .localCheckpoint()
+      exactHigh.agg(count(lit(1)).as("n_exact_high"))
+        .crossJoin(exactHigh.except(cand).agg(count(lit(1)).as("n_missed")))
+        .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+        .crossJoin(cand.filter(col("batch_id") % 3 =!= 0 || col("corpus_id") % 3 === 0)
+          .agg(count(lit(1)).as("n_wrong_side")))
+        .select(col("n_exact_high"),
+          (col("n_missed") === 0).as("high_sim_covered"),
+          (col("n_cand") > 0).as("nonempty"),
+          (col("n_wrong_side") === 0).as("sides_ok"))
+    }),
+
     // -- SimHash near-dup pairs, SELF-VERIFYING (round-4: was rows-only).
     //    maxDist=3 with 4-block banding is exact by pigeonhole (round 1
     //    called maxDist=16 against 4 blocks and silently missed most
@@ -255,6 +302,28 @@ object MultimodalPack extends QueryPack {
         |  TRUE AS high_sim_covered, TRUE AS nonempty
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8""".stripMargin,
+
+    // Self-verifying contract (see the query): DuckDB recomputes the exact
+    // count of CROSS (batch×corpus under the %3 split) Jaccard>=0.8 pairs
+    // independently and asserts the coverage/nonempty/sides booleans.
+    "dedup_minhash_incr" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_high,
+        |  TRUE AS high_sim_covered, TRUE AS nonempty, TRUE AS sides_ok
+        |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
+        |  AND ((id_a % 3 = 0) <> (id_b % 3 = 0))""".stripMargin,
 
     // Self-verifying contract (see the query): DuckDB anchors the corpus
     // size and asserts the exactness/nonempty booleans.

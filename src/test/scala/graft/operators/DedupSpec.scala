@@ -122,6 +122,31 @@ class DedupSpec extends SparkSpec {
     assert(sigs.select(size(col("sig"))).distinct().head().getInt(0) == 16)
   }
 
+  test("minHashNearDupsAgainst equals the symmetric run restricted to cross pairs") {
+    // the incremental premise: originals are the indexed history, the
+    // planted near-dups arrive as the new batch
+    val corpus = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") >= 100)
+    val index = Dedup.minHashSignatures(corpus, "doc_id", "text", 2, 32)
+    val incr = Dedup.minHashNearDupsAgainst(batch, index, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // batch always left, corpus always right — no same-side leakage
+    assert(incr.forall { case (b, c, _) => b >= 100 && c < 100 })
+    // same pair set AND same estimates as running the full symmetric
+    // operator over history∪batch and keeping the cross pairs (fixed
+    // seeds make both deterministic)
+    val full = Dedup.minHashNearDups(docs, "doc_id", "text", 2, 32, 8, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter { case (a, b, _) => (a < 100) != (b < 100) }
+      .map { case (a, b, e) => if (a >= 100) (a, b, e) else (b, a, e) }.toSet
+    assert(incr == full)
+    // and the planted (i, 100+i) near-dups are found
+    val planted = (0 until 10).map(i => (100L + i, i.toLong)).toSet
+    assert(planted.intersect(incr.map(t => (t._1, t._2))).size >= 9,
+      s"missed planted dups: found ${planted.intersect(incr.map(t => (t._1, t._2))).size}/10")
+  }
+
   test("connectedComponents labels every component by its min member id") {
     val sp = spark
     import sp.implicits._
