@@ -127,6 +127,9 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val ks = (if (args.isEmpty) Seq(10, 30) else args.map(_.toInt).toSeq).distinct.sorted
+    // dev-only narrowing (driver always runs the full probe): run just the
+    // incremental-dedup tier, e.g. SPARK_GRAFT_PROBE_ONLY=incr
+    val onlyIncr = sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("incr")
     val src = "/root/testdata/sf0.1"
     val spark = GraftSession.local("scale-probe")
 
@@ -192,6 +195,39 @@ object ScaleProbe {
           trustCellColumn = true).count())
     }
 
+    /** The incremental-dedup story at scale: a FIXED daily batch (500
+      * docs, exact-text twins of replica-0 documents under fresh ids)
+      * against the bucketed MinHash index of the K× corpus
+      * (Layout.minhashBandIndex → Dedup.minHashNearDupsAgainstIndex).
+      * Cost model: the index write is the one corpus-linear pass; the
+      * probe reads the band buckets in place (no corpus shuffle —
+      * LayoutSpec asserts the plan) and shuffles only the batch. The
+      * deterministic signal is the emitted pair count: decoupled shards
+      * mean the batch collides only with replica 0, so output stays FLAT
+      * as the corpus grows K×. */
+    def incrProbe(tag: String, docs: DataFrame): Unit = {
+      val batch = docReplica(
+          Tables(spark, src, "documents").filter(col("doc_id") % 10 === 0), 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000L * IdStride))
+      val table = s"mh_incr_$tag"
+      Seq("_sigs", "_bands").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $table$sfx")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$table$sfx")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      t(s"incr_index_write_$tag") {
+        graft.catalog.Layout.minhashBandIndex(spark, docs, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, buckets = 32, table)
+        spark.table(s"${table}_sigs").count()
+      }
+      t(s"incr_dedup_$tag")(
+        Dedup.minHashNearDupsAgainstIndex(batch, spark, table,
+          "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+          estThreshold = 0.5).count())
+    }
+
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
               ivfK: Int, headlineOnly: Boolean, trainFraction: Double): Unit = {
       t(s"minhash_lsh_$tag")(
@@ -250,17 +286,23 @@ object ScaleProbe {
     Dedup.minHashNearDups(docs1, "doc_id", "text", 2, 128, 32, 0.1).count()
     spark.catalog.clearCache()
 
-    probe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false, trainFraction = 1.0)
-    prefixProbe("1x", 1)
-    ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
+    if (!onlyIncr) {
+      probe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false, trainFraction = 1.0)
+      prefixProbe("1x", 1)
+      ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
+    }
+    incrProbe("1x", docs1)
     ks.foreach { k =>
       val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
       val nVec = embK.count()
       println(s"SCALE corpus ${k}x: ${docsK.count()} docs, $nVec vectors")
-      probe(s"${k}x", k, docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20,
-        trainFraction = math.min(1.0, 20000.0 / nVec))
-      prefixProbe(s"${k}x", k)
-      ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
+      if (!onlyIncr) {
+        probe(s"${k}x", k, docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20,
+          trainFraction = math.min(1.0, 20000.0 / nVec))
+        prefixProbe(s"${k}x", k)
+        ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
+      }
+      incrProbe(s"${k}x", docsK)
     }
     spark.stop()
   }

@@ -109,6 +109,79 @@ object Layout {
     * plan. The same trained centroid matrix must be used for writing and
     * probing (it is version-pinned metadata of the layout, exactly like a
     * bucketing spec). */
+  /** Persisted MinHash LSH index for incremental dedup
+    * (graft.operators.Dedup.minHashNearDupsAgainstIndex): two bucketed
+    * tables derived from one signature pass over the corpus —
+    *  - `<name>_sigs`  (id, sig)     bucketed on `id`: the join-back side,
+    *    ~numHashes×8 bytes/doc;
+    *  - `<name>_bands` (id, bucket)  bucketed on `bucket`: the candidate
+    *    join side, numHashes/rows entries per doc.
+    * With `_bands` pre-hashed on the join key, each daily batch shuffles
+    * ONLY itself into the bucket layout; the corpus — the 100 TB side —
+    * is read in place, never reshuffled, never re-shingled. The
+    * `repartition(buckets, bucket)` before the write matters: the
+    * repartition hash equals the bucketBy hash, so every output task owns
+    * exactly one bucket and writes one file (without it each task writes
+    * into every bucket — tasks × buckets small files, and per-bucket
+    * multi-file layouts force a sort back into the read path).
+    * shingleN/numHashes/bands are version-pinned metadata of the layout:
+    * probes must pass the same values (like a bucketing spec). */
+  def minhashBandIndex(spark: SparkSession, docs: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
+                       buckets: Int = 8, tableName: String = "minhash_index"): Unit = {
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    Dedup.minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
+      .repartition(buckets, col("id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableName}_sigs")
+    // derive the band table from the SAVED sigs so the two artifacts can
+    // never disagree (one text pass total; the band pass is array reads)
+    Dedup.bandedSignatures(spark.table(s"${tableName}_sigs"),
+        bands, numHashes / bands)
+      .repartition(buckets, col("bucket"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(s"${tableName}_bands")
+  }
+
+  /** Append a batch's signatures to an existing [[minhashBandIndex]] —
+    * the index-maintenance half of the incremental dedup loop: once a
+    * batch has been deduped against the index, folding it IN makes later
+    * batches dedup against it too (see
+    * graft.streaming.StreamOps.dedupStreamAgainstIndex). Appending to a
+    * bucketed table keeps the bucket spec (Spark validates it against
+    * the catalog) and adds up to `buckets` files per append; the join
+    * stays shuffle-free on the corpus side — only the within-bucket
+    * sort-merge sort returns once buckets hold >1 file. Compact
+    * periodically (re-write via [[minhashBandIndex]]) like any
+    * LSM-flavored index. Parameters must match the layout's, as always. */
+  def minhashIndexAppend(spark: SparkSession, batch: DataFrame,
+                         idCol: String, textCol: String,
+                         shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
+                         buckets: Int = 8, tableName: String = "minhash_index"): Unit = {
+    import graft.operators.Dedup
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleN, numHashes)
+      .localCheckpoint(eager = true) // one text pass feeds both appends
+    sigs.repartition(buckets, col("id"))
+      .write.mode("append")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableName}_sigs")
+    Dedup.bandedSignatures(sigs, bands, numHashes / bands)
+      .repartition(buckets, col("bucket"))
+      .write.mode("append")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(s"${tableName}_bands")
+    // a reader that already resolved these tables holds a cached relation
+    // with the PRE-append file listing (the streaming loop probes and
+    // appends in alternation, so this is the common case, not the edge)
+    spark.catalog.refreshTable(s"${tableName}_sigs")
+    spark.catalog.refreshTable(s"${tableName}_bands")
+  }
+
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],
                    tableName: String = "embeddings_ivf"): Unit =

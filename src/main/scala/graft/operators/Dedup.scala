@@ -40,12 +40,19 @@ object Dedup {
       xxhash64(lit(b) +: (1 to rows).map(r => element_at(col("sig"), b * rows + r)): _*)
     }: _*)
 
+  /** Exploded band table `(id, bucket)` of a signature frame — the join
+    * side of the LSH index. Public because it is also the physical schema
+    * [[graft.catalog.Layout.minhashBandIndex]] persists bucketed on
+    * `bucket`, and specs build it to plan-assert the co-located join. */
+  def bandedSignatures(sigs: DataFrame, bands: Int, rows: Int): DataFrame =
+    sigs.select(col("id"), explode(bandBucketKeys(bands, rows)).as("bucket"))
+
   /** Candidate pairs from LSH banding: signatures agreeing on all rows of
     * any band collide. The banded join ships (bucketKey, id) only; the
     * estimated Jaccard (fraction of agreeing signature positions) is
     * computed after pair dedup by joining signatures back per side. */
   def minHashCandidatePairs(sigs: DataFrame, bands: Int, rows: Int): DataFrame = {
-    val banded = sigs.select(col("id"), explode(bandBucketKeys(bands, rows)).as("bucket"))
+    val banded = bandedSignatures(sigs, bands, rows)
     val pairs = banded.toDF("id_a", "bucket")
       .join(banded.toDF("id_b", "bucket_b"),
         col("bucket") === col("bucket_b") && col("id_a") < col("id_b"))
@@ -98,14 +105,74 @@ object Dedup {
                              bands: Int = 8, estThreshold: Double = 0.3): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
-    val batchSigs = minHashSignatures(batch, idCol, textCol, shingleN, numHashes)
+    crossNearDups(
+      minHashSignatures(batch, idCol, textCol, shingleN, numHashes),
+      corpusSigs, bandedSignatures(corpusSigs, bands, rows), bands, rows,
+      estThreshold)
+  }
+
+  /** [[minHashNearDupsAgainst]] over the BUCKETED index tables written by
+    * [[graft.catalog.Layout.minhashBandIndex]]: `<tableName>_bands` is
+    * pre-hashed on `bucket`, so the candidate join reads the corpus side
+    * in place and shuffles only the (small) batch — LayoutSpec asserts
+    * the physical plan has exactly one exchange, on the batch side. The
+    * index parameters (shingleN/numHashes/bands) are properties of the
+    * layout and must match the values it was written with, exactly like
+    * a bucketing spec. */
+  def minHashNearDupsAgainstIndex(batch: DataFrame,
+                                  spark: org.apache.spark.sql.SparkSession,
+                                  tableName: String,
+                                  idCol: String, textCol: String,
+                                  shingleN: Int = 2, numHashes: Int = 32,
+                                  bands: Int = 8, estThreshold: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    crossNearDups(
+      minHashSignatures(batch, idCol, textCol, shingleN, numHashes),
+      spark.table(s"${tableName}_sigs"), spark.table(s"${tableName}_bands"),
+      bands, numHashes / bands, estThreshold)
+  }
+
+  /** The daily-increment pipeline in one call: drop batch documents that
+    * near-dup the indexed corpus (est >= estThreshold), and by default
+    * fold the SURVIVORS into the index so the next batch dedups against
+    * them too (streaming analog:
+    * graft.streaming.StreamOps.dedupStreamAgainstIndex). Returns the
+    * surviving batch rows with their original schema. The anti-join is
+    * sized to the matched ids, not the corpus. Intra-batch near-dups are
+    * NOT removed here — run [[dedupCorpus]] on the batch first when a
+    * batch can contain its own duplicates. */
+  def curateBatchAgainstIndex(batch: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              tableName: String,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 2, numHashes: Int = 32,
+                              bands: Int = 8, buckets: Int = 8,
+                              estThreshold: Double = 0.3,
+                              appendSurvivors: Boolean = true): DataFrame = {
+    val dupIds = minHashNearDupsAgainstIndex(batch, spark, tableName,
+        idCol, textCol, shingleN, numHashes, bands, estThreshold)
+      .select(col("batch_id").as(idCol)).distinct()
+    val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
+    if (appendSurvivors)
+      graft.catalog.Layout.minhashIndexAppend(spark, survivors, idCol, textCol,
+        shingleN, numHashes, bands, buckets, tableName)
+    survivors
+  }
+
+  /** Shared core of the incremental variants: banded cross join → pair
+    * dedup → signature join-back → estimate threshold. The corpus band
+    * table keeps its `bucket` column un-renamed so a bucketed layout's
+    * hash partitioning survives into the join requirement. */
+  private def crossNearDups(batchSigsRaw: DataFrame, corpusSigs: DataFrame,
+                            bandedCorpus: DataFrame, bands: Int, rows: Int,
+                            estThreshold: Double): DataFrame = {
+    val batchSigs = batchSigsRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keys = bandBucketKeys(bands, rows)
-    val bandedBatch = batchSigs.select(col("id"), explode(keys).as("bucket"))
-    val bandedCorpus = corpusSigs.select(col("id"), explode(keys).as("bucket"))
-    val pairs = bandedBatch.toDF("batch_id", "bucket")
-      .join(bandedCorpus.toDF("corpus_id", "bucket_b"),
-        col("bucket") === col("bucket_b") && col("batch_id") =!= col("corpus_id"))
+    val pairs = bandedSignatures(batchSigs, bands, rows)
+      .select(col("id").as("batch_id"), col("bucket"))
+      .join(bandedCorpus.select(col("id").as("corpus_id"), col("bucket")),
+        Seq("bucket"))
+      .filter(col("batch_id") =!= col("corpus_id"))
       .select(col("batch_id"), col("corpus_id"))
       .distinct()
     val out = pairs

@@ -318,6 +318,64 @@ object Similarity {
       base, materialize)
   }
 
+  /** Incremental embedding near-dup detection: a NEW batch of vectors
+    * against the cell-partitioned corpus layout written by
+    * graft.catalog.Layout.ivfPartition — the embedding-side analog of
+    * graft.operators.Dedup.minHashNearDupsAgainstIndex.
+    *
+    * 100 TB shape: the batch is assigned to its `probes` nearest cells
+    * map-side (centroid matrix rides in the plan); the distinct probed
+    * cells (a k-bounded set) are collected and pushed into the corpus
+    * scan as an IN-filter on the PARTITION column, so the history read is
+    * partition pruning — probed/k of the corpus directories, with nothing
+    * re-assigned on the corpus side. The candidate join is left to
+    * Catalyst/AQE: a day-sized batch broadcasts (corpus never shuffles);
+    * a batch past the broadcast threshold falls back to a shuffle sized
+    * to the PRUNED cells, not the corpus — no unconditional broadcast
+    * hint (the vocab-broadcast lesson). Corpus embeddings ride the
+    * candidate join once (the corpus side of the join IS the pruned
+    * scan; a join-back would scan it twice). Verification is the exact
+    * codegen'd cosine
+    * with the same decimal threshold semantics as [[ivfNearDupPairs]] —
+    * precision 1.0 by construction; recall is governed by `probes`.
+    * `centroids` must be the layout's own trained matrix (version-pinned
+    * metadata, like a bucketing spec). Output: (batch_id, corpus_id, sim)
+    * for cross pairs with cosine >= simThreshold; ids present on both
+    * sides are excluded. */
+  def ivfNearDupsAgainstLayout(batch: DataFrame, corpusLayout: DataFrame,
+                               idCol: String, embCol: String,
+                               centroids: Seq[Seq[Double]], probes: Int,
+                               simThreshold: Double,
+                               materialize: Boolean = true): DataFrame = {
+    val batchSides = batch.select(col(idCol).as("batch_id"),
+        col(embCol).as("emb_a"), l2NormSq(col(embCol)).as("nsq_a"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val batchCells = batchSides.select(col("batch_id"),
+      explode(ivfAssign(col("emb_a"), centroids, probes)).as("cell"))
+    // k-bounded driver collect (<= min(|batch|·probes, k) cell ids) — the
+    // price of turning the history read into partition pruning
+    val probed = batchCells.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = corpusLayout
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("cell"), col(idCol).as("corpus_id"),
+        col(embCol).as("emb_b"), l2NormSq(col(embCol)).as("nsq_b"))
+    val joined = corpus
+      .join(batchCells.join(batchSides, "batch_id"), Seq("cell"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .dropDuplicates("batch_id", "corpus_id")
+      .select(col("batch_id"), col("corpus_id"),
+        (dotProduct(col("emb_a"), col("emb_b")) /
+          (sqrt(col("nsq_a")) * sqrt(col("nsq_b")))).as("sim_d"))
+      .filter(col("sim_d") >= simThreshold - 1e-4)
+      .select(col("batch_id"), col("corpus_id"),
+        col("sim_d").cast(DecimalType(9, 4)).as("sim_q"))
+      .filter(col("sim_q") >= simThreshold)
+      .select(col("batch_id"), col("corpus_id"),
+        col("sim_q").cast("double").as("sim"))
+    materializeAndRelease(joined, batchSides, materialize)
+  }
+
   /** The IVF candidate set BEFORE exact verification — the deterministic
     * regression target for the scale probes (ScaleProbe): with k sized to
     * the corpus (constant expected cell size, the scaladoc contract of

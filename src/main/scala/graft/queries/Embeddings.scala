@@ -274,6 +274,60 @@ object Embeddings extends QueryPack {
         .select(lit(10L).as("k"), (col("n_overlap") >= 5).as("overlap_ok"))
     }),
 
+    // -- INCREMENTAL embedding dedup, SELF-VERIFYING: a batch of exact
+    //    twins (vec_id % 10 == 0, copied under +10^6 ids) deduped against
+    //    the cell-partitioned corpus layout (Layout.ivfPartition →
+    //    Similarity.ivfNearDupsAgainstLayout; the plan-level pruning
+    //    evidence is LayoutSpec). Contract columns:
+    //      n_exact_high  — exact count of CROSS (batch×corpus) pairs with
+    //                      decimal cosine >= 0.8, Spark's brute arm,
+    //                      recomputed independently by DuckDB (twins score
+    //                      1.0, so this is >= |batch|);
+    //      twins_covered — every (v+10^6, v) twin pair is emitted:
+    //                      deterministic at any probes >= 1, because an
+    //                      identical vector gets an identical cell
+    //                      assignment;
+    //      subset_ok     — emitted ⊆ the exact cross set (precision 1.0,
+    //                      the verify is the exact cosine);
+    //      nonempty.
+    "sim_ann_ivf_incr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, lloydIters = 2, seed = 42)
+      val table = "emb_ivf_incr_gate"
+      // a stale managed-table dir survives the session (ScaleProbe note)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.catalog.Layout.ivfPartition(s, dir, cents, table)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val got = Similarity.ivfNearDupsAgainstLayout(batch, s.table(table),
+          "vec_id", "embedding", cents, probes = 2, simThreshold = 0.8)
+        .select(col("batch_id"), col("corpus_id"))
+      val twins = emb.filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 1000000L).as("batch_id"),
+          col("vec_id").as("corpus_id"))
+      // exact cross arm, same sequential-fold + decimal semantics
+      val exact = batch.toDF("batch_id", "emb_a")
+        .crossJoin(emb.select(col("vec_id").as("corpus_id"),
+          col("embedding").as("emb_b")))
+        .filter(cosineSim(col("emb_a"), col("emb_b"))
+          .cast(DecimalType(9, 4)) >= 0.8)
+        .select(col("batch_id"), col("corpus_id"))
+        .localCheckpoint()
+      exact.agg(count(lit(1)).as("n_exact_high"))
+        .crossJoin(twins.except(got).agg(count(lit(1)).as("n_twin_missed")))
+        .crossJoin(got.except(exact).agg(count(lit(1)).as("n_false")))
+        .crossJoin(got.agg(count(lit(1)).as("n_found")))
+        .select(col("n_exact_high"),
+          (col("n_twin_missed") === 0).as("twins_covered"),
+          (col("n_false") === 0).as("subset_ok"),
+          (col("n_found") > 0).as("nonempty"))
+    }),
+
     // -- LSH recall gate (oracle-checked): because LSH candidates are
     //    verified with the exact cosine + identical decimal semantics,
     //    lsh ⊆ brute-force; recall = |lsh| / |brute|. The DuckDB oracle
@@ -326,6 +380,23 @@ object Embeddings extends QueryPack {
 
     "sim_ann_ivf_topk_check" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok",
+
+    // Self-verifying contract (see the query): DuckDB independently
+    // recomputes the exact count of CROSS (batch×corpus) pairs at decimal
+    // cosine >= 0.8 — the batch is the vec_id % 10 = 0 vectors themselves
+    // (copied under offset ids on the Spark side, same payloads) — and
+    // asserts the coverage/subset/nonempty booleans.
+    "sim_ann_ivf_incr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_high,
+        |  TRUE AS twins_covered, TRUE AS subset_ok, TRUE AS nonempty
+        |FROM e a, e b
+        |WHERE a.vec_id % 10 = 0
+        |  AND CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.8""".stripMargin,
 
     // Self-verifying ANN contracts (see the queries): DuckDB recomputes the
     // exact anchor (brute-force pair count / result-set size) and asserts

@@ -101,4 +101,40 @@ object StreamOps {
   def lookupJoin(stream: DataFrame, dim: DataFrame, on: Seq[String],
                  joinType: String = "inner"): DataFrame =
     stream.join(broadcast(dim), on, joinType)
+
+  /** Continuous near-dup curation: each micro-batch of documents is
+    * LSH-checked against the standing bucketed MinHash index
+    * (graft.catalog.Layout.minhashBandIndex), surviving pairs go to
+    * `onPairs(pairsDF, batchId)`, and the batch's own signatures are then
+    * folded into the index (Layout.minhashIndexAppend) so every LATER
+    * batch dedups against this one too. This is the operational 100 TB
+    * loop: the history is indexed once; each arriving batch pays one text
+    * pass over itself plus an in-place read of the band buckets — the
+    * corpus is never re-shingled and never shuffled
+    * (Dedup.minHashNearDupsAgainstIndex; plan asserted in LayoutSpec).
+    *
+    * Exactly-once note: foreachBatch replays a batch after failure, so at
+    * production scale both sinks must be idempotent per batchId — write
+    * pairs to batchId-keyed paths and make the index append a MERGE on
+    * id (or dedup ids at read). Index params are layout metadata and
+    * must match the values the index was created with. */
+  def dedupStreamAgainstIndex(docs: DataFrame,
+                              spark: org.apache.spark.sql.SparkSession,
+                              tableName: String, idCol: String, textCol: String,
+                              shingleN: Int = 2, numHashes: Int = 32,
+                              bands: Int = 8, buckets: Int = 8,
+                              estThreshold: Double = 0.3)
+                             (onPairs: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      batch.persist()
+      try {
+        // dedup BEFORE append: a batch must not collide with itself here
+        // (run minHashNearDups on the batch for intra-batch pairs)
+        onPairs(graft.operators.Dedup.minHashNearDupsAgainstIndex(
+          batch, spark, tableName, idCol, textCol, shingleN, numHashes,
+          bands, estThreshold), id)
+        graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
+          shingleN, numHashes, bands, buckets, tableName)
+      } finally batch.unpersist()
+    }
 }

@@ -44,6 +44,49 @@ class ScaleSpec extends SparkSpec {
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
 
+  test("incremental dedup against the bucketed index stays batch-sized as the corpus grows") {
+    import graft.catalog.Layout
+    import org.apache.spark.sql.functions.{col, lit}
+    val src = "/root/testdata/sf0.1"
+    val tmp = Files.createTempDirectory("graft-scale-incr")
+    val (docs1, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/1x", 1)
+    val (docs5, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/5x", 5)
+    // the fixed daily batch: exact-text twins of 500 replica-0 docs under
+    // fresh ids — each must rediscover its twin via the index, at 1x and 5x
+    val batch = docs1.filter(col("doc_id") % 10 === 0)
+      .withColumn("doc_id", col("doc_id") + lit(1000000000L))
+
+    def run(corpus: org.apache.spark.sql.DataFrame, tag: String): (Long, Double) = {
+      Layout.minhashBandIndex(spark, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 64, bands = 16, buckets = 8, s"mh_ci_$tag")
+      val t0 = System.nanoTime()
+      val n = Dedup.minHashNearDupsAgainstIndex(batch, spark, s"mh_ci_$tag",
+        "doc_id", "text", shingleN = 2, numHashes = 64, bands = 16,
+        estThreshold = 0.5).count()
+      ((n, (System.nanoTime() - t0) / 1e9))
+    }
+
+    try {
+      run(docs1, "1x") // warm, unmeasured
+      val (n1, t1) = run(docs1, "1x")
+      val (n5, t5) = run(docs5, "5x")
+      info(f"1x: $n1 pairs in $t1%.2f s; 5x: $n5 pairs in $t5%.2f s")
+      // every batch doc finds at least its exact twin (est 1.0)
+      assert(n1 >= 500, s"expected >= 500 twin pairs, got $n1")
+      // THE deterministic signal: shards 1-4 have disjoint shingle sets, so
+      // growing the corpus 5x must not grow the batch's answer set at all —
+      // any growth means cross-shard candidate leakage (banding bug) or an
+      // all-pairs formulation
+      assert(n5 == n1, s"pair count must stay flat: 1x=$n1 5x=$n5")
+      // generous wall tripwire: probe cost is index-scan-bound, not 25x
+      val bound = 12.0 * math.max(t1, 0.3)
+      assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
+    } finally Seq("mh_ci_1x", "mh_ci_5x").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_sigs")
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_bands")
+    }
+  }
+
   test("prefix-filtered exact jaccard grows near-linearly on a growing-vocabulary corpus") {
     // the prefix path's design regime: vocabulary grows WITH the corpus
     // (real text), so each document's rarest prefix tokens stay rare and

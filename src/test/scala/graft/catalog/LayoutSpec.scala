@@ -65,6 +65,50 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("minhash band index: incremental dedup joins the corpus buckets in place") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Layout.minhashBandIndex(spark, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 4, "mh_idx")
+      // one file per bucket: the repartition-before-write contract
+      assert(spark.table("mh_idx_bands").inputFiles.length == 4)
+      // plan shape of the candidate join: the ONLY exchange is the batch
+      // side being hashed into the index's bucket layout — the corpus
+      // band table must reach the join with no shuffle
+      val bandedBatch = Dedup.bandedSignatures(
+        Dedup.minHashSignatures(batch, "doc_id", "text", 2, 32), 8, 4)
+      val pairJoin = bandedBatch.select(col("id").as("batch_id"), col("bucket"))
+        .join(spark.table("mh_idx_bands")
+          .select(col("id").as("corpus_id"), col("bucket")), Seq("bucket"))
+      val plan = pairJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange".r.findAllMatchIn(plan).size == 1,
+        s"only the batch side may shuffle:\n$plan")
+      // end-to-end equality with the signature-frame variant
+      val viaIndex = Dedup.minHashNearDupsAgainstIndex(batch, spark, "mh_idx",
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val viaSigs = Dedup.minHashNearDupsAgainst(batch,
+          Dedup.minHashSignatures(corpus, "doc_id", "text", 2, 32),
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(viaIndex.nonEmpty, "expected cross near-dups at sf0.01")
+      assert(viaIndex == viaSigs)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS mh_idx_sigs")
+      spark.sql("DROP TABLE IF EXISTS mh_idx_bands")
+    }
+  }
+
   test("IVF cell-partitioned layout prunes partitions on a probe filter") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.01"
@@ -90,6 +134,71 @@ class LayoutSpec extends SparkSpec {
       assert(probe.count() == expect)
       assert(probe.count() < emb.count(), "probe must not scan the whole corpus")
       assert(allFiles >= 4, "one directory per cell")
+    } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
+  }
+
+  test("ivfNearDupsAgainstLayout prunes to the batch's probed cells and finds planted twins") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 8, lloydIters = 2, seed = 42)
+    // batch = exact copies of 20 corpus vectors under fresh ids: cosine
+    // 1.0 twins with IDENTICAL cell assignment, so recall is deterministic
+    // at any probes >= 1
+    val batch = emb.filter(col("vec_id") % 10 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    try {
+      Layout.ivfPartition(spark, dir, cents, "embeddings_ivf")
+      val corpusLayout = spark.table("embeddings_ivf")
+      val got = Similarity.ivfNearDupsAgainstLayout(batch, corpusLayout,
+        "vec_id", "embedding", cents, probes = 2, simThreshold = 0.8,
+        materialize = false)
+      val rows = got.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      spark.catalog.clearCache() // materialize=false leaves batchSides cached
+      // every batch vector rediscovers its twin at sim 1.0
+      val twins = rows.filter { case (b, c, s) => b - 1000000L == c && s == 1.0 }
+      assert(twins.length == batch.count(), s"twin recall incomplete: ${twins.length}")
+      // precision: every emitted pair is a true >= 0.8 cosine pair of the
+      // brute-force batch x corpus cross set
+      val exact = batch.toDF("batch_id", "emb_a").crossJoin(
+          emb.select(col("vec_id").as("corpus_id"), col("embedding").as("emb_b")))
+        .select(col("batch_id"), col("corpus_id"),
+          (graft.functions.dotProduct(col("emb_a"), col("emb_b")) /
+            (sqrt(graft.functions.l2NormSq(col("emb_a"))) *
+             sqrt(graft.functions.l2NormSq(col("emb_b"))))).as("sim"))
+        .filter(col("sim") >= 0.7999).select("batch_id", "corpus_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows.forall(t => exact.contains((t._1, t._2))),
+        "emitted a pair the brute-force cross set rejects")
+      // the history read is partition pruning: the layout scan must open
+      // only the batch's probed cell directories, strictly fewer than k.
+      // (AQE wraps executed joins: AdaptiveSparkPlanExec and QueryStageExec
+      // are leaf nodes whose subtrees collect/collectLeaves do not enter)
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case o => o.children
+        }
+        (p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case _ => Nil
+        }) ++ kids.flatMap(allScans)
+      }
+      val scan = allScans(got.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("embeddings_ivf")))
+        .getOrElse(fail("expected a pruned scan of embeddings_ivf"))
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        "corpus scan must filter the partition column")
+      val batchCellCount = batch
+        .select(explode(graft.functions.ivfAssign(col("embedding"), cents, 2)).as("cell"))
+        .distinct().count()
+      assert(scan.selectedPartitions.partitionCount == batchCellCount,
+        s"expected $batchCellCount pruned partitions, got ${scan.selectedPartitions.partitionCount}")
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
 

@@ -147,6 +147,51 @@ class DedupSpec extends SparkSpec {
       s"missed planted dups: found ${planted.intersect(incr.map(t => (t._1, t._2))).size}/10")
   }
 
+  test("curateBatchAgainstIndex drops matched docs and folds survivors into the index") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = docs.filter(col("doc_id") < 100) // 40 originals
+    // batch: the 10 planted near-dups + 2 novel docs on a disjoint vocab
+    val novel = Seq(
+      (500L, (1 to 30).map(i => s"zz$i").mkString(" ")),
+      (501L, (31 to 60).map(i => s"zz$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val batch = docs.filter(col("doc_id") >= 100).unionAll(novel)
+    val table = "mh_curate_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    try {
+      graft.catalog.Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 4, table)
+      val survivors = Dedup.curateBatchAgainstIndex(batch, sp, table,
+        "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+        buckets = 4, estThreshold = 0.3)
+      val survived = survivors.select(col("doc_id"))
+        .collect().map(_.getLong(0)).toSet
+      // expected: batch minus ids the (index-free) incremental op matches
+      val matched = Dedup.minHashNearDupsAgainst(batch,
+          Dedup.minHashSignatures(corpus, "doc_id", "text", 2, 32),
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .select(col("batch_id")).distinct().collect().map(_.getLong(0)).toSet
+      val batchIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+      assert(survived == batchIds -- matched)
+      // the novel docs never match the w-vocab corpus; most planted dups do
+      assert(survived.contains(500L) && survived.contains(501L))
+      assert(matched.size >= 9, s"expected >=9 planted dups matched, got ${matched.size}")
+      // survivors were folded in: the index grew by exactly |survivors|...
+      assert(sp.table(s"${table}_sigs").count() == 40L + survived.size)
+      // ...and a twin of a survivor now near-dups the index
+      val twin = novel.filter(col("doc_id") === 500L)
+        .select(lit(900L).as("doc_id"), col("text"))
+      val reprobe = Dedup.minHashNearDupsAgainstIndex(twin, sp, table,
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .select(col("corpus_id")).collect().map(_.getLong(0)).toSet
+      assert(reprobe.contains(500L))
+    } finally Seq("_sigs", "_bands").foreach(s =>
+      sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+
   test("connectedComponents labels every component by its min member id") {
     val sp = spark
     import sp.implicits._

@@ -1,0 +1,69 @@
+package graft.streaming
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+
+import graft.SparkSpec
+import graft.catalog.Layout
+import graft.operators.Dedup
+
+/** Golden for the continuous-curation loop
+  * (StreamOps.dedupStreamAgainstIndex): micro-batches dedup against the
+  * standing bucketed index AND against every earlier batch, because each
+  * batch's signatures are folded into the index after its own check.
+  */
+class IncrementalDedupSpec extends SparkSpec {
+
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  // ten distinct-vocabulary sentences: doc i shares no tokens with doc j,
+  // so the only near-dup pairs are the exact-text copies planted below
+  private def sentence(i: Int): String =
+    (0 until 8).map(j => s"w${i}_$j").mkString(" ")
+
+  test("streamed batches dedup against the index and all earlier batches") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0L until 10L).map(i => (i, sentence(i.toInt))).toDF("doc_id", "text")
+    val table = "mh_stream_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    val seen = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.dedupStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, buckets = 4,
+      estThreshold = 0.5) { (pairs, id) =>
+      seen(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 4, table)
+      val q = writer.start()
+      try {
+        // batch 0: two copies of corpus docs + one novel doc
+        in.addData((100L, sentence(0)), (101L, sentence(1)), (102L, sentence(50)))
+        q.processAllAvailable()
+        // batch 1: a copy of a corpus doc, a copy of a BATCH-0 doc, novel
+        in.addData((200L, sentence(2)), (201L, sentence(0)), (202L, sentence(60)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(seen(0L) == Set((100L, 0L), (101L, 1L)))
+      // 201 matches corpus doc 0 AND batch-0 doc 100 — the latter proves
+      // batch 0 was folded into the index before batch 1 arrived
+      assert(seen(1L) == Set((200L, 2L), (201L, 0L), (201L, 100L)))
+
+      // the index now holds corpus + both batches, and stays probe-able
+      val after = Dedup.minHashNearDupsAgainstIndex(
+          Seq((300L, sentence(50))).toDF("doc_id", "text"), sp, table,
+          "doc_id", "text", shingleN = 2, numHashes = 16, bands = 4,
+          estThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(after == Set((300L, 102L))) // finds the batch-0 novel doc
+      assert(sp.table(s"${table}_sigs").count() == 16L) // 10 + 3 + 3
+    } finally
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+}
