@@ -182,6 +182,41 @@ object Layout {
     spark.catalog.refreshTable(s"${tableName}_bands")
   }
 
+  /** Compact a [[minhashBandIndex]] after a run of appends: every
+    * [[minhashIndexAppend]] adds up to `buckets` files per table, and
+    * multi-file buckets cost the probe join a per-bucket sort, so the
+    * index is LSM-flavored — append cheaply, compact periodically. The
+    * rebuild sources the STORED signatures (band keys are array reads —
+    * the corpus text is never touched again) and writes fresh single-file
+    * buckets; `buckets` may differ from the original, which is how the
+    * index re-buckets as the corpus grows. Copy-then-swap (write `_new`
+    * tables, drop, rename) because Spark refuses to overwrite a table it
+    * is reading, and at scale the swap is the only atomic step needed. */
+  def minhashIndexCompact(spark: SparkSession, bands: Int, buckets: Int,
+                          tableName: String = "minhash_index"): Unit = {
+    import graft.operators.Dedup
+    val sigs = spark.table(s"${tableName}_sigs")
+    val numHashes = sigs.select(org.apache.spark.sql.functions.size(col("sig")))
+      .head().getInt(0)
+    require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    Seq("_sigs_new", "_bands_new").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $tableName$sfx"))
+    sigs.repartition(buckets, col("id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableName}_sigs_new")
+    Dedup.bandedSignatures(spark.table(s"${tableName}_sigs_new"),
+        bands, numHashes / bands)
+      .repartition(buckets, col("bucket"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "bucket").sortBy("bucket")
+      .format("parquet").saveAsTable(s"${tableName}_bands_new")
+    Seq("_sigs", "_bands").foreach { sfx =>
+      spark.sql(s"DROP TABLE $tableName$sfx")
+      spark.sql(s"ALTER TABLE $tableName${sfx}_new RENAME TO $tableName$sfx")
+    }
+  }
+
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],
                    tableName: String = "embeddings_ivf"): Unit =
@@ -196,4 +231,26 @@ object Layout {
       .repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell")
       .format("parquet").saveAsTable(tableName)
+
+  /** Append a batch of embeddings to an [[ivfPartition]] layout — the
+    * embedding analog of [[minhashIndexAppend]]: assign each batch vector
+    * to its top-1 cell with the LAYOUT'S OWN centroid matrix (the
+    * version-pinned metadata — a re-trained matrix would scatter old and
+    * new rows across incompatible cells), cluster, append into the cell
+    * directories. Batch schema must match the layout's data columns.
+    * Cell geometry degrades as the corpus outgrows k (cells fatten,
+    * probes scan more); re-partition with a re-trained, larger-k matrix
+    * when cell sizes drift — the same rebuild-vs-append trade as
+    * [[minhashIndexCompact]]. */
+  def ivfPartitionAppend(spark: SparkSession, batch: DataFrame,
+                         embCol: String, centroids: Seq[Seq[Double]],
+                         tableName: String = "embeddings_ivf"): Unit = {
+    batch.withColumn("cell",
+        element_at(graft.functions.ivfAssign(col(embCol), centroids, 1), 1))
+      .repartition(col("cell"))
+      .write.mode("append").partitionBy("cell")
+      .format("parquet").saveAsTable(tableName)
+    // readers holding the pre-append file listing (see minhashIndexAppend)
+    spark.catalog.refreshTable(tableName)
+  }
 }

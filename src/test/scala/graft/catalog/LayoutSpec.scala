@@ -137,6 +137,73 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
 
+  test("minhashIndexCompact rebuilds single-file buckets and preserves probe results") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val extra1 = docs.filter(col("doc_id") % 3 === 1)
+      .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+    val extra2 = docs.filter(col("doc_id") % 3 === 2)
+      .select((col("doc_id") + 200000L).as("doc_id"), col("text"))
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val table = "mh_compact_idx"
+    Seq("_sigs", "_bands", "_sigs_new", "_bands_new").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $table$s"))
+    try {
+      Layout.minhashBandIndex(spark, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 4, table)
+      Layout.minhashIndexAppend(spark, extra1, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 4, table)
+      Layout.minhashIndexAppend(spark, extra2, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 4, table)
+      // appends accumulate files past one-per-bucket
+      assert(spark.table(s"${table}_bands").inputFiles.length > 4)
+      val before = Dedup.minHashNearDupsAgainstIndex(batch, spark, table,
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // compact with a LARGER bucket count (the corpus grew)
+      Layout.minhashIndexCompact(spark, bands = 8, buckets = 8, table)
+      assert(spark.table(s"${table}_bands").inputFiles.length == 8)
+      assert(spark.table(s"${table}_sigs").inputFiles.length == 8)
+      val after = Dedup.minHashNearDupsAgainstIndex(batch, spark, table,
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(before.nonEmpty && after == before)
+    } finally Seq("_sigs", "_bands", "_sigs_new", "_bands_new").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+
+  test("ivfPartitionAppend folds a batch into the cell layout with the pinned centroids") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 8, lloydIters = 2, seed = 42)
+    // full layout schema (vec_id, embedding, label, ...) with remapped ids
+    val batch = emb.filter(col("vec_id") % 7 === 0)
+      .withColumn("vec_id", col("vec_id") + 5000000L)
+    try {
+      Layout.ivfPartition(spark, dir, cents, "embeddings_ivf")
+      val nBefore = spark.table("embeddings_ivf").count()
+      Layout.ivfPartitionAppend(spark, batch, "embedding", cents, "embeddings_ivf")
+      assert(spark.table("embeddings_ivf").count() == nBefore + batch.count())
+      // appended rows landed in the cells the pinned matrix assigns: a twin
+      // probe of an appended vector finds it (identical assignment)
+      val probe = emb.filter(col("vec_id") === 0)
+        .withColumn("vec_id", lit(9000000L))
+      val found = Similarity.ivfNearDupsAgainstLayout(probe,
+          spark.table("embeddings_ivf"), "vec_id", "embedding", cents,
+          probes = 1, simThreshold = 0.99)
+        .select(col("corpus_id")).collect().map(_.getLong(0)).toSet
+      assert(found.contains(0L))
+      if (spark.table("embeddings_ivf").filter(col("vec_id") === 5000000L).count() == 1)
+        assert(found.contains(5000000L)) // vec 0's appended twin, same cell
+    } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
+  }
+
   test("ivfNearDupsAgainstLayout prunes to the batch's probed cells and finds planted twins") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.01"
