@@ -226,6 +226,19 @@ object ScaleProbe {
         Dedup.minHashNearDupsAgainstIndex(batch, spark, table,
           "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
           estThreshold = 0.5).count())
+      // index maintenance at this tier: fold the batch in (batch-sized),
+      // then compact the whole index (corpus-linear, but sourced from the
+      // stored sigs — no text pass)
+      t(s"incr_append_$tag") {
+        graft.catalog.Layout.minhashIndexAppend(spark, batch, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, buckets = 32, table)
+        spark.table(s"${table}_sigs").count()
+      }
+      t(s"incr_compact_$tag") {
+        graft.catalog.Layout.minhashIndexCompact(spark, bands = 32,
+          buckets = 32, table)
+        spark.table(s"${table}_bands").inputFiles.length.toLong
+      }
     }
 
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,

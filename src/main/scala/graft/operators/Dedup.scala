@@ -94,7 +94,9 @@ object Dedup {
     * array reads, no re-shingling) and the join ships (bucket, id) from
     * both sides. At cluster scale, persist the index's exploded band
     * table `bucketBy(N, "bucket")` so the join co-locates on the corpus
-    * side and only the (small) batch shuffles; signature join-back is per
+    * side and only the (small) batch shuffles — that is exactly
+    * [[graft.catalog.Layout.minhashBandIndex]] +
+    * [[minHashNearDupsAgainstIndex]]; signature join-back is per
     * surviving candidate, sized to the duplicates, not the corpus. With
     * fixed seeds the same parameters give the identical pair set as
     * running [[minHashNearDups]] over corpus∪batch and keeping the cross
