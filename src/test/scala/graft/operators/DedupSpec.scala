@@ -147,6 +147,38 @@ class DedupSpec extends SparkSpec {
       s"missed planted dups: found ${planted.intersect(incr.map(t => (t._1, t._2))).size}/10")
   }
 
+  test("incremental == symmetric-restricted-to-cross on random corpus/batch splits") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(59)
+    val vocab = (1 to 120).map(i => s"v$i")
+    for (trial <- 1 to 3) {
+      def sentence(n: Int) = List.fill(n)(vocab(rng.nextInt(vocab.size))).mkString(" ")
+      val originals = (0 until 30).map(i => (i.toLong, sentence(20 + rng.nextInt(15))))
+      // random near-dups of random originals, randomly perturbed
+      val dups = (0 until 8).map { j =>
+        val (srcId, text) = originals(rng.nextInt(originals.size))
+        val toks = text.split(" ")
+        (200L + j, toks.updated(rng.nextInt(toks.length), s"X$j").mkString(" "))
+      }
+      val all = (originals ++ dups).toDF("doc_id", "text")
+      val cut = 100L // originals are history, dups arrive as the batch
+      val corpus = all.filter(col("doc_id") < cut)
+      val batch = all.filter(col("doc_id") >= cut)
+      val incr = Dedup.minHashNearDupsAgainst(batch,
+          Dedup.minHashSignatures(corpus, "doc_id", "text", 2, 32),
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val full = Dedup.minHashNearDups(all, "doc_id", "text", 2, 32, 8, 0.25)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .filter { case (a, b, _) => (a < cut) != (b < cut) }
+        .map { case (a, b, e) => if (a >= cut) (a, b, e) else (b, a, e) }.toSet
+      assert(incr == full, s"trial $trial: incremental != symmetric cross")
+      assert(incr.nonEmpty, s"trial $trial: no cross pairs found")
+    }
+  }
+
   test("curateBatchAgainstIndex drops matched docs and folds survivors into the index") {
     val sp = spark
     import sp.implicits._
