@@ -182,6 +182,33 @@ object Layout {
     spark.catalog.refreshTable(s"${tableName}_bands")
   }
 
+  /** Re-attach a [[minhashBandIndex]] written by an EARLIER session — the
+    * reuse-across-days story made concrete for a metastore-less
+    * deployment: the in-memory session catalog loses table registrations
+    * at session end, but the bucketed FILES are self-describing (bucket
+    * ids ride in the part-file names), so CREATE TABLE with the identical
+    * bucket spec over the same location restores in-place bucketed reads
+    * — LayoutSpec proves a fresh registration probes shuffle-free with
+    * results identical to the writing session. With a real metastore the
+    * registration is automatic; the bucket spec and minhash parameters
+    * remain version-pinned metadata either way. `idType` must match the
+    * id column the index was built from. */
+  def registerMinhashIndex(spark: SparkSession,
+                           sigsLocation: String, bandsLocation: String,
+                           buckets: Int, tableName: String = "minhash_index",
+                           idType: String = "BIGINT"): Unit = {
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${tableName}_sigs (id $idType, sig ARRAY<BIGINT>)
+         |USING parquet
+         |CLUSTERED BY (id) SORTED BY (id) INTO $buckets BUCKETS
+         |LOCATION '$sigsLocation'""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS ${tableName}_bands (id $idType, bucket BIGINT)
+         |USING parquet
+         |CLUSTERED BY (bucket) SORTED BY (bucket) INTO $buckets BUCKETS
+         |LOCATION '$bandsLocation'""".stripMargin)
+  }
+
   /** Compact a [[minhashBandIndex]] after a run of appends: every
     * [[minhashIndexAppend]] adds up to `buckets` files per table, and
     * multi-file buckets cost the probe join a per-bucket sort, so the

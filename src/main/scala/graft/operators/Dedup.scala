@@ -210,17 +210,7 @@ object Dedup {
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       maxDist: Int = 3): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range (0..15)")
-    val blocks = maxDist + 1
-    val bits = 64 / blocks // last block gets the remainder
-    val sh = simHash(df, idCol, textCol)
-    val blockVals = array((0 until blocks).map { i =>
-      val width = if (i == blocks - 1) 64 - i * bits else bits
-      val mask = if (width >= 64) -1L else (1L << width) - 1
-      // key packs (block index, block bits) into one long: block values are
-      // < 2^(width) and width <= 60 for blocks >= 2... use struct instead
-      struct(lit(i).as("blk"), shiftright(col("simhash"), i * bits).bitwiseAND(mask).as("v"))
-    }: _*)
-    val blocked = sh.select(col("id"), col("simhash"), explode(blockVals).as("bk"))
+    val blocked = simhashBlocked(simHash(df, idCol, textCol), maxDist + 1)
     val pairs = blocked.toDF("id_a", "sh_a", "bk")
       .join(blocked.toDF("id_b", "sh_b", "bk_b"),
         col("bk") === col("bk_b") && col("id_a") < col("id_b"))
@@ -228,6 +218,46 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
       .distinct()
     pairs.filter(col("hamming") <= maxDist)
+  }
+
+  /** `(id, simhash, bk)` block rows of a simhash frame — the pigeonhole
+    * join side, derived from STORED 64-bit hashes (pure bit ops, no text):
+    * like [[bandedSignatures]], this is what makes a persisted simhash
+    * table a reusable index. */
+  private def simhashBlocked(sh: DataFrame, blocks: Int): DataFrame = {
+    val bits = 64 / blocks // last block gets the remainder
+    val blockVals = array((0 until blocks).map { i =>
+      val width = if (i == blocks - 1) 64 - i * bits else bits
+      val mask = if (width >= 64) -1L else (1L << width) - 1
+      // key packs (block index, block bits) into one long: block values are
+      // < 2^(width) and width <= 60 for blocks >= 2... use struct instead
+      struct(lit(i).as("blk"), shiftright(col("simhash"), i * bits).bitwiseAND(mask).as("v"))
+    }: _*)
+    sh.select(col("id"), col("simhash"), explode(blockVals).as("bk"))
+  }
+
+  /** Incremental SimHash near-dups: a NEW batch against previously stored
+    * 64-bit hashes (`corpusHashes` = [[simHash]] output persisted earlier
+    * — 8 bytes/doc, the cheapest index in the engine). Same pigeonhole
+    * banding as [[simHashNearDups]], so the cross answer is EXACT (every
+    * batch-corpus pair within Hamming maxDist is emitted — no banding
+    * luck, asserted against the symmetric run in DedupSpec); the corpus
+    * side derives block keys from the stored hashes with pure bit ops,
+    * never re-reading text. Output: (batch_id, corpus_id, hamming). */
+  def simHashNearDupsAgainst(batch: DataFrame, corpusHashes: DataFrame,
+                             idCol: String, textCol: String,
+                             maxDist: Int = 3): DataFrame = {
+    require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range (0..15)")
+    val blocks = maxDist + 1
+    val blockedBatch = simhashBlocked(simHash(batch, idCol, textCol), blocks)
+    val blockedCorpus = simhashBlocked(corpusHashes, blocks)
+    blockedBatch.toDF("batch_id", "sh_a", "bk")
+      .join(blockedCorpus.toDF("corpus_id", "sh_b", "bk_b"),
+        col("bk") === col("bk_b") && col("batch_id") =!= col("corpus_id"))
+      .select(col("batch_id"), col("corpus_id"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
   }
 
   /** Per-document shingle rows `(id, sh)` — shared input of both exact

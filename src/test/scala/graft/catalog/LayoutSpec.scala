@@ -137,6 +137,63 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
 
+  test("registerMinhashIndex re-attaches index files from a previous session, still co-located") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    val tmp = Files.createTempDirectory("graft-idx-reattach")
+    try {
+      Layout.minhashBandIndex(spark, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 4, "mh_reg_idx")
+      val expect = Dedup.minHashNearDupsAgainstIndex(batch, spark, "mh_reg_idx",
+          "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+          estThreshold = 0.3)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      // "session ends": copy the table files out, drop the managed tables
+      // (which deletes the originals) — the copies are what a next day's
+      // session finds on shared storage
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
+      val locs = Seq("_sigs", "_bands").map { sfx =>
+        val src = new org.apache.hadoop.fs.Path(
+          spark.sessionState.catalog.getTableMetadata(
+            org.apache.spark.sql.catalyst.TableIdentifier(s"mh_reg_idx$sfx"))
+            .location.getPath)
+        val dst = new org.apache.hadoop.fs.Path(s"$tmp/idx$sfx")
+        org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, dst, false, conf)
+        sfx -> dst.toString
+      }.toMap
+      Seq("_sigs", "_bands").foreach(s => spark.sql(s"DROP TABLE mh_reg_idx$s"))
+      // "next session": re-attach by DDL with the identical bucket spec
+      Layout.registerMinhashIndex(spark, locs("_sigs"), locs("_bands"),
+        buckets = 4, "mh_reg2")
+      val again = Dedup.minHashNearDupsAgainstIndex(batch, spark, "mh_reg2",
+        "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+        estThreshold = 0.3)
+      val got = again.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == expect && got.nonEmpty)
+      // the re-attached band table must still join in place: one exchange
+      // (the batch side) in the candidate join
+      val bandedBatch = Dedup.bandedSignatures(
+        Dedup.minHashSignatures(batch, "doc_id", "text", 2, 32), 8, 4)
+      val pairJoin = bandedBatch.select(col("id").as("batch_id"), col("bucket"))
+        .join(spark.table("mh_reg2_bands")
+          .select(col("id").as("corpus_id"), col("bucket")), Seq("bucket"))
+      val plan = pairJoin.queryExecution.executedPlan.toString
+      assert("Exchange".r.findAllMatchIn(plan).size == 1,
+        s"re-attached index must still read in place:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      Seq("mh_reg_idx", "mh_reg2").foreach(t => Seq("_sigs", "_bands").foreach(s =>
+        spark.sql(s"DROP TABLE IF EXISTS $t$s")))
+    }
+  }
+
   test("minhashIndexCompact rebuilds single-file buckets and preserves probe results") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.01"

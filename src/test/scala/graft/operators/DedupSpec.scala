@@ -147,6 +147,22 @@ class DedupSpec extends SparkSpec {
       s"missed planted dups: found ${planted.intersect(incr.map(t => (t._1, t._2))).size}/10")
   }
 
+  test("simHashNearDupsAgainst equals the symmetric run restricted to cross pairs") {
+    val corpus = docs.filter(col("doc_id") < 100)
+    val batch = docs.filter(col("doc_id") >= 100)
+    val index = Dedup.simHash(corpus, "doc_id", "text")
+    val incr = Dedup.simHashNearDupsAgainst(batch, index, "doc_id", "text", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr.forall { case (b, c, _) => b >= 100 && c < 100 })
+    // pigeonhole banding is exact, so cross-restriction equality is exact
+    val full = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => (a < 100) != (b < 100) }
+      .map { case (a, b, h) => if (a >= 100) (a, b, h) else (b, a, h) }.toSet
+    assert(incr == full)
+    assert(incr.nonEmpty, "expected planted near-dups within Hamming 6")
+  }
+
   test("incremental == symmetric-restricted-to-cross on random corpus/batch splits") {
     val sp = spark
     import sp.implicits._
