@@ -195,6 +195,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental ops tolerate empty and degenerate batches") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = docs.filter(col("doc_id") < 100)
+    val sigs = Dedup.minHashSignatures(corpus, "doc_id", "text", 2, 32)
+    val hashes = Dedup.simHash(corpus, "doc_id", "text")
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minHashNearDupsAgainst(empty, sigs, "doc_id", "text",
+      2, 32, 8, 0.3).count() == 0)
+    assert(Dedup.simHashNearDupsAgainst(empty, hashes, "doc_id", "text", 3)
+      .count() == 0)
+    // sub-shingle docs produce null signatures and must be filtered, not
+    // crash or match everything
+    val degenerate = Seq((900L, "one"), (901L, "")).toDF("doc_id", "text")
+    assert(Dedup.minHashNearDupsAgainst(degenerate, sigs, "doc_id", "text",
+      2, 32, 8, 0.0).count() == 0)
+    // curate with an empty batch: no survivors, index untouched
+    val table = "mh_edge_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    try {
+      graft.catalog.Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 32, bands = 8, buckets = 2, table)
+      val before = sp.table(s"${table}_sigs").count()
+      val survivors = Dedup.curateBatchAgainstIndex(empty, sp, table,
+        "doc_id", "text", shingleN = 2, numHashes = 32, bands = 8,
+        buckets = 2, estThreshold = 0.3)
+      assert(survivors.count() == 0)
+      assert(sp.table(s"${table}_sigs").count() == before)
+    } finally Seq("_sigs", "_bands").foreach(s =>
+      sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+
   test("curateBatchAgainstIndex drops matched docs and folds survivors into the index") {
     val sp = spark
     import sp.implicits._
