@@ -73,6 +73,16 @@ package object functions {
   def cosineSim(a: Column, b: Column): Column =
     dotProduct(a, b) / (l2Norm(a) * l2Norm(b))
 
+  /** Bloom-filter membership probe of a string column — `true` may be a
+    * false positive (rate = the builder's fpp), `false` is definitive.
+    * Prefilter only; compose with an exact confirm join (see
+    * [[BloomMightContainExpr]]). */
+  def bloomMightContain(c: Column, bloom: org.apache.spark.util.sketch.BloomFilter): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bloom.writeTo(bos)
+    toColumn(BloomMightContainExpr(toExpr(c), bos.toByteArray))
+  }
+
   /** Whitespace tokenization; trims empties produced by leading blanks. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

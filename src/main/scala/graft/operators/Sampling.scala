@@ -78,6 +78,36 @@ object Sampling {
     df.filter(b < bound)
   }
 
+  /** Cap every group at `n` rows, selected deterministically — the
+    * per-domain/per-source quota of a training mix ("at most N documents
+    * per domain"). Selection order is `md5(group || ':' || id)`, so the
+    * kept subset is a stable pseudo-random draw per group (not "first N
+    * by id", which would bias toward old documents), reproducible across
+    * engines, reruns and partitionings; id is the tiebreak so the order
+    * is total even on the astronomically-unlikely digest collision.
+    *
+    * Scale shape: this is a rank-then-filter window, which Catalyst
+    * rewrites via InferWindowGroupLimit into a map-side partial
+    * WindowGroupLimit BEFORE the shuffle plus a final one after — each
+    * map task forwards at most `n` rows per group it sees, so the
+    * exchange carries O(tasks × n) rows per group instead of the group's
+    * full contents. A 10-billion-row hot domain ships ~tasks×n rows, not
+    * 10 billion (SamplingSpec plan-asserts both nodes). Skew therefore
+    * bounds itself: the reduce-side window sees at most tasks×n rows per
+    * group. Requires `n` below spark.sql.window.group.limit.threshold
+    * (default 1000); above it, fall back to [[stableStratifiedSample]]
+    * with per-group fractions. */
+  def quotaCap(df: DataFrame, idCol: String, groupCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"quota must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col(groupCol).cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col(groupCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__qc_rn", row_number().over(w))
+      .filter(col("__qc_rn") <= n)
+      .drop("__qc_rn")
+  }
+
   /** Assign every row a split label by id hash; `weights` must sum to 1
     * (e.g. train/val/test 0.8/0.1/0.1). Splits are disjoint, exhaustive
     * and stable. Returns df plus a `split` column. */

@@ -33,6 +33,23 @@ object Extras extends QueryPack {
       |JOIN nation ON c_nationkey = n_nationkey
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** One SQL text, two engines (q44): correlated EXISTS / NOT EXISTS plus
+    * an uncorrelated scalar subquery. Thresholds are CAST(... AS DOUBLE)
+    * products of stored doubles — IEEE-identical in both engines (no
+    * decimal-literal promotion ambiguity). */
+  private val subqueryExistsSql: String =
+    """SELECT c_custkey, c_name FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |      AND o.o_totalprice > (SELECT CAST(0.9 AS DOUBLE) * MAX(o2.o_totalprice)
+      |                            FROM orders o2))
+      |  AND NOT EXISTS (SELECT 1 FROM orders o3
+      |    WHERE o3.o_custkey = c.c_custkey
+      |      AND o3.o_orderpriority = '1-URGENT'
+      |      AND o3.o_totalprice < (SELECT CAST(0.2 AS DOUBLE) * MAX(o4.o_totalprice)
+      |                             FROM orders o4))
+      |ORDER BY c_custkey""".stripMargin
+
   /** Typed UDAF: weighted mean via exact decimal partial sums. BigDecimal
     * buffers make merge order irrelevant (exact arithmetic), so the
     * result is deterministic under any partitioning — the property a
@@ -257,6 +274,62 @@ object Extras extends QueryPack {
           avg(qty).cast("double").as("avg_qty"),
           count(lit(1)).as("count_order"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // -- Q42: the remaining rank-family window surface — ntile, pct_rank,
+    //    cume_dist, first_value, nth_value — over a UNIQUE total ordering
+    //    (quantity, orderkey, linenumber): percent_rank/cume_dist are
+    //    integer-ratio doubles, bit-identical across engines only when the
+    //    ordering admits no ties; nth/first get the SQL-standard default
+    //    frame (RANGE UNBOUNDED PRECEDING..CURRENT ROW), which equals ROWS
+    //    under a tie-free ordering, so both engines agree row for row.
+    "q42_window_extra" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+      Tables(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 20 === 0)
+        .select(col("l_orderkey"),
+          col("l_linenumber").cast("long").as("linenum"),
+          col("l_returnflag"),
+          col("l_quantity").as("qty"),
+          ntile(4).over(w).cast("long").as("ntile4"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first_value(col("l_quantity")).over(w).as("first_qty"),
+          nth_value(col("l_quantity"), 3).over(w).as("third_qty"))
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem —
+        // qty disambiguates; ntile4 last because two rows tied on every
+        // window key share rank/cume/first/nth but can straddle a tile
+        // boundary (each engine assigns {t, t+1} to the pair arbitrarily)
+        .orderBy(col("l_returnflag"), col("l_orderkey"), col("linenum"),
+          col("qty"), col("ntile4"))
+    }),
+
+    // -- Q43: pivot (long→wide) through the Dataset `pivot` API with
+    //    EXPLICIT pivot values — the values-unspecified overload runs a
+    //    distinct job over the pivot column first, a hidden extra scan
+    //    (and an unbounded column explosion on a 100 TB corpus); naming
+    //    the columns keeps it to one pass, a plain two-phase hash agg
+    //    under Expand. Decimal sums, double emit (the q03/q38 pattern).
+    "q43_pivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec2(col("l_quantity"))))
+        .select(col("l_returnflag"),
+          col("F").cast("double").as("f_qty"),
+          col("O").cast("double").as("o_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // -- Q44: correlated subqueries — EXISTS (rewritten to a left-semi
+    //    join by Catalyst), NOT EXISTS (anti join) and an uncorrelated
+    //    scalar subquery (one-row broadcast) in one statement, shared
+    //    verbatim with the oracle (the q38 one-SQL-two-engines pattern).
+    "q44_subquery_exists" -> ((s, dir) => {
+      graft.catalog.Layout.registerTables(s, dir, Seq("orders", "customer"))
+      s.sql(subqueryExistsSql)
     })
   )
 
@@ -358,6 +431,29 @@ object Extras extends QueryPack {
         |    / 1000000.0 AS avg_qty,
         |  COUNT(*) AS count_order
         |FROM p GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q42_window_extra" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS linenum, l_returnflag,
+        |  l_quantity AS qty,
+        |  CAST(ntile(4) OVER w AS BIGINT) AS ntile4,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(l_quantity) OVER w AS first_qty,
+        |  nth_value(l_quantity, 3) OVER w AS third_qty
+        |FROM lineitem WHERE l_orderkey % 20 = 0
+        |WINDOW w AS (PARTITION BY l_returnflag
+        |             ORDER BY l_quantity, l_orderkey, l_linenumber)
+        |ORDER BY l_returnflag, l_orderkey, linenum, qty, ntile4""".stripMargin,
+
+    "q43_pivot" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'F'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS f_qty,
+        |  CAST(SUM(CASE WHEN l_linestatus = 'O'
+        |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q44_subquery_exists" -> subqueryExistsSql
   )
 }

@@ -374,6 +374,47 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- decontamination at the scale past broadcast: when the eval-set
+    //    shingle relation no longer fits a broadcast join as raw strings,
+    //    its Bloom image (~1.2 B/item at 1% fpp) still ships like a
+    //    literal. Shape: build the sketch from the (persisted, counted)
+    //    eval set, prefilter the training scan row-locally with the
+    //    codegen'd might_contain — no shuffle, false is definitive — then
+    //    confirm the survivors with an exact shuffle semi-join keyed on
+    //    the shingle. Result is EXACTLY the contaminated-doc set (false
+    //    positives die in the confirm join), so the oracle is the plain
+    //    exact SQL; only the plan differs from text_decontaminate.
+    "text_decontaminate_bloom" -> ((s, dir) => {
+      import graft.functions.bloomMightContain
+      val sh = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(wordShingles(tokens(col("text")), 3)).as("s"))
+      val evalSet = sh.filter(col("doc_id") % 50 === 0).select(col("s"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      // measured sizing, same discipline as the vocab-gated broadcasts:
+      // the count is one pass over the (small) aggregate we need anyway
+      val nEval = math.max(evalSet.count(), 1L)
+      val bloom = evalSet.stat.bloomFilter("s", nEval, 0.01)
+      sh.filter(col("doc_id") % 50 =!= 0)
+        .filter(bloomMightContain(col("s"), bloom))
+        .join(evalSet, Seq("s"), "left_semi")
+        .select(col("doc_id")).distinct()
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- per-source quota cap: "at most 15 documents per source" — the
+    //    domain-cap step of a training mix. Window rank-then-filter whose
+    //    plan Catalyst rewrites to partial+final WindowGroupLimit (each
+    //    map task forwards ≤ 15 rows per source — a hot domain cannot
+    //    flood the exchange); selection is an md5-keyed stable draw, not
+    //    first-N. See Sampling.quotaCap.
+    "text_quota_cap" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.quotaCap(Tables(s, dir, "documents"), "doc_id", "source", 15)
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- exact dedup: hash-groupBy on the normalized body; keeper = min id
     "dedup_exact" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -468,6 +509,31 @@ object Text extends QueryPack {
         |FROM sh JOIN ev USING (s)
         |WHERE sh.doc_id % 50 <> 0
         |GROUP BY sh.doc_id ORDER BY sh.doc_id""".stripMargin,
+
+    // identical result contract as the bloom-prefiltered plan: the sketch
+    // only prunes the exact confirm join's input, never the answer
+    "text_decontaminate_bloom" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 3
+        |         THEN list_transform(range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])
+        |         ELSE [] END) AS s
+        |  FROM toks),
+        |ev AS (SELECT DISTINCT s FROM sh WHERE doc_id % 50 = 0)
+        |SELECT DISTINCT sh.doc_id
+        |FROM sh JOIN ev USING (s)
+        |WHERE sh.doc_id % 50 <> 0
+        |ORDER BY doc_id""".stripMargin,
+
+    "text_quota_cap" ->
+      """SELECT doc_id, source FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents) t
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
 
     "text_tfidf" ->
       """WITH terms AS (

@@ -116,4 +116,42 @@ class SamplingSpec extends SparkSpec {
     assert(keptNull.collect().map(_.getLong(0)).toSeq == Seq(1L),
       "null stratum must drop, matching md5(stratum || ':' || id) SQL semantics")
   }
+
+  test("quotaCap keeps exactly n rows per over-quota group, all of an under-quota one") {
+    val sp = spark
+    import sp.implicits._
+    // skewed: group g0 has 5000 rows, g1 has 100, g2 has 3 (under quota)
+    val rows = ((0L until 5000L).map((_, "g0")) ++
+      (5000L until 5100L).map((_, "g1")) ++
+      (5100L until 5103L).map((_, "g2"))).toDF("id", "grp")
+    val capped = Sampling.quotaCap(rows, "id", "grp", 10)
+    val counts = capped.groupBy(col("grp")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts == Map("g0" -> 10L, "g1" -> 10L, "g2" -> 3L), counts.toString)
+
+    // deterministic under repartitioning: the md5-keyed draw is a function
+    // of the row alone
+    val again = Sampling.quotaCap(rows.repartition(17), "id", "grp", 10)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val first = capped.collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == first, "kept subset must not depend on partitioning")
+
+    // stable draw, not first-N: the kept ids must not be the n smallest
+    val g0 = capped.filter(col("grp") === "g0").collect().map(_.getLong(0)).toSet
+    assert(g0 != (0L until 10L).toSet, "selection must be hash-keyed, not first-N")
+  }
+
+  test("quotaCap plans as partial+final WindowGroupLimit (map-side group cap before the shuffle)") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 1000L).map(i => (i, s"g${i % 7}")).toDF("id", "grp")
+    val capped = Sampling.quotaCap(rows, "id", "grp", 5)
+    val optimized = capped.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("WindowGroupLimit"),
+      s"InferWindowGroupLimit did not fire — the rank filter would shuffle whole groups:\n$optimized")
+    val physical = capped.queryExecution.executedPlan.toString
+    val nodes = "WindowGroupLimit".r.findAllIn(physical).size
+    assert(nodes >= 2,
+      s"expected Partial AND Final WindowGroupLimitExec, found $nodes:\n$physical")
+  }
 }
