@@ -127,9 +127,11 @@ object ScaleProbe {
 
   def main(args: Array[String]): Unit = {
     val ks = (if (args.isEmpty) Seq(10, 30) else args.map(_.toInt).toSeq).distinct.sorted
-    // dev-only narrowing (driver always runs the full probe): run just the
-    // incremental-dedup tier, e.g. SPARK_GRAFT_PROBE_ONLY=incr
-    val onlyIncr = sys.env.get("SPARK_GRAFT_PROBE_ONLY").contains("incr")
+    // dev-only narrowing (driver always runs the full probe): run just one
+    // tier family, e.g. SPARK_GRAFT_PROBE_ONLY=incr or =bloom
+    val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+    val onlyIncr = probeOnly.contains("incr")
+    val onlyBloom = probeOnly.contains("bloom")
     val src = "/root/testdata/sf0.1"
     val spark = GraftSession.local("scale-probe")
 
@@ -241,6 +243,34 @@ object ScaleProbe {
       }
     }
 
+    /** Bloom-prefiltered decontamination at scale: a FIXED eval set (every
+      * 50th replica-0 document's 3-gram shingles) against the K× training
+      * corpus. Cost model: one corpus-linear scan with a row-local sketch
+      * probe (no shuffle), then a semi-join sized to the SURVIVORS, never
+      * the corpus. Two deterministic signals alongside wall time:
+      * survivors = flat true matches (shards are shingle-decoupled; only
+      * replica 0 can match) + an fpp-bounded trickle that grows with the
+      * corpus but at ~1% of its shingle count; the final contaminated-doc
+      * count is EXACTLY flat — growth there means the sketch leaked into
+      * the answer, which the exact confirm join exists to prevent. */
+    def bloomProbe(tag: String, docs: DataFrame): Unit = {
+      import graft.functions.{bloomMightContain, tokens, wordShingles}
+      val sh = docs.select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 3)).as("s"))
+      val isEval = col("doc_id") % 50 === 0 && col("doc_id") < IdStride
+      val evalSet = sh.filter(isEval).select(col("s")).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val nEval = math.max(evalSet.count(), 1L)
+      val bloom = evalSet.stat.bloomFilter("s", nEval, 0.01)
+      t(s"bloom_survivors_$tag")(
+        sh.filter(!isEval).filter(bloomMightContain(col("s"), bloom)).count())
+      t(s"bloom_decon_$tag")(
+        sh.filter(!isEval).filter(bloomMightContain(col("s"), bloom))
+          .join(evalSet, Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct().count())
+      evalSet.unpersist()
+    }
+
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
               ivfK: Int, headlineOnly: Boolean, trainFraction: Double): Unit = {
       t(s"minhash_lsh_$tag")(
@@ -299,23 +329,25 @@ object ScaleProbe {
     Dedup.minHashNearDups(docs1, "doc_id", "text", 2, 128, 32, 0.1).count()
     spark.catalog.clearCache()
 
-    if (!onlyIncr) {
+    if (!onlyIncr && !onlyBloom) {
       probe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false, trainFraction = 1.0)
       prefixProbe("1x", 1)
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
     }
-    incrProbe("1x", docs1)
+    if (!onlyBloom) incrProbe("1x", docs1)
+    if (!onlyIncr) bloomProbe("1x", docs1)
     ks.foreach { k =>
       val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
       val nVec = embK.count()
       println(s"SCALE corpus ${k}x: ${docsK.count()} docs, $nVec vectors")
-      if (!onlyIncr) {
+      if (!onlyIncr && !onlyBloom) {
         probe(s"${k}x", k, docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20,
           trainFraction = math.min(1.0, 20000.0 / nVec))
         prefixProbe(s"${k}x", k)
         ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
       }
-      incrProbe(s"${k}x", docsK)
+      if (!onlyBloom) incrProbe(s"${k}x", docsK)
+      if (!onlyIncr) bloomProbe(s"${k}x", docsK)
     }
     spark.stop()
   }

@@ -323,6 +323,23 @@ object Extras extends QueryPack {
         .orderBy(col("l_returnflag"))
     }),
 
+    // -- Q45: unpivot (wide→long melt) through the Dataset API — the
+    //    inverse of Q43's pivot. Runs over a 3-row aggregate, so the
+    //    interesting property is the operator semantics (column→row
+    //    labels, value column typing), not scale; the Expand it plans to
+    //    is a zero-shuffle per-row map at any size.
+    "q45_unpivot" -> ((s, dir) => {
+      Tables(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec2(col("l_quantity"))).cast("double").as("qty"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("price"),
+          sum(dec2(col("l_discount"))).cast("double").as("disc"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("qty"), col("price"), col("disc")),
+          "measure", "value")
+        .orderBy(col("l_returnflag"), col("measure"))
+    }),
+
     // -- Q44: correlated subqueries — EXISTS (rewritten to a left-semi
     //    join by Catalyst), NOT EXISTS (anti join) and an uncorrelated
     //    scalar subquery (one-row broadcast) in one statement, shared
@@ -454,6 +471,18 @@ object Extras extends QueryPack {
         |    THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS o_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
-    "q44_subquery_exists" -> subqueryExistsSql
+    "q44_subquery_exists" -> subqueryExistsSql,
+
+    "q45_unpivot" ->
+      """WITH a AS (SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'qty' AS measure, qty AS value FROM a
+        |  UNION ALL SELECT l_returnflag, 'price', price FROM a
+        |  UNION ALL SELECT l_returnflag, 'disc', disc FROM a) u
+        |ORDER BY l_returnflag, measure""".stripMargin
   )
 }

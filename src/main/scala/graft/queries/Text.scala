@@ -415,6 +415,20 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- ordinal generator: posexplode (explode WITH ORDINALITY) — token
+    //    position is load-bearing for sequence work (packing offsets,
+    //    positional n-grams); q24 covers plain explode, this pins the
+    //    position column's semantics (0-based, per-row dense) cross-engine
+    //    against DuckDB's lockstep dual UNNEST.
+    "q46_posexplode" -> ((s, dir) => {
+      Tables(s, dir, "documents")
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), posexplode(tokens(col("text"))))
+        .select(col("doc_id"), col("pos").cast("long").as("pos"), col("col").as("tok"))
+        .filter(col("pos") < 20)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // -- exact dedup: hash-groupBy on the normalized body; keeper = min id
     "dedup_exact" -> ((s, dir) => {
       Tables(s, dir, "documents")
@@ -526,6 +540,14 @@ object Text extends QueryPack {
         |FROM sh JOIN ev USING (s)
         |WHERE sh.doc_id % 50 <> 0
         |ORDER BY doc_id""".stripMargin,
+
+    "q46_posexplode" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |u AS (SELECT doc_id, UNNEST(range(len(t))) AS pos, UNNEST(t) AS tok FROM toks)
+        |SELECT doc_id, CAST(pos AS BIGINT) AS pos, tok
+        |FROM u WHERE pos < 20 ORDER BY doc_id, pos""".stripMargin,
 
     "text_quota_cap" ->
       """SELECT doc_id, source FROM (

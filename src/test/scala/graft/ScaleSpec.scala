@@ -136,4 +136,49 @@ class ScaleSpec extends SparkSpec {
     val bound = 12.0 * math.max(t1, 0.3)
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
+
+  test("bloom decontamination: answer stays exactly flat, survivors grow only by the fpp trickle") {
+    import graft.functions.{bloomMightContain, tokens, wordShingles}
+    import org.apache.spark.sql.functions.{col, explode}
+    val src = "/root/testdata/sf0.1"
+    val tmp = Files.createTempDirectory("graft-scale-bloom")
+    val (docs1, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/1x", 1)
+    val (docs5, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/5x", 5)
+    val stride = 10000000L // ScaleProbe.IdStride: replica 0 is doc_id < stride
+
+    // (survivor shingle rows, contaminated docs, training shingle rows)
+    def run(docs: org.apache.spark.sql.DataFrame): (Long, Long, Long) = {
+      val sh = docs.select(col("doc_id"),
+        explode(wordShingles(tokens(col("text")), 3)).as("s"))
+      val isEval = col("doc_id") % 50 === 0 && col("doc_id") < stride
+      val evalSet = sh.filter(isEval).select(col("s")).distinct().cache()
+      val bloom = evalSet.stat.bloomFilter("s", math.max(evalSet.count(), 1L), 0.01)
+      val train = sh.filter(!isEval)
+      val survivors = train.filter(bloomMightContain(col("s"), bloom))
+      val out = (survivors.count(),
+        survivors.join(evalSet, Seq("s"), "left_semi")
+          .select(col("doc_id")).distinct().count(),
+        train.count())
+      evalSet.unpersist()
+      spark.catalog.clearCache()
+      out
+    }
+
+    val (sv1, dec1, rows1) = run(docs1)
+    val (sv5, dec5, rows5) = run(docs5)
+    info(s"1x: survivors=$sv1 decon=$dec1 rows=$rows1; 5x: survivors=$sv5 decon=$dec5 rows=$rows5")
+
+    // shards 1-4 are shingle-decoupled from the replica-0 eval set, so the
+    // CONTAMINATED-DOC answer must not move at all — growth means bloom
+    // false positives leaked past the exact confirm join
+    assert(dec1 > 0, "gate needs a nonempty contaminated set to be meaningful")
+    assert(dec5 == dec1, s"answer must stay exactly flat: 1x=$dec1 5x=$dec5")
+    // survivors may grow only by the false-positive trickle on the extra
+    // corpus: bounded by 3x the nominal 1% fpp of the added shingle rows
+    // (deterministic — the sketch's hashing has no run-to-run seed)
+    val fpSlack = (0.03 * (rows5 - rows1)).toLong
+    assert(sv5 - sv1 <= fpSlack,
+      s"survivor growth ${sv5 - sv1} exceeds the fpp trickle bound $fpSlack — " +
+        "the prefilter is admitting far more than the sketch's error rate")
+  }
 }
