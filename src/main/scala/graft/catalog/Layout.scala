@@ -244,6 +244,36 @@ object Layout {
     }
   }
 
+  /** Exact-dedup fingerprint index: one bucketed table `<name>_fps` of
+    * `(fp, id)` — md5 of each document's normalized body
+    * (graft.operators.Dedup.fingerprints). The cheapest standing-index
+    * tier: 16 bytes + id per document (~10⁻⁴ of corpus bytes at 100 TB),
+    * and a batch probe (Dedup.exactDupsAgainstIndex) joins inside the
+    * fp buckets with zero corpus shuffle — the same contract as the
+    * MinHash band index, minus the signatures. */
+  def fingerprintIndex(spark: SparkSession, docs: DataFrame,
+                       idCol: String, textCol: String,
+                       buckets: Int = 8,
+                       tableName: String = "fp_index"): Unit =
+    graft.operators.Dedup.fingerprints(docs, idCol, textCol)
+      .repartition(buckets, col("fp"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(s"${tableName}_fps")
+
+  /** Append a batch's fingerprints to a [[fingerprintIndex]] — the LSM
+    * write of the exact tier; same bucket-spec preservation and
+    * compaction story as [[minhashIndexAppend]]. */
+  def fingerprintIndexAppend(spark: SparkSession, batch: DataFrame,
+                             idCol: String, textCol: String,
+                             buckets: Int = 8,
+                             tableName: String = "fp_index"): Unit =
+    graft.operators.Dedup.fingerprints(batch, idCol, textCol)
+      .repartition(buckets, col("fp"))
+      .write.mode("append")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(s"${tableName}_fps")
+
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],
                    tableName: String = "embeddings_ivf"): Unit =

@@ -23,6 +23,35 @@ import graft.functions.{bitAndCount, bitmapFromInts, minhashSig, simhash64, toke
   */
 object Dedup {
 
+  /** Exact-dedup fingerprints `(id, fp)`: md5 of the whitespace-normalized
+    * lowercase body — one row-local pass, no shuffle. The same canonical
+    * form as the `dedup_exact` contract query, factored here so the
+    * incremental exact tier ([[exactDupsAgainstIndex]]) and the batch
+    * groupBy path can never drift apart. */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      md5(lower(trim(regexp_replace(col(textCol), "\\s+", " ")))).as("fp"))
+
+  /** Incremental EXACT dedup: batch rows whose fingerprint already exists
+    * in a [[graft.catalog.Layout.fingerprintIndex]] corpus table. Returns
+    * `(batch_id, corpus_id, fp)` — every (batch row, stored twin) pair.
+    *
+    * The cheapest tier of the incremental family (MinHash/SimHash/IVF
+    * siblings below): the index stores 16 bytes + id per document, the
+    * batch side is one row-local md5 pass, and the join runs inside the
+    * index's fp-bucketed layout — the corpus is never re-read as text,
+    * never shuffled (LayoutSpec plan-asserts the single batch-side
+    * exchange). At 100 TB the fp table is the only state, ~10⁻⁴ of the
+    * corpus bytes. */
+  def exactDupsAgainstIndex(batch: DataFrame,
+                            spark: org.apache.spark.sql.SparkSession,
+                            tableName: String,
+                            idCol: String, textCol: String): DataFrame =
+    fingerprints(batch, idCol, textCol)
+      .withColumnRenamed("id", "batch_id")
+      .join(spark.table(s"${tableName}_fps"), Seq("fp"))
+      .select(col("batch_id"), col("id").as("corpus_id"), col("fp"))
+
   /** MinHash signatures, one row pass, no shuffle. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int, numHashes: Int): DataFrame =

@@ -109,6 +109,57 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("fingerprint index: incremental exact dedup joins the fp buckets in place") {
+    import graft.operators.Dedup
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    // batch: fresh ids, half exact twins of corpus docs (text reused, with
+    // only whitespace/case noise the canonical form must erase), half new
+    val twins = corpus.filter(col("doc_id") % 2 === 0 && col("doc_id") < 400)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        upper(concat(lit("  "), col("text"), lit("\t"))).as("text"))
+    val fresh = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") < 300)
+      .select((col("doc_id") + 2000000L).as("doc_id"),
+        concat(col("text"), lit(" zzqx_unique_suffix")).as("text"))
+    val batch = twins.unionAll(fresh)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Layout.fingerprintIndex(spark, corpus, "doc_id", "text",
+        buckets = 4, "fp_idx")
+      assert(spark.table("fp_idx_fps").inputFiles.length == 4)
+
+      val dups = Dedup.exactDupsAgainstIndex(batch, spark, "fp_idx",
+        "doc_id", "text")
+      val plan = dups.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange".r.findAllMatchIn(plan).size == 1,
+        s"only the batch side may shuffle:\n$plan")
+
+      // every twin matches exactly its source doc (normalization erases
+      // the injected case/whitespace noise); fresh docs match nothing
+      val got = dups.collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = twins.select(col("doc_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(0) - 1000000L)).toSet
+      assert(got == expect, s"got ${got.size} pairs, expected ${expect.size}")
+
+      // append folds the batch in: re-probing the batch now also finds
+      // each batch doc's own stored fingerprint
+      Layout.fingerprintIndexAppend(spark, batch, "doc_id", "text",
+        buckets = 4, "fp_idx")
+      val again = Dedup.exactDupsAgainstIndex(batch, spark, "fp_idx",
+          "doc_id", "text")
+        .filter(col("batch_id") === col("corpus_id")).count()
+      assert(again == batch.count(),
+        s"expected every batch doc to self-match, got $again")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS fp_idx_fps")
+    }
+  }
+
   test("IVF cell-partitioned layout prunes partitions on a probe filter") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.01"
