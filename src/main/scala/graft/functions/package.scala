@@ -83,6 +83,21 @@ package object functions {
     toColumn(BloomMightContainExpr(toExpr(c), bos.toByteArray))
   }
 
+  /** PQ codes (array<int> of length m) of a numeric-array column against
+    * per-subspace codebooks `m × ksub × dsub` (see [[PqEncodeExpr]]). */
+  def pqEncode(emb: Column, codebooks: Seq[Seq[Seq[Double]]]): Column = {
+    val m = codebooks.length
+    val ksub = codebooks.head.length
+    val dsub = codebooks.head.head.length
+    toColumn(PqEncodeExpr(toExpr(emb),
+      codebooks.flatten.flatten.toArray, m, ksub, dsub))
+  }
+
+  /** ADC score of a PQ code column against a query's flattened m×ksub
+    * lookup table (see [[PqAdcExpr]]). */
+  def pqAdc(codes: Column, lut: Array[Double], ksub: Int): Column =
+    toColumn(PqAdcExpr(toExpr(codes), lut, ksub))
+
   /** Whitespace tokenization; trims empties produced by leading blanks. */
   def tokens(text: Column): Column =
     filter(split(text, "\\s+"), t => length(t) > 0)

@@ -343,8 +343,42 @@ object Embeddings extends QueryPack {
         .crossJoin(lsh.agg(count(lit(1)).as("n_found")))
         .select(col("n_true"),
           (col("n_found") >= col("n_true") * 0.9).as("recall_ok"))
+    }),
+
+    // -- PQ compressed-domain search: codes are m=8 ints per vector (the
+    //    32×-class tier; codes ride the scan, embeddings stay cold), the
+    //    query ranks the corpus by the codegen'd ADC table lookup, and the
+    //    shortlist is re-ranked by the EXACT q23 cosine. With the true
+    //    top-10 inside the 192-row shortlist the answer is IDENTICAL to
+    //    the brute-force scan — so the oracle is q23's brute SQL verbatim,
+    //    and a recall regression (codebook drift, ADC bug, shortlist too
+    //    small) is a red hash row, not a silent rows-only pass.
+    "sim_ann_pq" -> ((s, dir) => {
+      import graft.operators.Quantize
+      val emb = Tables(s, dir, "embeddings")
+      val books = Quantize.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, lloydIters = 2, seed = 42)
+      val q = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0).toSeq
+      Quantize.pqTopKForVector(emb, "vec_id", "embedding", q, k = 10,
+        books, shortlist = 192)
     })
   )
+
+  /** Brute-force cosine top-10 against vec_id 0 — q23's oracle, and (by
+    * the exact-re-rank contract) sim_ann_pq's too. */
+  private val bruteTopkSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+      |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+      |  FROM embeddings),
+      |q AS (SELECT v, nsq FROM e WHERE vec_id = 0)
+      |SELECT e.vec_id,
+      |  CAST(CAST(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.v[i]), (x, y) -> x + y)
+      |       / (sqrt(e.nsq) * sqrt(q.nsq)) AS DECIMAL(9,4)) AS DOUBLE) AS sim
+      |FROM e, q
+      |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin
 
   // Oracle note: round 1 used DuckDB's list_cosine_similarity, whose internal
   // accumulation is NOT the sequential double fold Spark performs → 1-ulp
@@ -353,17 +387,12 @@ object Embeddings extends QueryPack {
   // left-fold dot and norms via list_reduce, then dot/(sqrt(na)*sqrt(nb)) —
   // so both engines produce bit-identical doubles before the decimal cast.
   val oracles: Map[String, String] = Map(
-    "q23_cosine_topk" ->
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
-        |  FROM embeddings),
-        |q AS (SELECT v, nsq FROM e WHERE vec_id = 0)
-        |SELECT e.vec_id,
-        |  CAST(CAST(list_reduce(list_transform(range(1, len(e.v) + 1), i -> e.v[i] * q.v[i]), (x, y) -> x + y)
-        |       / (sqrt(e.nsq) * sqrt(q.nsq)) AS DECIMAL(9,4)) AS DOUBLE) AS sim
-        |FROM e, q
-        |ORDER BY sim DESC, vec_id LIMIT 10""".stripMargin,
+    "q23_cosine_topk" -> bruteTopkSql,
+
+    // PQ search result contract: with the true top-10 inside the ADC
+    // shortlist, the re-ranked answer IS the brute-force answer — one
+    // oracle, two plans (the q43↔q45, decontaminate↔bloom pattern)
+    "sim_ann_pq" -> bruteTopkSql,
 
     "dedup_embedding_cosine" ->
       """WITH e AS (
