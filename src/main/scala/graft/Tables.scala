@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Access to the driver-generated parquet tables (see TESTDATA.md).
   *
@@ -20,12 +20,23 @@ object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 
-  /** The events table carries TIMESTAMP(NANOS) parquet, which Spark has no
-    * native type for; sessions set spark.sql.legacy.parquet.nanosAsLong and
-    * we rebuild a microsecond TimestampType here. `div` truncates — the
-    * same ns→us semantics as DuckDB's CAST(ts_ns AS TIMESTAMP). */
+  /** Timestamp normalization across driver-side testdata generations. The
+    * generator has shipped `ts`/`*date` columns both as TIMESTAMP(NANOS)
+    * (no native Spark type; sessions set
+    * spark.sql.legacy.parquet.nanosAsLong and we rebuild microseconds —
+    * `div` truncates, the same ns→us semantics as DuckDB's CAST) and as
+    * TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark 4 reads as
+    * TIMESTAMP_NTZ. Engine code and the DuckDB oracles are written against
+    * plain TimestampType under the session's pinned UTC zone — where NTZ
+    * and LTZ denote the identical microsecond instant — so both layouts
+    * fold to TimestampType here, keeping every downstream cast (e.g.
+    * timestamp→long epoch seconds, which Spark forbids from NTZ) legal. */
   private def normalizeTs(df: DataFrame): DataFrame =
-    if (df.schema.fields.exists(f => f.name == "ts" && f.dataType == LongType))
-      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-    else df
+    df.schema.fields.foldLeft(df) { (d, f) =>
+      if (f.name == "ts" && f.dataType == LongType)
+        d.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else if (f.dataType == TimestampNTZType)
+        d.withColumn(f.name, col(f.name).cast("timestamp"))
+      else d
+    }
 }

@@ -463,6 +463,50 @@ object Text extends QueryPack {
           Tables(s, dir, "documents").filter(col("doc_id") % 4 === 0),
           "doc_id", "text", shingleN = 2, threshold = 0.8)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- the full Gopher quality-rule set (Rae et al. 2021, appendix A),
+    //    the standard pretraining document filter: word-count bounds, mean
+    //    word length, symbol-to-word ratio (# / ellipsis), bullet- and
+    //    ellipsis-line ratios, alpha-word ratio, required-stopword hits.
+    //    Entirely per-row codegen'd higher-order functions — embarrassingly
+    //    parallel, zero shuffle before the final order, so it runs at scan
+    //    speed on any corpus size. `passes` is derived from the ROUNDED
+    //    metrics so the rule outcomes are bit-identical cross-engine.
+    "text_gopher_rules" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val nd = n.cast("double")
+      val meanLen = round(
+        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+          .cast("double") / nd, 4)
+      val symRatio = round(
+        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
+          .cast("double") / nd, 4)
+      val lines = split(col("text"), "\n")
+      val nl = size(lines).cast("double")
+      val bulletRatio = round(size(filter(lines, l =>
+        substring(trim(l), 1, 1).isin("-", "*"))).cast("double") / nl, 4)
+      val ellipsisRatio = round(size(filter(lines, l =>
+        endswith(rtrim(l), lit("...")))).cast("double") / nl, 4)
+      val alphaRatio = round(size(filter(toks, t =>
+        t.rlike("[A-Za-z]"))).cast("double") / nd, 4)
+      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      val stopHits = size(filter(
+        array(gopherStops.map(lit): _*), sw => array_contains(toks, sw))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
+          symRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
+          ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_word_ratio"),
+          stopHits.as("stop_hits"))
+        .withColumn("passes",
+          col("n_words").between(50L, 100000L) &&
+            col("mean_word_len").between(3.0, 10.0) &&
+            (col("symbol_ratio") < 0.1) && (col("bullet_ratio") < 0.9) &&
+            (col("ellipsis_ratio") < 0.3) && (col("alpha_word_ratio") > 0.8) &&
+            (col("stop_hits") >= 2L))
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -675,6 +719,37 @@ object Text extends QueryPack {
         |  FROM t)
         |SELECT doc_id, n_tokens, ROUND(ar, 4) AS alpha_ratio, ROUND(sr, 4) AS stop_ratio,
         |  ROUND(ar * 0.5 + sr * 0.5, 4) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // mirrors the Spark expression tree metric-for-metric: same tokenizer,
+    // same rounding scale, same rule thresholds over the ROUNDED metrics.
+    // DuckDB `/` on integers is float division (like Spark's Divide), so
+    // the `.../3` ellipsis discount needs no cast on either side.
+    "text_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS toks,
+        |  string_split(text, chr(10)) AS lns
+        |  FROM documents),
+        |m AS (SELECT doc_id,
+        |  CAST(len(toks) AS BIGINT) AS n_words,
+        |  ROUND(CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE)
+        |        / len(toks), 4) AS mean_word_len,
+        |  ROUND(((length(text) - length(replace(text, '#', ''))) +
+        |         (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) / 3)
+        |        / CAST(len(toks) AS DOUBLE), 4) AS symbol_ratio,
+        |  ROUND(CAST(len(list_filter(lns, l -> substr(trim(l), 1, 1) IN ('-', '*'))) AS DOUBLE)
+        |        / len(lns), 4) AS bullet_ratio,
+        |  ROUND(CAST(len(list_filter(lns, l -> ends_with(rtrim(l), '...'))) AS DOUBLE)
+        |        / len(lns), 4) AS ellipsis_ratio,
+        |  ROUND(CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE)
+        |        / len(toks), 4) AS alpha_word_ratio,
+        |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+        |                       sw -> list_contains(toks, sw))) AS BIGINT) AS stop_hits
+        |  FROM t)
+        |SELECT *,
+        |  n_words BETWEEN 50 AND 100000 AND mean_word_len BETWEEN 3.0 AND 10.0
+        |    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
+        |    AND alpha_word_ratio > 0.8 AND stop_hits >= 2 AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
