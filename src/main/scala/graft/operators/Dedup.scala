@@ -732,4 +732,122 @@ object Dedup {
     val drop = comps.filter(col("id") =!= col("component")).select(col("id"))
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
+
+  /** Edit-distance near-dup pairs over DISTINCT strings: all (a, b) with
+    * `levenshtein(a, b) <= maxDist` and a < b (by id) — the entity-
+    * resolution matcher for short strings (titles, names, product labels).
+    *
+    * Never an all-pairs loop. Candidates come from q-gram blocking
+    * (Gravano et al., VLDB'01 — the classic scalable formulation):
+    *
+    *  - LONG tier (`len >= (maxDist + 1) * q`): d edits destroy at most
+    *    d*q of a string's `len - q + 1` positional q-grams, so at this
+    *    length at least one q-gram survives VERBATIM, displaced by at
+    *    most d positions. Candidates = equi-join on the gram with
+    *    position band `|posA - posB| <= d` and length filter
+    *    `|lenA - lenB| <= d` — an inverted q-gram index, the same
+    *    explode → shuffle-on-token shape as [[jaccardInvertedPairs]],
+    *    with per-gram fanout bounded by gram selectivity, never corpus
+    *    size. Completeness of the generator is the pigeonhole above; the
+    *    exact `levenshtein` verify (codegen'd, per candidate) makes
+    *    precision 1.0.
+    *  - SHORT tier (`len < (maxDist + 1) * q`): too short for the
+    *    pigeonhole, but the distinct-string population of bounded length
+    *    is itself bounded (alphabet^len), so an equi-join on a coarse
+    *    length-bucket key (`len div (d+1)`, adjacent buckets probed —
+    *    any pair within distance d differs by at most d in length, so it
+    *    lands in the same or adjacent bucket) is a small controlled join,
+    *    verified exactly the same way.
+    *
+    * Both tiers dedupe candidates before the verify, so each surviving
+    * pair pays one levenshtein evaluation. Identical strings are the
+    * caller's exact-dedup concern ([[fingerprints]]); this operator takes
+    * the distinct-string relation (id = representative) and emits only
+    * 1 <= distance <= maxDist pairs. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    require(q >= 1, s"q must be >= 1, got $q")
+    val minLong = (maxDist + 1) * q
+    val s = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("str"), length(col(strCol)).as("len"))
+
+    // LONG tier: inverted positional q-gram index with a PREFIX filter.
+    // Both pair members must satisfy the pigeonhole (len >= (d+1)q);
+    // pairs with a shorter member are the short tier's job (its
+    // population extends to minLong+d-1 so no cross-tier pair can fall
+    // between the stools).
+    //
+    // d edits destroy at most d*q of a string's grams, so among ANY
+    // d*q + 1 grams of the probe string at least one survives VERBATIM
+    // in the other string (displaced by at most d). Probing only the
+    // d*q + 1 globally-RAREST grams of each string (df-ascending, the
+    // [[jaccardPrefixPairs]] dictionary discipline) therefore keeps the
+    // generator complete while bounding probe fanout per string by a
+    // CONSTANT — and rarity selection steers the join away from hot
+    // grams, which is what keeps posting-list products subquadratic on
+    // low-entropy alphabets at corpus scale. The build side stays the
+    // full gram set (the probe's surviving gram can sit anywhere in the
+    // partner), and the pair is found from whichever side probes it, so
+    // ids are normalized with least/greatest after the join.
+    val gramRows = s.filter(col("len") >= minLong)
+      .select(col("id"), col("len"),
+        posexplode(qgramArray(col("str"), q)).as(Seq("pos", "gram")))
+    val gdf = gramRows.groupBy(col("gram")).agg(count(lit(1)).as("gdf"))
+    import org.apache.spark.sql.expressions.Window
+    val rk = Window.partitionBy(col("id"))
+      .orderBy(col("gdf").asc, col("gram").asc, col("pos").asc)
+    val probeG = gramRows.join(gdf, "gram")
+      .withColumn("rk", row_number().over(rk))
+      .filter(col("rk") <= maxDist * q + 1)
+      .select(col("id"), col("len"), col("pos"), col("gram"))
+    val candLong = probeG.as("a").join(gramRows.as("b"),
+        col("a.gram") === col("b.gram") &&
+          col("a.id") =!= col("b.id") &&
+          abs(col("a.pos") - col("b.pos")) <= maxDist &&
+          abs(col("a.len") - col("b.len")) <= maxDist)
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+
+    // SHORT tier: coarse length buckets of width d+1. |lenA-lenB| <= d
+    // implies adjacent-or-same bucket, and the probe expands DOWN and UP
+    // (the id_a < id_b constraint makes the join one-directional, so
+    // probing only upward would miss a smaller-id string in the bucket
+    // below); duplicates die in the distinct.
+    val shortS = s.filter(col("len") < minLong + maxDist)
+    val bucketW = maxDist + 1
+    val lb = floor(col("len") / bucketW)
+    val probe = shortS.select(col("id"), col("len"),
+      explode(array(lb - 1, lb, lb + 1)).as("lb"))
+    val build = shortS.select(col("id").as("b_id"), col("len").as("b_len"),
+      lb.as("lb"))
+    val candShort = probe.join(build,
+        probe("lb") === build("lb") && col("id") < col("b_id") &&
+          abs(col("len") - col("b_len")) <= maxDist &&
+          // at least one member below the pigeonhole bar, else the long
+          // tier already generated the pair
+          (col("len") < minLong || col("b_len") < minLong))
+      .select(col("id").as("id_a"), col("b_id").as("id_b"))
+      .distinct()
+
+    // verify: join strings back per candidate, one levenshtein each
+    val strs = s.select(col("id"), col("str"))
+    candLong.union(candShort).distinct()
+      .join(strs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("str", "str_a"), "id_a")
+      .join(strs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("str", "str_b"), "id_b")
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** Positional character q-grams of a string as an array (0-based pos
+    * via posexplode at the call site). Pure per-row expression work —
+    * `Column.substr` takes column positions, so the whole array is one
+    * codegen'd transform. */
+  private def qgramArray(str: org.apache.spark.sql.Column, q: Int) =
+    transform(sequence(lit(1), length(str) - (q - 1)),
+      i => str.substr(i, lit(q)))
 }

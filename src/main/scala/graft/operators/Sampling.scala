@@ -128,4 +128,68 @@ object Sampling {
     }
     df.withColumn("split", expr)
   }
+
+  /** Temperature-weighted source mixing — the standard multi-source
+    * training-mix reweighter (the `p_i^alpha / sum p_j^alpha` rule of
+    * multilingual/multi-domain pretraining): draw `targetTotal` documents
+    * across sources with per-source quotas proportional to `n_s^alpha`,
+    * so `alpha` = 1 keeps natural proportions and `alpha` → 0 flattens
+    * toward uniform, upsampling rare sources relative to their share.
+    *
+    * Per-source counts (one hash agg, k rows) come to the driver — k is
+    * the number of SOURCES (domains/languages, tens), not corpus-sized,
+    * the same bounded-collect discipline as the IVF centroid pulls. A
+    * source's quota is capped at its population (alpha < 1 can ask a
+    * rare source for more rows than it has; this operator samples
+    * without replacement, so it keeps the source whole instead —
+    * upsampling-with-repeats is a separate concern for the data loader).
+    * Selection within a source is the same stable pseudo-random draw as
+    * [[quotaCap]] (`md5(source || ':' || id)` rank), so the subset is
+    * reproducible across engines, reruns and partitionings, and the
+    * rank-filter compiles to the same map-side WindowGroupLimit shape —
+    * the shuffle ships O(tasks x quota) rows per source, not the source.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
+                     alpha: Double, targetTotal: Long): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
+    require(targetTotal >= 1, s"targetTotal must be >= 1, got $targetTotal")
+    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.get(0), r.getLong(1)))
+    val sumA = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val quota = counts.map { case (src, n) =>
+      (src, math.min(n,
+        math.max(1L, math.round(targetTotal * math.pow(n.toDouble, alpha) / sumA))))
+    }.toMap
+    val quotaCol = quota.foldLeft(lit(0L): Column) { case (acc, (src, q)) =>
+      when(col(srcCol) === lit(src), lit(q)).otherwise(acc)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col(srcCol).cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    val w = Window.partitionBy(col(srcCol)).orderBy(key.asc, col(idCol).asc)
+    df.withColumn("__tm_rn", row_number().over(w))
+      .filter(col("__tm_rn") <= quotaCol)
+      .drop("__tm_rn")
+  }
+
+  /** Deterministic global shuffle for training order: assign every row a
+    * shard label (first 2 hex chars of `md5(seed || ':' || id)` — 256
+    * shards) and a dense position within its shard (rank by the full
+    * digest). The (shard, pos) order is a reproducible pseudo-random
+    * permutation of the corpus — the "global shuffle before training"
+    * step — computed WITHOUT a global sort: each shard sorts
+    * independently under the window, so the plan is one hash exchange on
+    * shard + per-partition sort, and shard count (not corpus size) bounds
+    * what any single task must order. Readers stream shards in label
+    * order, positions within each; changing `seed` gives an independent
+    * permutation for the next epoch. Hex-string shard labels keep the
+    * whole contract portable to any engine with md5+substr (same
+    * reasoning as [[stableSample]]'s lexicographic buckets). */
+  def shardShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
+    val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(substring(h, 1, 2)).orderBy(h.asc, col(idCol).asc)
+    df.withColumn("shard", substring(h, 1, 2))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
 }

@@ -347,6 +347,34 @@ object Extras extends QueryPack {
     "q44_subquery_exists" -> ((s, dir) => {
       graft.catalog.Layout.registerTables(s, dir, Seq("orders", "customer"))
       s.sql(subqueryExistsSql)
+    }),
+
+    // -- Q47: interval/range self-join, BINNED. "Events within the hour
+    //    after each event, per user" is a non-equi predicate; the naive
+    //    plan is a per-user theta join (quadratic in the hot user). The
+    //    scale formulation quantizes time into interval-width buckets:
+    //    each probe row expands to the (at most 2) buckets its window
+    //    overlaps, the join is EQUI on (user, bucket), and the exact
+    //    range predicate filters residuals. Every (a,b) pair meets
+    //    exactly once because b lives in exactly one bucket. Candidate
+    //    fanout per row is bounded by bucket population, not user
+    //    population — the same bound-the-candidates discipline as the
+    //    LSH/prefix dedup paths. Timestamps leave as epoch seconds
+    //    (QueryPack policy).
+    "q47_range_join_binned" -> ((s, dir) => {
+      val e = Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts").cast("long").as("sec"))
+      val probe = e.select(col("event_id"), col("user_id"), col("sec"),
+        explode(array(floor(col("sec") / 3600), floor(col("sec") / 3600) + 1))
+          .as("bucket"))
+      val build = e.select(col("event_id").as("b_id"), col("user_id"),
+        col("sec").as("b_sec"), floor(col("sec") / 3600).as("bucket"))
+      probe.join(build, Seq("user_id", "bucket"))
+        .filter(col("b_sec") > col("sec") && col("b_sec") <= col("sec") + 3600)
+        .groupBy(col("event_id"))
+        .agg(count(lit(1)).as("n_following"),
+          min(col("b_sec") - col("sec")).as("min_gap_s"))
+        .orderBy(col("event_id"))
     })
   )
 
@@ -472,6 +500,17 @@ object Extras extends QueryPack {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q44_subquery_exists" -> subqueryExistsSql,
+
+    // the oracle states the CONTRACT as the naive range join — the binned
+    // rewrite must be invisible in the result
+    "q47_range_join_binned" ->
+      """WITH e AS (SELECT event_id, user_id,
+        |  CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec FROM events)
+        |SELECT a.event_id, COUNT(*) AS n_following,
+        |  MIN(b.sec - a.sec) AS min_gap_s
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND b.sec > a.sec AND b.sec <= a.sec + 3600
+        |GROUP BY a.event_id ORDER BY a.event_id""".stripMargin,
 
     "q45_unpivot" ->
       """WITH a AS (SELECT l_returnflag,

@@ -507,6 +507,141 @@ object Text extends QueryPack {
             (col("ellipsis_ratio") < 0.3) && (col("alpha_word_ratio") > 0.8) &&
             (col("stop_hits") >= 2L))
         .orderBy(col("doc_id"))
+    }),
+
+    // -- the C4 cleaning rules (Raffel et al. 2020 §2.2): keep only lines
+    //    that end in terminal punctuation and have >= 5 words; drop pages
+    //    containing "lorem ipsum" or a curly brace, or with < 3 surviving
+    //    lines. Like the Gopher rules this is pure per-row expression work
+    //    (nested higher-order functions over the line split) — scan-speed
+    //    at any corpus size. The synthetic corpus is single-line with no
+    //    punctuation (the rules would be vacuous), so the query first
+    //    restructures every document deterministically — 8-token sentence
+    //    lines with cycling terminators, one always-too-short line, policy
+    //    violations on fixed id residues — with the identical seeding in
+    //    the oracle (text_pii / text_line_dedup precedent). Cleaned text
+    //    leaves as a fingerprint so the hash pins exact reassembled bytes.
+    "text_c4_rules" -> ((s, dir) => {
+      val toks = tokens(col("text"))
+      val nch = floor((size(toks) + lit(7)) / lit(8)).cast("int")
+      val sent = transform(sequence(lit(0), greatest(nch - 1, lit(0))), i =>
+        concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+          when(i % 3 === 0, ".").when(i % 3 === 1, "!").otherwise("?")))
+      val seeded = concat(array_join(sent, "\n"),
+        lit("\nshort line."),
+        when(col("doc_id") % 41 === 0, lit("\nlorem ipsum dolor sit amet."))
+          .otherwise(lit("")),
+        when(col("doc_id") % 37 === 0, lit("\nconfig { debug } done here now."))
+          .otherwise(lit("")))
+      val lines = split(col("seeded"), "\n")
+      val kept = filter(lines, l =>
+        substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+          size(tokens(l)) >= 5)
+      Tables(s, dir, "documents")
+        .select(col("doc_id"), seeded.as("seeded"))
+        .select(col("doc_id"),
+          size(lines).cast("long").as("n_lines"),
+          size(kept).cast("long").as("n_kept_lines"),
+          md5(array_join(kept, "\n")).as("clean_fp"),
+          lower(col("seeded")).contains("lorem ipsum").as("has_lorem"),
+          col("seeded").contains("{").as("has_brace"))
+        .withColumn("keep_doc",
+          col("n_kept_lines") >= 3L && !col("has_lorem") && !col("has_brace"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- corpus-level boilerplate-line removal (the CCNet/RefinedWeb pass):
+    //    a line whose normalized form appears in >= 50 distinct documents
+    //    is boilerplate (nav bars, footers, banners) and is deleted from
+    //    every document. The synthetic corpus has no cross-document lines,
+    //    so the query seeds the standard web furniture deterministically
+    //    (same seeding in the oracle): a universal copyright footer, a nav
+    //    bar on even ids, a newsletter banner on every third id. Plan
+    //    shape + 100 TB notes in [[graft.operators.Curation]].
+    "text_line_dedup" -> ((s, dir) => {
+      import graft.operators.Curation
+      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit("\nCopyright Example Corp. All rights reserved."),
+          when(col("doc_id") % 2 === 0, lit("\nHome | About | Contact"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter today!"))
+            .otherwise(lit(""))).as("text"))
+      Curation.removeBoilerplateLines(seeded, "doc_id", "text", minDocs = 50)
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- unigram-LM quality scoring (the CCNet perplexity-bucket proxy):
+    //    score every document by the mean corpus log-probability of its
+    //    tokens — boilerplate-ish, in-distribution text scores high, junk
+    //    and rare-token soup score low. Two hash aggs (term counts, per-doc
+    //    mean) plus the term join, which reuses the MEASURED vocab-gated
+    //    broadcast route of tfidf/bm25 — a 100 TB vocabulary falls back to
+    //    a term-keyed shuffle join (VERDICT_r05 #2 discipline). Per-token
+    //    logp is rounded then summed in DECIMAL so the per-doc sum is
+    //    order-independent and bit-identical cross-engine (QueryPack
+    //    policy); the 1-row total joins via scalar broadcast fold.
+    "text_unigram_lm" -> ((s, dir) => {
+      val toks = Tables(s, dir, "documents")
+        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
+      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+      val nTot = vocab.agg(sum(col("c")).as("n_total"))
+      val lp = vocab.crossJoin(broadcast(nTot))
+        .select(col("term"),
+          round(log(col("c").cast("double") / col("n_total")), 6)
+            .cast(DecimalType(12, 6)).as("logp"))
+      idfJoinVocabGated(toks, lp, MaxBroadcastVocab)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("slp"))
+        .select(col("doc_id"), col("n_tokens"),
+          round(col("slp").cast("double") / col("n_tokens"), 4).as("mean_logp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- temperature-weighted source mixing over the skewed `lang` column
+    //    (en is 3x fr in the corpus; alpha = 0.5 flattens the draw toward
+    //    uniform). Operator semantics + the bounded driver collect and
+    //    WindowGroupLimit shuffle shape: [[graft.operators.Sampling
+    //    .temperatureMix]].
+    "text_mix_temperature" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.temperatureMix(Tables(s, dir, "documents"), "doc_id", "lang",
+          alpha = 0.5, targetTotal = 150)
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- deterministic global shuffle for training order: 256 hex shards +
+    //    dense in-shard positions, a reproducible pseudo-random permutation
+    //    without a global sort. [[graft.operators.Sampling.shardShuffle]].
+    "text_shard_shuffle" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.shardShuffle(Tables(s, dir, "documents"), "doc_id", seed = "ep0")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos"))
+    }),
+
+    // -- edit-distance near-dup pairs (q-gram blocked + exact levenshtein
+    //    verify — [[graft.operators.Dedup.editDistancePairs]]) over a
+    //    derived title relation: one representative per distinct 5-token
+    //    title prefix, plus a seeded first-char variant for every 4th
+    //    representative (guaranteed distance-1 mass). The oracle is the
+    //    NAIVE quadratic levenshtein join over the same seeded relation —
+    //    the blocking must be invisible in the result, which makes this
+    //    the recall proof for the q-gram candidate generator.
+    "dedup_edit_distance" -> ((s, dir) => {
+      val reps = Tables(s, dir, "documents")
+        .select(col("doc_id"),
+          array_join(slice(tokens(col("text")), 1, 5), " ").as("t"))
+        .groupBy(col("t")).agg(min(col("doc_id")).as("id"))
+      val variants = reps.filter(col("id") % 4 === 0)
+        .select((col("id") + 1000000L).as("id"),
+          concat(lit("x"), expr("substring(t, 2)")).as("t"))
+      val corpus = reps.select(col("id"), col("t")).union(variants)
+      Dedup.editDistancePairs(corpus, "id", "t", maxDist = 2, q = 2)
+        .orderBy(col("id_a"), col("id_b"))
     })
   )
 
@@ -751,6 +886,117 @@ object Text extends QueryPack {
         |    AND symbol_ratio < 0.1 AND bullet_ratio < 0.9 AND ellipsis_ratio < 0.3
         |    AND alpha_word_ratio > 0.8 AND stop_hits >= 2 AS passes
         |FROM m ORDER BY doc_id""".stripMargin,
+
+    // identical sentence-line seeding as the Spark side; substr with a
+    // negative start counts from the end in BOTH engines (last char, ''
+    // on ''); COALESCE because array_to_string of an EMPTY list is NULL
+    // in DuckDB while Spark array_join gives ''
+    "text_c4_rules" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |sd AS (SELECT doc_id,
+        |  array_to_string(list_transform(range(CAST(FLOOR((len(t) + 7) / 8) AS BIGINT)),
+        |    i -> array_to_string(t[i*8+1 : i*8+8], ' ') ||
+        |      CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END), chr(10))
+        |  || chr(10) || 'short line.'
+        |  || CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
+        |  || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'config { debug } done here now.' ELSE '' END
+        |  AS seeded FROM tk),
+        |k AS (SELECT doc_id, seeded, string_split(seeded, chr(10)) AS lns,
+        |  list_filter(string_split(seeded, chr(10)),
+        |    l -> substr(rtrim(l), -1, 1) IN ('.', '!', '?', '"')
+        |      AND len(list_filter(string_split_regex(l, '\s+'), x -> x <> '')) >= 5) AS kept
+        |  FROM sd)
+        |SELECT doc_id,
+        |  CAST(len(lns) AS BIGINT) AS n_lines,
+        |  CAST(len(kept) AS BIGINT) AS n_kept_lines,
+        |  md5(COALESCE(array_to_string(kept, chr(10)), '')) AS clean_fp,
+        |  contains(lower(seeded), 'lorem ipsum') AS has_lorem,
+        |  contains(seeded, '{') AS has_brace,
+        |  len(kept) >= 3 AND NOT contains(lower(seeded), 'lorem ipsum')
+        |    AND NOT contains(seeded, '{') AS keep_doc
+        |FROM k ORDER BY doc_id""".stripMargin,
+
+    // identical seeding as the Spark side; lockstep dual UNNEST is the
+    // posexplode analog (q46 precedent); string_agg(ORDER BY pos) is the
+    // ordered reassembly
+    "text_line_dedup" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  text || chr(10) || 'Copyright Example Corp. All rights reserved.'
+        |    || CASE WHEN doc_id % 2 = 0 THEN chr(10) || 'Home | About | Contact' ELSE '' END
+        |    || CASE WHEN doc_id % 3 = 0 THEN chr(10) || 'Subscribe to our newsletter today!' ELSE '' END AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id,
+        |  UNNEST(string_split(text, chr(10))) AS line,
+        |  UNNEST(range(len(string_split(text, chr(10))))) AS pos FROM corpus),
+        |k AS (SELECT doc_id, pos, line,
+        |  md5(lower(trim(regexp_replace(line, '\s+', ' ', 'g')))) AS lkey FROM l),
+        |b AS (SELECT lkey FROM (
+        |  SELECT lkey, COUNT(DISTINCT doc_id) AS line_df FROM k GROUP BY 1)
+        |  WHERE line_df >= 50),
+        |kept AS (SELECT k.* FROM k ANTI JOIN b USING (lkey)),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(line, chr(10) ORDER BY pos) AS clean FROM kept GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(r.clean, '')) AS clean_fp
+        |FROM corpus c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // per-token logp quantized to DECIMAL(12,6) BEFORE the per-doc sum so
+    // the aggregate is order-independent (QueryPack policy); the final
+    // mean divides the exact decimal sum as a double on both engines
+    "text_unigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |  UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |v AS (SELECT term, COUNT(*) AS c FROM t GROUP BY 1),
+        |n AS (SELECT SUM(c) AS n_total FROM v),
+        |lp AS (SELECT term, CAST(ROUND(ln(CAST(c AS DOUBLE) / n_total), 6) AS DECIMAL(12,6)) AS logp
+        |  FROM v, n),
+        |j AS (SELECT t.doc_id, lp.logp FROM t JOIN lp USING (term))
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // quota arithmetic mirrored exactly: LEAST(n, GREATEST(1,
+    // ROUND(T * n^alpha / sum))) — positive-tie rounding agrees between
+    // Math.round and DuckDB ROUND; selection is the stable md5 rank
+    "text_mix_temperature" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, POW(n, 0.5) AS a FROM c),
+        |t AS (SELECT lang, LEAST(n, GREATEST(1,
+        |    CAST(ROUND(150 * a / (SELECT SUM(a) FROM w)) AS BIGINT))) AS tgt FROM w),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
+        |WHERE rn <= tgt ORDER BY doc_id""".stripMargin,
+
+    // the naive quadratic join IS the contract; the engine's q-gram
+    // blocking must reproduce it exactly
+    "dedup_edit_distance" ->
+      """WITH tk AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |base AS (SELECT doc_id, array_to_string(t[1:5], ' ') AS s FROM tk),
+        |reps AS (SELECT MIN(doc_id) AS id, s FROM base GROUP BY s),
+        |var AS (SELECT id + 1000000 AS id, 'x' || substr(s, 2) AS s
+        |  FROM reps WHERE id % 4 = 0),
+        |c AS (SELECT id, s FROM reps UNION ALL SELECT id, s FROM var)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
+        |FROM c a JOIN c b ON a.id < b.id
+        |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    "text_shard_shuffle" ->
+      """WITH h AS (SELECT doc_id,
+        |  md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hv FROM documents)
+        |SELECT doc_id, substr(hv, 1, 2) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(hv, 1, 2)
+        |    ORDER BY hv, doc_id) AS BIGINT) AS pos
+        |FROM h ORDER BY shard, pos""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

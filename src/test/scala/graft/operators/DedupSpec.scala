@@ -422,4 +422,63 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     assert(got == Set((1L, 2L, 1.0)))
   }
+
+  private def bruteLevenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  test("editDistancePairs equals the brute-force levenshtein join on a randomized corpus") {
+    val sp = spark
+    import sp.implicits._
+    // mixed-length corpus straddling the long/short tier boundary
+    // ((d+1)*q = 6 for d=2, q=2), with deliberate near-dup mass: edits of
+    // earlier strings at distance 1-3
+    val rnd = new scala.util.Random(20260813)
+    val alphabet = "abcdef"
+    def randStr(n: Int) = (1 to n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val base = (0 until 60).map(i => randStr(2 + rnd.nextInt(12)))
+    val edited = base.take(30).map { s =>
+      (1 to 1 + rnd.nextInt(3)).foldLeft(s) { (cur, _) =>
+        val p = rnd.nextInt(math.max(cur.length, 1))
+        rnd.nextInt(3) match {
+          case 0 if cur.length > 1 => cur.take(p) + cur.drop(p + 1) // delete
+          case 1 => cur.take(p) + alphabet(rnd.nextInt(6)) + cur.drop(p) // insert
+          case _ => cur.take(p) + alphabet(rnd.nextInt(6)) + cur.drop(p + 1) // sub
+        }
+      }
+    }
+    val strs = (base ++ edited).distinct
+    val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
+    val df = rows.toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d, q = 2)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = (for {
+        (ai, a) <- rows; (bi, b) <- rows if ai < bi
+        dist = bruteLevenshtein(a, b) if dist >= 1 && dist <= d
+      } yield (ai, bi, dist.toLong)).toSet
+      assert(got == want,
+        s"d=$d: missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
+
+  test("editDistancePairs blocks: no cartesian in the plan, identical strings excluded") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq((1L, "spark native engine"), (2L, "spark native enginx"),
+      (3L, "spark native engine"), (4L, "zz")).toDF("id", "s")
+    val pairs = Dedup.editDistancePairs(df, "id", "s", maxDist = 2)
+    val plan = pairs.queryExecution.executedPlan.toString.toLowerCase
+    assert(!plan.contains("cartesianproduct") && !plan.contains("broadcastnestedloop"),
+      s"q-gram blocking must never enumerate all pairs:\n$plan")
+    val got = pairs.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // (1,3) identical -> dist 0 -> excluded by contract; (1,2) and (2,3) are 1
+    assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)), got.toString)
+  }
 }

@@ -154,4 +154,71 @@ class SamplingSpec extends SparkSpec {
     assert(nodes >= 2,
       s"expected Partial AND Final WindowGroupLimitExec, found $nodes:\n$physical")
   }
+
+  test("temperatureMix flattens skewed sources toward uniform and respects caps") {
+    val sp = spark
+    import sp.implicits._
+    // 800 / 150 / 50: natural shares 80/15/5%
+    val rows = (0L until 1000L).map { i =>
+      (i, if (i < 800) "big" else if (i < 950) "mid" else "rare")
+    }.toDF("id", "src")
+    val mixed = Sampling.temperatureMix(rows, "id", "src", alpha = 0.5,
+      targetTotal = 300)
+    val counts = mixed.groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // alpha=0.5 quotas: sqrt shares 28.3/12.2/7.1 of 47.6 → 178/77/45 —
+    // rare goes from 5% of the corpus to ~15% of the draw
+    assert(counts("big") > counts("mid") && counts("mid") > counts("rare"),
+      s"order must still follow population: $counts")
+    val rareShare = counts("rare").toDouble / counts.values.sum
+    assert(rareShare > 0.10, s"alpha<1 must upsample the rare source: $counts")
+    // quota never exceeds the population (sampling without replacement)
+    val tiny = Sampling.temperatureMix(rows, "id", "src", alpha = 0.0,
+      targetTotal = 900)
+    val tinyCounts = tiny.groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tinyCounts("rare") == 50L,
+      s"alpha=0 asks rare for 300 rows; it only has 50: $tinyCounts")
+    // alpha=1 reproduces ~natural proportions
+    val nat = Sampling.temperatureMix(rows, "id", "src", alpha = 1.0,
+      targetTotal = 100)
+    val natCounts = nat.groupBy(col("src")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(natCounts("big") == 80L && natCounts("mid") == 15L &&
+      natCounts("rare") == 5L, natCounts.toString)
+    // stable under repartitioning (md5-rank selection, same as quotaCap)
+    val again = Sampling.temperatureMix(rows.repartition(13), "id", "src",
+      alpha = 0.5, targetTotal = 300).collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == mixed.collect().map(_.getLong(0)).sorted.toSeq)
+  }
+
+  test("shardShuffle is a stable permutation: 256 shards, dense positions, seed-dependent") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 5000L).toDF("id")
+    val shuffled = Sampling.shardShuffle(rows, "id", "ep0")
+    val collected = shuffled.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(collected.length == 5000, "permutation keeps every row")
+    // every (shard, pos) is unique and positions are dense per shard
+    val byShard = collected.groupBy(_._2)
+    byShard.foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1L to rs.length).toSeq,
+        s"positions in shard $shard must be dense 1..n")
+    }
+    assert(byShard.keys.forall(s => s.length == 2 && s.matches("[0-9a-f]{2}")))
+    // stable under repartitioning
+    val again = Sampling.shardShuffle(rows.repartition(11), "id", "ep0")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(again == collected.toSet, "order must not depend on partitioning")
+    // a different seed gives a different permutation (new epoch)
+    val ep1 = Sampling.shardShuffle(rows, "id", "ep1")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(ep1 != collected.toSet, "seed must drive the permutation")
+    // no global sort in the plan: ordering work is per-shard under the
+    // window, so the physical plan must not contain a range exchange
+    val physical = shuffled.queryExecution.executedPlan.toString
+    assert(!physical.contains("rangepartitioning"),
+      s"shardShuffle must not global-sort:\n$physical")
+  }
 }
