@@ -112,6 +112,33 @@ object ScaleProbe {
     base.unionAll(dups)
   }
 
+  /** Title corpus for the edit-distance probes: 4 hex-md5 tokens per
+    * title (27 chars, high-entropy alphabet — the operator's design
+    * regime; digit-soup strings are its documented degenerate regime,
+    * like low-vocab shingles for the prefix-jaccard path), every 10th
+    * title planted a distance-1 variant (first char swapped) under
+    * id + 10^9. Fully distributed and deterministic (md5 of the id), so
+    * pair counts are CI-stable: answer ≈ n/10, linear in the corpus. */
+  def editCorpus(spark: SparkSession, n: Long): DataFrame = {
+    val title = "array_join(transform(sequence(0, 3), " +
+      "j -> substring(md5(concat(cast(id as string), ':', cast(j as string))), 1, 6)), ' ')"
+    val base = spark.range(n).select(col("id"), expr(title).as("t"))
+    val dups = spark.range(0, n, 10)
+      .select((col("id") + 1000000000L).as("id"),
+        expr(s"concat('x', substring($title, 2))").as("t"))
+    base.unionAll(dups)
+  }
+
+  /** Gram length for an n-title edit-distance run: q must grow with the
+    * corpus so the gram space (alphabet^q) outpaces posting-list density —
+    * at FIXED q, postings densify ∝ n and candidates go ∝ n²/alphabet^q
+    * no matter how rare the chosen prefix grams are. Same geometry-scales-
+    * with-data discipline as `lshBits ∝ log₂(shards)` and IVF `k ∝ corpus`
+    * in the sibling probes; here q ≈ log₁₆(total grams) for the hex title
+    * alphabet. */
+  def editQ(n: Long): Int =
+    if (n <= 2000) 3 else if (n <= 50000) 4 else 5
+
   /** Build the K-shard corpus under `dst` and read it back. */
   def shardedCorpus(spark: SparkSession, src: String, dst: String, k: Int,
                     dim: Int = 64): (DataFrame, DataFrame) = {
@@ -271,6 +298,43 @@ object ScaleProbe {
       evalSet.unpersist()
     }
 
+    /** The curation layer at scale. Boilerplate-line removal is seeded
+      * with the same universal footer / parity nav / third-residue banner
+      * as the contract query, so the removed-instance count is an exact
+      * per-doc-constant — ~1.83 lines per document, LINEAR in the corpus
+      * by construction, and the probe returns it as the deterministic
+      * signal (a superlinear value means the line-df aggregation or the
+      * anti-join degenerated). shardShuffle is the cheapest corpus-wide
+      * window — its probe times the hash-exchange + per-shard sort at
+      * tier size. Edit-distance runs on its own growing-entropy title
+      * corpus with candidate cardinality as the blowup signal (the
+      * jaccard-prefix discipline); the exact answer is the planted ~n/10. */
+    def curationProbe(tag: String, k: Int, docs: DataFrame): Unit = {
+      import graft.operators.Curation
+      val seeded = docs.select(col("doc_id"),
+        concat(col("text"),
+          lit("\nCopyright Example Corp. All rights reserved."),
+          when(col("doc_id") % 2 === 0, lit("\nHome | About | Contact"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 3 === 0, lit("\nSubscribe to our newsletter today!"))
+            .otherwise(lit(""))).as("text"))
+      t(s"line_dedup_$tag")(
+        Curation.removeBoilerplateLines(seeded, "doc_id", "text", 50)
+          .agg(sum(col("n_lines") - col("n_kept"))).first().getLong(0))
+      t(s"shard_shuffle_$tag")(
+        Sampling.shardShuffle(docs, "doc_id", "ep0").count())
+      val nTitles = 5000L * k
+      val q = editQ(nTitles)
+      val titles = editCorpus(spark, nTitles)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      titles.count() // materialize outside the timing
+      t(s"edit_candidates_$tag")(
+        Dedup.editDistanceCandidates(titles, "id", "t", maxDist = 1, q = q).count())
+      t(s"edit_distance_$tag")(
+        Dedup.editDistancePairs(titles, "id", "t", maxDist = 1, q = q).count())
+      titles.unpersist()
+    }
+
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
               ivfK: Int, headlineOnly: Boolean, trainFraction: Double): Unit = {
       t(s"minhash_lsh_$tag")(
@@ -329,10 +393,20 @@ object ScaleProbe {
     Dedup.minHashNearDups(docs1, "doc_id", "text", 2, 128, 32, 0.1).count()
     spark.catalog.clearCache()
 
+    val onlyCur = probeOnly.contains("cur")
+    if (onlyCur) {
+      curationProbe("1x", 1, docs1)
+      ks.foreach { k =>
+        val (docsK, _) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
+        curationProbe(s"${k}x", k, docsK)
+      }
+      spark.stop(); return
+    }
     if (!onlyIncr && !onlyBloom) {
       probe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false, trainFraction = 1.0)
       prefixProbe("1x", 1)
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
+      curationProbe("1x", 1, docs1)
     }
     if (!onlyBloom) incrProbe("1x", docs1)
     if (!onlyIncr) bloomProbe("1x", docs1)
@@ -345,6 +419,7 @@ object ScaleProbe {
           trainFraction = math.min(1.0, 20000.0 / nVec))
         prefixProbe(s"${k}x", k)
         ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
+        curationProbe(s"${k}x", k, docsK)
       }
       if (!onlyBloom) incrProbe(s"${k}x", docsK)
       if (!onlyIncr) bloomProbe(s"${k}x", docsK)

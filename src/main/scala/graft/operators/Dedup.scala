@@ -766,6 +766,27 @@ object Dedup {
     * 1 <= distance <= maxDist pairs. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
                         maxDist: Int, q: Int = 2): DataFrame = {
+    val s = df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("str"), length(col(strCol)).as("len"))
+    val strs = s.select(col("id"), col("str"))
+    editDistanceCandidates(df, idCol, strCol, maxDist, q)
+      .join(strs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("str", "str_a"), "id_a")
+      .join(strs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("str", "str_b"), "id_b")
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** The candidate generator of [[editDistancePairs]] alone (deduped
+    * (id_a, id_b), before the levenshtein verify) — exposed so scale
+    * probes and CI gates can watch candidate-set cardinality, the
+    * deterministic blowup signal (same role as
+    * [[jaccardPrefixCandidates]]). */
+  private[graft] def editDistanceCandidates(df: DataFrame, idCol: String,
+                                            strCol: String, maxDist: Int,
+                                            q: Int = 2): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val minLong = (maxDist + 1) * q
@@ -831,16 +852,7 @@ object Dedup {
       .select(col("id").as("id_a"), col("b_id").as("id_b"))
       .distinct()
 
-    // verify: join strings back per candidate, one levenshtein each
-    val strs = s.select(col("id"), col("str"))
     candLong.union(candShort).distinct()
-      .join(strs.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("str", "str_a"), "id_a")
-      .join(strs.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("str", "str_b"), "id_b")
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
-      .filter(col("dist") >= 1 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** Positional character q-grams of a string as an array (0-based pos

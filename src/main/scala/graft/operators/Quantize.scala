@@ -175,4 +175,53 @@ object Quantize {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** IVF × PQ composite search — the standard large-scale ANN index
+    * layout (an IVFADC in the Jégou et al. terminology): the IVF coarse
+    * quantizer prunes the scan to `nprobe` of the k cells, the PQ ADC
+    * ranks ONLY those cells' codes (m array reads per row), and the
+    * exact re-rank touches embeddings for `shortlist` rows.
+    *
+    * Cost at 100 TB, multiplicatively: partition pruning cuts the scan to
+    * ~nprobe/k of the corpus (with the cell-partitioned layout of
+    * [[graft.catalog.Layout.ivfPartition]] and `trustCellColumn = true` —
+    * the filter lands on the partition column, same plan contract
+    * LayoutSpec asserts for the exact IVF probe), PQ cuts the scanned
+    * bytes per row to ~m + id (codes stored at ingest), and the only
+    * full-width vector reads are the shortlist join. Approximation is
+    * two-layered (cell recall × shortlist recall) — both knobs widen
+    * toward exactness, and the gate query measures the composite's
+    * overlap against the brute-force answer while asserting emitted sims
+    * are the exact decimal cosine (the re-rank contract). */
+  def ivfPqTopKForVector(df: DataFrame, idCol: String, embCol: String,
+                         query: Seq[Double], k: Int,
+                         centroids: Seq[Seq[Double]], nprobe: Int,
+                         codebooks: Seq[Seq[Seq[Double]]], shortlist: Int,
+                         trustCellColumn: Boolean = false): DataFrame = {
+    import graft.operators.Similarity
+    val probed = Similarity.probedCells(query, centroids, nprobe)
+    require(!trustCellColumn || df.columns.contains("cell"),
+      "trustCellColumn requires a `cell` column (see Layout.ivfPartition)")
+    val withCell =
+      if (trustCellColumn) df.select(col(idCol), col(embCol).as("emb"), col("cell"))
+      else df.select(col(idCol), col(embCol).as("emb"),
+        element_at(graft.functions.ivfAssign(col(embCol), centroids, 1), 1)
+          .as("cell"))
+    val cells = withCell.filter(col("cell").isin(probed: _*))
+    val ksub = codebooks.head.length
+    val lut = adcLut(query, codebooks)
+    val short = cells
+      .select(col(idCol),
+        pqAdc(pqEncode(col("emb").cast("array<double>"), codebooks), lut, ksub)
+          .as("adc"))
+      .orderBy(col("adc").desc, col(idCol))
+      .limit(shortlist)
+      .select(col(idCol))
+    cells.join(short, Seq(idCol), "left_semi")
+      .select(col(idCol),
+        cosineSim(col("emb"), typedLit(query))
+          .cast(DecimalType(9, 4)).cast("double").as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
 }

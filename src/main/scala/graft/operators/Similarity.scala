@@ -412,19 +412,28 @@ object Similarity {
     * becomes partition pruning and the scan touches only nprobe/k of the
     * data; unpartitioned, it is still a full scan but with candidate
     * ranking bounded to the probed cells. */
+  /** Driver-side query-to-cell assignment: the nprobe nearest centroids
+    * by cosine (normalized query · centroid), deterministic tie-break by
+    * cell id. Microseconds of driver math — k×dim products. */
+  private[operators] def probedCells(queryVec: Seq[Double],
+                                     centroids: Seq[Seq[Double]],
+                                     nprobe: Int): Seq[Int] = {
+    val qn = {
+      val n = math.sqrt(queryVec.map(x => x * x).sum)
+      if (n == 0) queryVec else queryVec.map(_ / n)
+    }
+    centroids.zipWithIndex
+      .map { case (c, i) => (i, c.zip(qn).map { case (x, y) => x * y }.sum) }
+      .sortBy { case (i, d) => (-d, i) }
+      .take(nprobe).map(_._1)
+  }
+
   def topKForVectorIvf(df: DataFrame, idCol: String, embCol: String,
                        queryVec: Seq[Double], k: Int,
                        centroids: Seq[Seq[Double]], nprobe: Int,
                        assignReplicas: Int = 1,
                        trustCellColumn: Boolean = false): DataFrame = {
-    val qn = {
-      val n = math.sqrt(queryVec.map(x => x * x).sum)
-      if (n == 0) queryVec else queryVec.map(_ / n)
-    }
-    val probed = centroids.zipWithIndex
-      .map { case (c, i) => (i, c.zip(qn).map { case (x, y) => x * y }.sum) }
-      .sortBy { case (i, d) => (-d, i) }
-      .take(nprobe).map(_._1)
+    val probed = probedCells(queryVec, centroids, nprobe)
     val qv = typedLit(queryVec)
     // assignReplicas > 1 = the standard IVF replication tradeoff: each
     // vector is indexed under its top-R cells, costing R× storage/scan in

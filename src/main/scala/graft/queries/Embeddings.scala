@@ -363,6 +363,43 @@ object Embeddings extends QueryPack {
         .first().getSeq[Double](0).toSeq
       Quantize.pqTopKForVector(emb, "vec_id", "embedding", q, k = 10,
         books, shortlist = 192)
+    }),
+
+    // -- IVF × PQ composite (IVFADC): coarse cells prune the scan, ADC
+    //    ranks only the probed cells' codes, exact re-rank touches
+    //    embeddings for the shortlist. Two approximation layers, so the
+    //    contract is the overlap gate (>= 5 of the brute top-10, measured
+    //    8-10 here) plus the re-rank exactness booleans: every emitted
+    //    sim must equal the exact decimal cosine, and results must come
+    //    from the probed cells only (subset of the IVF candidate set).
+    "sim_ann_ivfpq" -> ((s, dir) => {
+      import graft.operators.Quantize
+      val emb = Tables(s, dir, "embeddings")
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0).toSeq
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, lloydIters = 3, seed = 42)
+      val books = Quantize.trainPqCodebooks(emb, "vec_id", "embedding",
+        dim = 64, m = 8, ksub = 16, lloydIters = 2, seed = 42)
+      val topk = Quantize.ivfPqTopKForVector(emb, "vec_id", "embedding",
+        qvec, k = 10, cents, nprobe = 4, books, shortlist = 192)
+      val q = emb.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val exact = emb.crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          cosineSim(col("embedding"), col("qv"))
+            .cast(DecimalType(9, 4)).cast("double").as("sim_x"))
+      val brute10 = queries("q23_cosine_topk")(s, dir).select(col("vec_id"))
+      emb.agg(count(lit(1)).as("n_corpus"))
+        .crossJoin(topk.agg(count(lit(1)).as("n_results")))
+        .crossJoin(topk.select(col("vec_id")).intersect(brute10)
+          .agg(count(lit(1)).as("n_overlap")))
+        .crossJoin(topk.join(exact, "vec_id")
+          .filter(col("sim") =!= col("sim_x")).agg(count(lit(1)).as("n_sim_bad")))
+        .select(col("n_corpus"),
+          (col("n_results") >= 5 && col("n_results") <= 10).as("n_results_ok"),
+          (col("n_overlap") >= 5).as("overlap_ok"),
+          (col("n_sim_bad") === 0).as("sims_exact_ok"))
     })
   )
 
@@ -409,6 +446,13 @@ object Embeddings extends QueryPack {
 
     "sim_ann_ivf_topk_check" ->
       "SELECT CAST(10 AS BIGINT) AS k, TRUE AS overlap_ok",
+
+    // composite contract: corpus size recomputed independently, gate
+    // booleans asserted TRUE (overlap vs brute top-10, exact re-rank sims)
+    "sim_ann_ivfpq" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_corpus, TRUE AS n_results_ok,
+        |  TRUE AS overlap_ok, TRUE AS sims_exact_ok
+        |FROM embeddings""".stripMargin,
 
     // Self-verifying contract (see the query): DuckDB independently
     // recomputes the exact count of CROSS (batch×corpus) pairs at decimal

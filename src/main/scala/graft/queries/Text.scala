@@ -524,9 +524,14 @@ object Text extends QueryPack {
     "text_c4_rules" -> ((s, dir) => {
       val toks = tokens(col("text"))
       val nch = floor((size(toks) + lit(7)) / lit(8)).cast("int")
-      val sent = transform(sequence(lit(0), greatest(nch - 1, lit(0))), i =>
-        concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
-          when(i % 3 === 0, ".").when(i % 3 === 1, "!").otherwise("?")))
+      // empty-doc guard: sequence(0, -1) is a DESCENDING Spark sequence
+      // (two elements!) while DuckDB's range(0) is empty — a zero-token
+      // document must produce zero sentence lines on both engines
+      val sent = when(nch > 0,
+        transform(sequence(lit(0), greatest(nch - 1, lit(0))), i =>
+          concat(array_join(slice(toks, i * 8 + 1, lit(8)), " "),
+            when(i % 3 === 0, ".").when(i % 3 === 1, "!").otherwise("?"))))
+        .otherwise(array().cast("array<string>"))
       val seeded = concat(array_join(sent, "\n"),
         lit("\nshort line."),
         when(col("doc_id") % 41 === 0, lit("\nlorem ipsum dolor sit amet."))
@@ -632,7 +637,12 @@ object Text extends QueryPack {
     //    the blocking must be invisible in the result, which makes this
     //    the recall proof for the q-gram candidate generator.
     "dedup_edit_distance" -> ((s, dir) => {
+      // even ids only: the synthetic titles draw on a ~40-word vocabulary
+      // (the operator's documented low-entropy adversarial regime — see
+      // SCALE.md), so the GATE runs on a half-corpus to keep its cost
+      // gate-sized; recall is regime-independent (pigeonhole)
       val reps = Tables(s, dir, "documents")
+        .filter(col("doc_id") % 2 === 0)
         .select(col("doc_id"),
           array_join(slice(tokens(col("text")), 1, 5), " ").as("t"))
         .groupBy(col("t")).agg(min(col("doc_id")).as("id"))
@@ -640,7 +650,11 @@ object Text extends QueryPack {
         .select((col("id") + 1000000L).as("id"),
           concat(lit("x"), expr("substring(t, 2)")).as("t"))
       val corpus = reps.select(col("id"), col("t")).union(variants)
-      Dedup.editDistancePairs(corpus, "id", "t", maxDist = 2, q = 2)
+      // d=1 (the planted variants' distance), q=3: the titles draw on the
+      // synthetic corpus' small word vocabulary, so 2-grams are hot and
+      // q must be sized to the alphabet's entropy (the ScaleProbe.editQ
+      // finding — measured 10.9 s at q=2/d=2 vs ~2 s here at sf0.1)
+      Dedup.editDistancePairs(corpus, "id", "t", maxDist = 1, q = 3)
         .orderBy(col("id_a"), col("id_b"))
     })
   )
@@ -978,7 +992,8 @@ object Text extends QueryPack {
     // blocking must reproduce it exactly
     "dedup_edit_distance" ->
       """WITH tk AS (SELECT doc_id,
-        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
+        |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents WHERE doc_id % 2 = 0),
         |base AS (SELECT doc_id, array_to_string(t[1:5], ' ') AS s FROM tk),
         |reps AS (SELECT MIN(doc_id) AS id, s FROM base GROUP BY s),
         |var AS (SELECT id + 1000000 AS id, 'x' || substr(s, 2) AS s
@@ -987,7 +1002,7 @@ object Text extends QueryPack {
         |SELECT a.id AS id_a, b.id AS id_b,
         |  CAST(levenshtein(a.s, b.s) AS BIGINT) AS dist
         |FROM c a JOIN c b ON a.id < b.id
-        |WHERE levenshtein(a.s, b.s) BETWEEN 1 AND 2
+        |WHERE levenshtein(a.s, b.s) = 1
         |ORDER BY id_a, id_b""".stripMargin,
 
     "text_shard_shuffle" ->

@@ -129,5 +129,28 @@ class QuantizeSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     val overlap = pqShort.intersect(brute.map(_._1).toSet).size
     assert(overlap >= 3, s"shortlist-60 recall $overlap/5 too low")
+
+    // IVF x PQ composite collapse: probing ALL cells makes the cell
+    // filter a no-op, so the composite must EQUAL plain PQ search with
+    // the same shortlist — the two approximation layers compose without
+    // interference
+    val cents = Similarity.trainIvfCentroids(embDf, "vec_id", "embedding",
+      k = 4, lloydIters = 2, seed = 7)
+    val ivfpqAll = Quantize.ivfPqTopKForVector(embDf, "vec_id", "embedding",
+        query, k = 5, cents, nprobe = 4, b1, shortlist = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(ivfpqAll == brute,
+      s"all-cells composite $ivfpqAll != brute $brute")
+    // pruned probe keeps the contract meaningful: results only from
+    // probed cells, sims still the exact decimal cosine
+    val ivfpq1 = Quantize.ivfPqTopKForVector(embDf, "vec_id", "embedding",
+        query, k = 5, cents, nprobe = 1, b1, shortlist = 300)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    val bruteMap = Similarity.topKForVector(embDf, "vec_id", "embedding",
+        query, k = 300).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ivfpq1.foreach { case (id, sim) =>
+      assert(math.abs(bruteMap(id) - sim) < 1e-9,
+        s"composite sim for $id is not the exact cosine")
+    }
   }
 }
