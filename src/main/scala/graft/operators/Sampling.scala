@@ -144,11 +144,16 @@ object Sampling {
     * without replacement, so it keeps the source whole instead —
     * upsampling-with-repeats is a separate concern for the data loader).
     * Selection within a source is the same stable pseudo-random draw as
-    * [[quotaCap]] (`md5(source || ':' || id)` rank), so the subset is
-    * reproducible across engines, reruns and partitionings, and the
-    * rank-filter compiles to the same map-side WindowGroupLimit shape —
-    * the shuffle ships O(tasks x quota) rows per source, not the source.
-    */
+    * [[quotaCap]] (`md5(source || ':' || id)` rank), reproducible across
+    * engines, reruns and partitionings. The rank filter is TWO stacked
+    * predicates: `rn <= max(quota)` — a LITERAL bound, which is what
+    * InferWindowGroupLimit requires to install the partial map-side
+    * WindowGroupLimit (a per-source column bound does not qualify; this
+    * was measured, not assumed) — then the exact per-source
+    * `rn <= quota(source)` trim. The shuffle therefore ships
+    * O(tasks x max-quota) rows per source, never a hot source's full
+    * contents, and the residual filter only discards inside the already-
+    * capped stream (SamplingSpec plan-asserts the partial+final pair). */
   def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
                      alpha: Double, targetTotal: Long): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
@@ -167,7 +172,9 @@ object Sampling {
     val key = md5(concat(col(srcCol).cast("string"), lit(":"),
       col(idCol).cast("string")))
     val w = Window.partitionBy(col(srcCol)).orderBy(key.asc, col(idCol).asc)
+    val maxQuota = if (quota.isEmpty) 1L else quota.values.max
     df.withColumn("__tm_rn", row_number().over(w))
+      .filter(col("__tm_rn") <= lit(maxQuota))
       .filter(col("__tm_rn") <= quotaCol)
       .drop("__tm_rn")
   }

@@ -188,6 +188,49 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
 
+  test("IVF x PQ composite probe against the cell layout is partition-pruned") {
+    import graft.operators.{Quantize, Similarity}
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 4, lloydIters = 2, seed = 42)
+    val books = Quantize.trainPqCodebooks(emb, "vec_id", "embedding",
+      dim = 64, m = 8, ksub = 16, lloydIters = 2, seed = 42)
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0).toSeq
+    try {
+      Layout.ivfPartition(spark, dir, cents, "embeddings_ivfpq")
+      val topk = Quantize.ivfPqTopKForVector(spark.table("embeddings_ivfpq"),
+        "vec_id", "embedding", qvec, k = 10, cents, nprobe = 2, books,
+        shortlist = 64, trustCellColumn = true)
+      // both scans in the composite (ADC shortlist + exact re-rank) read
+      // the layout through the cell partition filter — no full-corpus scan
+      val plan = topk.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"composite probe must prune partitions:\n$plan")
+      // the AQE wrapper hides FileSourceScanExec nodes from collect, so
+      // assert on the rendered plan: EVERY scan of the layout (ADC
+      // shortlist + exact re-rank) must carry the cell partition filter
+      val scanLines = plan.linesIterator
+        .filter(_.contains("FileScan parquet")).toSeq
+      assert(scanLines.nonEmpty, s"expected layout file scans:\n$plan")
+      scanLines.foreach { l =>
+        assert(l.contains("PartitionFilters: [cell"),
+          s"every layout scan must carry the cell filter:\n$l")
+      }
+      // and the answer still honors the exact-re-rank contract: sims are
+      // the exact decimal cosine of the emitted ids
+      val got = topk.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val exact = Similarity.topKForVector(emb, "vec_id", "embedding",
+          qvec, k = emb.count().toInt)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      got.foreach { case (id, sim) =>
+        assert(math.abs(exact(id) - sim) < 1e-9, s"sim for $id not exact")
+      }
+    } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivfpq")
+  }
+
   test("registerMinhashIndex re-attaches index files from a previous session, still co-located") {
     import graft.operators.Dedup
     val dir = "/root/testdata/sf0.01"

@@ -190,6 +190,14 @@ class SamplingSpec extends SparkSpec {
     val again = Sampling.temperatureMix(rows.repartition(13), "id", "src",
       alpha = 0.5, targetTotal = 300).collect().map(_.getLong(0)).sorted.toSeq
     assert(again == mixed.collect().map(_.getLong(0)).sorted.toSeq)
+    // the literal max-quota pre-filter must install the partial+final
+    // map-side group cap (a per-source column bound alone does NOT
+    // qualify for InferWindowGroupLimit — measured, which is why the
+    // operator stacks a literal bound under the exact trim)
+    val physical = mixed.queryExecution.executedPlan.toString
+    val nodes = "WindowGroupLimit".r.findAllIn(physical).size
+    assert(nodes >= 2,
+      s"expected partial AND final WindowGroupLimitExec, found $nodes:\n$physical")
   }
 
   test("shardShuffle is a stable permutation: 256 shards, dense positions, seed-dependent") {
