@@ -2,6 +2,9 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.tokens
 
 /** Corpus-level document curation: the cleaning passes that need to see
   * MORE than one document at a time (unlike the per-row Gopher/C4 rule
@@ -74,5 +77,121 @@ object Curation {
       .select(id, col("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Join term-level stats `tf` with the per-term relation `dfRel`,
+    * broadcasting only under a MEASURED vocabulary bound — the
+    * measure-then-route pattern of `Dedup.jaccardPairs` (VERDICT_r05
+    * next-round #2). The relation is persisted first, so the routing
+    * count is one cheap pass over the (vocab-sized) aggregate the query
+    * needs anyway; storage is reclaimed by `spark.catalog.clearCache()`
+    * or session end. Shared by tfidf/bm25 (queries.Text forwards here)
+    * and [[unigramLogProb]]. */
+  private[graft] def idfJoinVocabGated(tf: DataFrame, dfRel: DataFrame,
+                                       maxBroadcastVocab: Long): DataFrame = {
+    val dfp = dfRel.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vocab = dfp.count()
+    if (vocab <= maxBroadcastVocab) tf.join(broadcast(dfp), "term")
+    else tf.join(dfp, "term")
+  }
+
+  /** The Gopher required-stopword list (Rae et al. 2021, appendix A). */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Append the Gopher quality-rule metrics (Rae et al. 2021, appendix A)
+    * and the combined `passes` verdict to every row: word-count bounds,
+    * mean word length, symbol-to-word ratio (# / ellipsis), bullet- and
+    * ellipsis-line ratios, alpha-word ratio, required-stopword hits.
+    * Entirely per-row codegen'd higher-order functions — zero shuffle,
+    * scan speed at any corpus size. `passes` derives from the ROUNDED
+    * metrics so rule outcomes are bit-identical cross-engine (this IS the
+    * `text_gopher_rules` contract body; the query delegates here). An
+    * empty document (zero tokens) yields NULL ratios and a NULL verdict —
+    * identical in Spark and any SQL engine with NULL-on-zero-divide. */
+  def withGopherMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val toks = tokens(text)
+    val n = size(toks).cast("long")
+    val nd = n.cast("double")
+    val meanLen = round(
+      aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
+        .cast("double") / nd, 4)
+    val symRatio = round(
+      ((length(text) - length(regexp_replace(text, "#", ""))) +
+        (length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / lit(3))
+        .cast("double") / nd, 4)
+    val lines = split(text, "\n")
+    val nl = size(lines).cast("double")
+    val bulletRatio = round(size(filter(lines, l =>
+      substring(trim(l), 1, 1).isin("-", "*"))).cast("double") / nl, 4)
+    val ellipsisRatio = round(size(filter(lines, l =>
+      endswith(rtrim(l), lit("...")))).cast("double") / nl, 4)
+    val alphaRatio = round(size(filter(toks, t =>
+      t.rlike("[A-Za-z]"))).cast("double") / nd, 4)
+    val stopHits = size(filter(
+      array(gopherStops.map(lit): _*), sw => array_contains(toks, sw)))
+      .cast("long")
+    df.withColumn("n_words", n)
+      .withColumn("mean_word_len", meanLen)
+      .withColumn("symbol_ratio", symRatio)
+      .withColumn("bullet_ratio", bulletRatio)
+      .withColumn("ellipsis_ratio", ellipsisRatio)
+      .withColumn("alpha_word_ratio", alphaRatio)
+      .withColumn("stop_hits", stopHits)
+      .withColumn("passes",
+        col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          (col("symbol_ratio") < 0.1) && (col("bullet_ratio") < 0.9) &&
+          (col("ellipsis_ratio") < 0.3) && (col("alpha_word_ratio") > 0.8) &&
+          (col("stop_hits") >= 2L))
+  }
+
+  /** Append the C4 cleaning-rule outcome (Raffel et al. 2020 §2.2) to
+    * every row: line retention (terminal punctuation + >= 5 words),
+    * `clean_text` (retained lines, original order/bytes), the lorem-
+    * ipsum / curly-brace page flags, and the `keep_doc` verdict
+    * (>= 3 surviving lines, no policy flags). Pure per-row expression
+    * work (this IS the `text_c4_rules` rule body; the query adds its
+    * deterministic corpus seeding and fingerprints the clean text). */
+  def withC4Rules(df: DataFrame, textCol: String): DataFrame = {
+    val text = col(textCol)
+    val lines = split(text, "\n")
+    val kept = filter(lines, l =>
+      substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
+        size(tokens(l)) >= 5)
+    df.withColumn("n_lines", size(lines).cast("long"))
+      .withColumn("n_kept_lines", size(kept).cast("long"))
+      .withColumn("clean_text", array_join(kept, "\n"))
+      .withColumn("has_lorem", lower(text).contains("lorem ipsum"))
+      .withColumn("has_brace", text.contains("{"))
+      .withColumn("keep_doc",
+        col("n_kept_lines") >= 3L && !col("has_lorem") && !col("has_brace"))
+  }
+
+  /** Per-document mean corpus log-probability (the CCNet perplexity-
+    * bucket proxy): a unigram LM fit on the corpus itself scores every
+    * document by the mean ln p(token). Per-token logp is quantized to
+    * DECIMAL(12,6) BEFORE the per-doc sum, so the aggregate is order-
+    * independent and bit-identical across engines; the term join uses
+    * the MEASURED vocab-gated broadcast route shared with tfidf/bm25
+    * (a 100 TB vocabulary falls back to a term-keyed shuffle join).
+    * Output: (id, n_tokens, mean_logp), documents with zero tokens
+    * absent (no token rows — inner-join semantics on both engines). */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                     maxBroadcastVocab: Long): DataFrame = {
+    val toks = docs.select(col(idCol), explode(tokens(lower(col(textCol))))
+      .as("term"))
+    val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val nTot = vocab.agg(sum(col("c")).as("n_total"))
+    val lp = vocab.crossJoin(broadcast(nTot))
+      .select(col("term"),
+        round(log(col("c").cast("double") / col("n_total")), 6)
+          .cast(DecimalType(12, 6)).as("logp"))
+    idfJoinVocabGated(toks, lp, maxBroadcastVocab)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("slp"))
+      .select(col(idCol), col("n_tokens"),
+        round(col("slp").cast("double") / col("n_tokens"), 4).as("mean_logp"))
   }
 }

@@ -47,22 +47,13 @@ object Text extends QueryPack {
     * keyed on `term`, which is the correct plan at scale. */
   private[graft] val MaxBroadcastVocab: Long = 1L << 20
 
-  /** Join term-level stats `tf` with the document-frequency relation
-    * `dfRel`, broadcasting only under a MEASURED vocabulary bound —
-    * the same measure-then-route pattern as Dedup.jaccardPairs. The df
-    * relation is persisted first, so the routing count is one cheap pass
-    * over the (vocab-sized) aggregate the query needs anyway, not an
-    * extra scan of the corpus; the count itself is the aggregation's
-    * output cardinality. Storage is reclaimed by
-    * `spark.catalog.clearCache()` (Bench does this between queries) or
-    * session end. */
+  /** Measured vocab-gated term join — moved to
+    * [[graft.operators.Curation.idfJoinVocabGated]] (shared with the
+    * unigram-LM scorer); kept as a forwarder for the ranking queries and
+    * their routing spec. */
   private[graft] def idfJoinVocabGated(tf: DataFrame, dfRel: DataFrame,
-                                       maxBroadcastVocab: Long): DataFrame = {
-    val dfp = dfRel.persist(StorageLevel.MEMORY_AND_DISK)
-    val vocab = dfp.count()
-    if (vocab <= maxBroadcastVocab) tf.join(broadcast(dfp), "term")
-    else tf.join(dfp, "term")
-  }
+                                       maxBroadcastVocab: Long): DataFrame =
+    graft.operators.Curation.idfJoinVocabGated(tf, dfRel, maxBroadcastVocab)
 
   /** TF-IDF top-20 (doc, term) scores — the `text_tfidf` query body,
     * parameterized on the broadcast gate so the routing spec can force
@@ -474,38 +465,10 @@ object Text extends QueryPack {
     //    speed on any corpus size. `passes` is derived from the ROUNDED
     //    metrics so the rule outcomes are bit-identical cross-engine.
     "text_gopher_rules" -> ((s, dir) => {
-      val toks = tokens(col("text"))
-      val n = size(toks).cast("long")
-      val nd = n.cast("double")
-      val meanLen = round(
-        aggregate(toks, lit(0L), (acc, t) => acc + length(t).cast("long"))
-          .cast("double") / nd, 4)
-      val symRatio = round(
-        ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
-          (length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / lit(3))
-          .cast("double") / nd, 4)
-      val lines = split(col("text"), "\n")
-      val nl = size(lines).cast("double")
-      val bulletRatio = round(size(filter(lines, l =>
-        substring(trim(l), 1, 1).isin("-", "*"))).cast("double") / nl, 4)
-      val ellipsisRatio = round(size(filter(lines, l =>
-        endswith(rtrim(l), lit("...")))).cast("double") / nl, 4)
-      val alphaRatio = round(size(filter(toks, t =>
-        t.rlike("[A-Za-z]"))).cast("double") / nd, 4)
-      val gopherStops = Seq("the", "be", "to", "of", "and", "that", "have", "with")
-      val stopHits = size(filter(
-        array(gopherStops.map(lit): _*), sw => array_contains(toks, sw))).cast("long")
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), n.as("n_words"), meanLen.as("mean_word_len"),
-          symRatio.as("symbol_ratio"), bulletRatio.as("bullet_ratio"),
-          ellipsisRatio.as("ellipsis_ratio"), alphaRatio.as("alpha_word_ratio"),
-          stopHits.as("stop_hits"))
-        .withColumn("passes",
-          col("n_words").between(50L, 100000L) &&
-            col("mean_word_len").between(3.0, 10.0) &&
-            (col("symbol_ratio") < 0.1) && (col("bullet_ratio") < 0.9) &&
-            (col("ellipsis_ratio") < 0.3) && (col("alpha_word_ratio") > 0.8) &&
-            (col("stop_hits") >= 2L))
+      import graft.operators.Curation
+      Curation.withGopherMetrics(
+          Tables(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+        .drop("text")
         .orderBy(col("doc_id"))
     }),
 
@@ -538,20 +501,13 @@ object Text extends QueryPack {
           .otherwise(lit("")),
         when(col("doc_id") % 37 === 0, lit("\nconfig { debug } done here now."))
           .otherwise(lit("")))
-      val lines = split(col("seeded"), "\n")
-      val kept = filter(lines, l =>
-        substring(rtrim(l), -1, 1).isin(".", "!", "?", "\"") &&
-          size(tokens(l)) >= 5)
-      Tables(s, dir, "documents")
-        .select(col("doc_id"), seeded.as("seeded"))
-        .select(col("doc_id"),
-          size(lines).cast("long").as("n_lines"),
-          size(kept).cast("long").as("n_kept_lines"),
-          md5(array_join(kept, "\n")).as("clean_fp"),
-          lower(col("seeded")).contains("lorem ipsum").as("has_lorem"),
-          col("seeded").contains("{").as("has_brace"))
-        .withColumn("keep_doc",
-          col("n_kept_lines") >= 3L && !col("has_lorem") && !col("has_brace"))
+      import graft.operators.Curation
+      Curation.withC4Rules(
+          Tables(s, dir, "documents").select(col("doc_id"), seeded.as("seeded")),
+          "seeded")
+        .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
+          md5(col("clean_text")).as("clean_fp"),
+          col("has_lorem"), col("has_brace"), col("keep_doc"))
         .orderBy(col("doc_id"))
     }),
 
@@ -589,19 +545,9 @@ object Text extends QueryPack {
     //    order-independent and bit-identical cross-engine (QueryPack
     //    policy); the 1-row total joins via scalar broadcast fold.
     "text_unigram_lm" -> ((s, dir) => {
-      val toks = Tables(s, dir, "documents")
-        .select(col("doc_id"), explode(tokens(lower(col("text")))).as("term"))
-      val vocab = toks.groupBy(col("term")).agg(count(lit(1)).as("c"))
-      val nTot = vocab.agg(sum(col("c")).as("n_total"))
-      val lp = vocab.crossJoin(broadcast(nTot))
-        .select(col("term"),
-          round(log(col("c").cast("double") / col("n_total")), 6)
-            .cast(DecimalType(12, 6)).as("logp"))
-      idfJoinVocabGated(toks, lp, MaxBroadcastVocab)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tokens"), sum(col("logp")).as("slp"))
-        .select(col("doc_id"), col("n_tokens"),
-          round(col("slp").cast("double") / col("n_tokens"), 4).as("mean_logp"))
+      import graft.operators.Curation
+      Curation.unigramLogProb(Tables(s, dir, "documents"), "doc_id", "text",
+          MaxBroadcastVocab)
         .orderBy(col("doc_id"))
     }),
 
