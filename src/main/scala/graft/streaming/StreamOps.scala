@@ -137,4 +137,48 @@ object StreamOps {
           shingleN, numHashes, bands, buckets, tableName)
       } finally batch.unpersist()
     }
+
+  /** The full streaming CURATION loop: per micro-batch, (1) quality-gate
+    * the batch with any per-row filter (e.g. `Curation.withGopherMetrics`
+    * + a `passes` filter, or a C4 `keep_doc` filter), (2) dedup the
+    * survivors against the standing index — the original corpus plus
+    * every earlier batch's KEPT documents — and (3) fold only this
+    * batch's kept survivors (quality-passed, not near-dups) into the
+    * index, so later batches dedup against exactly the corpus the
+    * curation has accepted so far. Rejected documents never enter the
+    * index: a later copy of a rejected document is NOT a duplicate (its
+    * original was never admitted), which is the semantic a training-
+    * corpus intake wants.
+    *
+    * `onBatch` receives (kept survivors, duplicate pairs, batchId). Both
+    * frames are eagerly materialized (localCheckpoint) BEFORE the index
+    * append: they are computed by reading the index tables, and deferring
+    * their evaluation past the append would silently re-read the grown
+    * index (self-referential table read — the same reason the gate
+    * queries checkpoint their pair sets). Same idempotency note as
+    * [[dedupStreamAgainstIndex]] for batch replays. */
+  def curateStreamAgainstIndex(docs: DataFrame,
+                               spark: org.apache.spark.sql.SparkSession,
+                               tableName: String, idCol: String, textCol: String,
+                               shingleN: Int = 2, numHashes: Int = 32,
+                               bands: Int = 8, buckets: Int = 8,
+                               estThreshold: Double = 0.3)
+                              (qualityFilter: DataFrame => DataFrame)
+                              (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      val q = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
+      try {
+        val pairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
+            q, spark, tableName, idCol, textCol, shingleN, numHashes,
+            bands, estThreshold)
+          .localCheckpoint(true)
+        val kept = q.join(
+            pairs.select(col("batch_id").as(idCol)).distinct(), Seq(idCol),
+            "left_anti")
+          .localCheckpoint(true)
+        onBatch(kept, pairs, id)
+        graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
+          shingleN, numHashes, bands, buckets, tableName)
+      } finally q.unpersist()
+    }
 }

@@ -66,4 +66,53 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally
       Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
   }
+
+  test("curation loop: quality-gate, dedup survivors, fold ONLY kept docs into the index") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0L until 10L).map(i => (i, sentence(i.toInt))).toDF("doc_id", "text")
+    val table = "mh_curate_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    val kept = mutable.Map[Long, Set[Long]]()
+    val dups = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, buckets = 4,
+      estThreshold = 0.5) { df =>
+      df.filter(!col("text").contains("junk")) // the per-row quality gate
+    } { (k, pairs, id) =>
+      kept(id) = k.collect().map(_.getLong(0)).toSet
+      dups(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 4, table)
+      val q = writer.start()
+      try {
+        // batch 0: a low-quality doc, a dup of corpus doc 3, a novel doc
+        in.addData((100L, "junk junk junk spam"), (101L, sentence(3)),
+          (102L, sentence(70)))
+        q.processAllAvailable()
+        // batch 1: a copy of the REJECTED junk doc (must NOT be a dup —
+        // its original was never admitted, and it fails the gate itself),
+        // a copy of batch-0's duplicate doc 101 (matches corpus 3, not
+        // 101 — 101 was never folded in), a copy of batch-0's KEPT novel
+        // doc (caught — 102 was folded in)
+        in.addData((200L, "junk junk junk spam"), (201L, sentence(3)),
+          (202L, sentence(70)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(kept(0L) == Set(102L), s"batch 0 kept ${kept(0L)}")
+      assert(dups(0L) == Set((101L, 3L)))
+      assert(kept(1L) == Set.empty, s"batch 1 kept ${kept(1L)}")
+      // 201 pairs with corpus 3 ONLY (101 was rejected as a dup and not
+      // folded); 202 pairs with the admitted 102; 200 pairs with nothing
+      assert(dups(1L) == Set((201L, 3L), (202L, 102L)))
+      // index = corpus + the single admitted document
+      assert(sp.table(s"${table}_sigs").count() == 11L)
+    } finally
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
 }
