@@ -733,6 +733,37 @@ object Dedup {
     df.join(drop, df(idCol) === drop("id"), "left_anti")
   }
 
+  /** Quality-aware canonical selection: keep the BEST-quality member of
+    * each near-dup group instead of [[dedupCorpus]]'s min-id — what a
+    * production pipeline actually wants (when a boilerplate-laden copy
+    * and a clean copy of a page near-dup, keep the clean one). Keeper =
+    * arg-max of (quality, then min id as the deterministic tiebreak)
+    * within each connected component of the pair graph.
+    *
+    * Shape: components as in [[dedupCorpus]], then ONE hash aggregation
+    * per component (`max_by` with a partial map-side combine — no window,
+    * so a pathological million-member dup group costs a k-row agg state,
+    * not a sorted partition), then the same duplicate-sized anti-join.
+    * Non-matched documents pass through untouched. */
+  def dedupCorpusByQuality(df: DataFrame, idCol: String, qualityCol: String,
+                           pairs: DataFrame, srcCol: String = "id_a",
+                           dstCol: String = "id_b",
+                           maxIter: Int = 20): DataFrame = {
+    val comps = connectedComponents(pairs, srcCol, dstCol, maxIter)
+    val members = df.select(col(idCol).cast("long").as("__id"),
+        col(qualityCol).as("__q"))
+      .join(comps, col("__id") === col("id"))
+    // arg-max by (quality DESC, id ASC): max_by over a struct orders
+    // lexicographically, so negate the id for the ascending tiebreak
+    val keepers = members.groupBy(col("component"))
+      .agg(max_by(col("__id"), struct(col("__q"), (-col("__id")).as("__nid")))
+        .as("keep_id"))
+    val drop = members.join(keepers, "component")
+      .filter(col("__id") =!= col("keep_id"))
+      .select(col("__id").as("drop_id"))
+    df.join(drop, df(idCol) === drop("drop_id"), "left_anti")
+  }
+
   /** Edit-distance near-dup pairs over DISTINCT strings: all (a, b) with
     * `levenshtein(a, b) <= maxDist` and a < b (by id) — the entity-
     * resolution matcher for short strings (titles, names, product labels).

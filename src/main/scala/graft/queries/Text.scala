@@ -574,6 +574,23 @@ object Text extends QueryPack {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // -- quality-aware canonical selection: within each connected near-dup
+    //    group (the exact ngram-jaccard pairs), keep the member with the
+    //    highest alpha-ratio quality score (min id tiebreak) — the
+    //    keep-the-clean-copy semantic of a production dedup, vs the
+    //    min-id keeper of dedup_exact/dedup_components. Oracle recomputes
+    //    components via a recursive CTE and the keeper via a window.
+    "dedup_keep_best" -> ((s, dir) => {
+      val q4 = round(
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double"), 4)
+      val docs = Tables(s, dir, "documents").select(col("doc_id"), q4.as("q"))
+      val pairs = queries("dedup_ngram_jaccard")(s, dir)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dedupCorpusByQuality(docs, "doc_id", "q", pairs)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- edit-distance near-dup pairs (q-gram blocked + exact levenshtein
     //    verify — [[graft.operators.Dedup.editDistancePairs]]) over a
     //    derived title relation: one representative per distinct 5-token
@@ -933,6 +950,42 @@ object Text extends QueryPack {
         |  FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
         |WHERE rn <= tgt ORDER BY doc_id""".stripMargin,
+
+    // same pair derivation as the dedup_ngram_jaccard oracle, components
+    // via recursive CTE (the dedup_components pattern), keeper = best
+    // quality then min id within each component
+    "dedup_keep_best" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, UNNEST(
+        |    CASE WHEN len(t) >= 2
+        |         THEN list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS sh
+        |  FROM toks),
+        |sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |p AS (SELECT id_a, id_b
+        |  FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
+        |  WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.2),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM ed
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.id),
+        |comp AS (SELECT id, MIN(r) AS component FROM reach GROUP BY id),
+        |q AS (SELECT doc_id,
+        |  ROUND(CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+        |        / LENGTH(text), 4) AS q FROM documents),
+        |drop AS (SELECT id FROM (
+        |  SELECT c.id, row_number() OVER (PARTITION BY c.component
+        |    ORDER BY q.q DESC, c.id ASC) AS rn
+        |  FROM comp c JOIN q ON q.doc_id = c.id) WHERE rn > 1)
+        |SELECT q.doc_id, q.q FROM q ANTI JOIN drop ON q.doc_id = drop.id
+        |ORDER BY q.doc_id""".stripMargin,
 
     // the naive quadratic join IS the contract; the engine's q-gram
     // blocking must reproduce it exactly

@@ -423,6 +423,23 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 1.0)))
   }
 
+  test("dedupCorpusByQuality keeps the best-quality member per group, min id on ties") {
+    val sp = spark
+    import sp.implicits._
+    // groups: {1,2,3} (2 has best quality), {4,5} (tie -> min id 4),
+    // 6 isolated (passes through), 7 isolated
+    val docs = Seq((1L, 0.1), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7),
+      (6L, 0.0), (7L, 1.0)).toDF("doc_id", "q")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("id_a", "id_b")
+    val kept = Dedup.dedupCorpusByQuality(docs, "doc_id", "q", pairs)
+      .collect().map(_.getLong(0)).toSet
+    assert(kept == Set(2L, 4L, 6L, 7L), kept.toString)
+    // degenerate: no pairs -> identity
+    val none = Dedup.dedupCorpusByQuality(docs, "doc_id", "q",
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))
+    assert(none.count() == 7L)
+  }
+
   private def bruteLevenshtein(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
       if (i == 0) j else if (j == 0) i else 0
