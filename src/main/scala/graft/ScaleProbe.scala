@@ -222,6 +222,23 @@ object ScaleProbe {
         Similarity.topKForVectorIvf(spark.table(table), "vec_id", "embedding",
           qv, k = 10, centroids = cents, nprobe = 3,
           trustCellColumn = true).count())
+      // the IVF × PQ composite against the same layout: codebook training
+      // is the one corpus-pass (timed separately, bounded by
+      // trainFraction); the probe itself reads nprobe pruned cells, ranks
+      // their codes, and re-ranks a shortlist — it should stay as flat as
+      // the exact probe above, with the ADC arithmetic a constant factor
+      import graft.operators.Quantize
+      var books: Seq[Seq[Seq[Double]]] = null
+      t(s"ivfpq_train_$tag") {
+        books = Quantize.trainPqCodebooks(emb, "vec_id", "embedding",
+          dim = 64, m = 8, ksub = 16, lloydIters = 2, seed = 42,
+          trainFraction = frac)
+        nVec
+      }
+      t(s"ivfpq_layout_probe_$tag")(
+        Quantize.ivfPqTopKForVector(spark.table(table), "vec_id", "embedding",
+          qv, k = 10, cents, nprobe = 3, books, shortlist = 128,
+          trustCellColumn = true).count())
     }
 
     /** The incremental-dedup story at scale: a FIXED daily batch (500
@@ -399,6 +416,15 @@ object ScaleProbe {
       ks.foreach { k =>
         val (docsK, _) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
         curationProbe(s"${k}x", k, docsK)
+      }
+      spark.stop(); return
+    }
+    val onlyLayout = probeOnly.contains("layout")
+    if (onlyLayout) {
+      ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
+      ks.foreach { k =>
+        shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
+        ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
       }
       spark.stop(); return
     }
