@@ -456,7 +456,8 @@ object Text extends QueryPack {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // -- the full Gopher quality-rule set (Rae et al. 2021, appendix A),
+    // -- the Gopher document-level quality rules (Rae et al. 2021,
+    //    appendix A; the repetition tier is text_repetition),
     //    the standard pretraining document filter: word-count bounds, mean
     //    word length, symbol-to-word ratio (# / ellipsis), bullet- and
     //    ellipsis-line ratios, alpha-word ratio, required-stopword hits.
