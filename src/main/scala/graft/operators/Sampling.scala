@@ -1,7 +1,8 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Deterministic, engine-portable sampling and splitting for training
   * corpora.
@@ -39,6 +40,55 @@ object Sampling {
     if (v >= 0x10000L) "g" else f"$v%04x"
   }
 
+  /** Above this many distinct keys, per-key constants are attached by a
+    * broadcast join instead of a `when`-chain expression. A chain of k
+    * branches is a k-deep expression tree: past a few hundred keys it
+    * blows codegen method/constant-pool limits long before data size
+    * matters (a per-DOMAIN mix has 100k+ groups). The threshold keeps
+    * the common tens-of-sources case a pure codegen'd projection. */
+  private[operators] val chainRouteMaxKeys = 256
+
+  /** Attach per-key constant columns (`fields`, valued from `values`) to
+    * rows, keyed on the STRING form of `keyCol`. Two routes, identical
+    * results (asserted in SamplingSpec):
+    *
+    *  - chain (k <= `chainMaxKeys`): one nested when-chain per field —
+    *    a pure projection, no join, fully codegen'd;
+    *  - join (k > `chainMaxKeys`): broadcast hash join against a k-row
+    *    literal frame — constant-pool-safe at 100k+ keys; the frame is
+    *    quota metadata (bytes per key), never corpus-sized.
+    *
+    * Rows whose key is NULL or absent from `values` get `defaults`
+    * (chain: the otherwise branch; join: left-join miss + coalesce). */
+  private def attachPerKey(df: DataFrame, keyCol: Column,
+                           values: Map[String, Seq[Any]],
+                           fields: Seq[StructField],
+                           defaults: Seq[Column],
+                           chainMaxKeys: Int): DataFrame = {
+    require(fields.length == defaults.length)
+    if (values.size <= chainMaxKeys) {
+      fields.zipWithIndex.foldLeft(df) { case (d, (f, i)) =>
+        val c = values.foldLeft(defaults(i).cast(f.dataType)) {
+          case (acc, (k, vs)) =>
+            when(keyCol.cast("string") === lit(k),
+              lit(vs(i)).cast(f.dataType)).otherwise(acc)
+        }
+        d.withColumn(f.name, c)
+      }
+    } else {
+      val spark = df.sparkSession
+      val schema = StructType(StructField("__pk_key", StringType) +: fields)
+      val rows = values.toSeq.map { case (k, vs) => Row.fromSeq(k +: vs) }
+      val lookup = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), schema)
+      val joined = df.join(broadcast(lookup),
+        keyCol.cast("string") === col("__pk_key"), "left")
+      fields.zipWithIndex.foldLeft(joined) { case (d, (f, i)) =>
+        d.withColumn(f.name, coalesce(col(f.name), defaults(i).cast(f.dataType)))
+      }.drop("__pk_key")
+    }
+  }
+
   /** Keep ~`fraction` of rows, decided by id hash — stable under
     * repartitioning, reruns and engines. */
   def stableSample(df: DataFrame, idCol: String, fraction: Double): DataFrame = {
@@ -63,19 +113,24 @@ object Sampling {
     * three-valued filter false) — identical to what `md5(stratum || ':'
     * || id)` yields in any SQL engine, so the behavior is deliberately
     * left engine-portable rather than special-cased; filter nulls first
-    * if they should be kept. */
+    * if they should be kept.
+    *
+    * Per-stratum boundaries attach via [[attachPerKey]]: a when-chain up
+    * to `chainMaxKeys` strata, a broadcast quota join beyond — both
+    * routes keep the operator a shuffle-free per-row filter. */
   def stableStratifiedSample(df: DataFrame, idCol: String, stratumCol: String,
                              fractions: Map[String, Double],
-                             defaultFraction: Double = 1.0): DataFrame = {
+                             defaultFraction: Double = 1.0,
+                             chainMaxKeys: Int = chainRouteMaxKeys): DataFrame = {
     (fractions.values.toSeq :+ defaultFraction).foreach(f =>
       require(f >= 0 && f <= 1, s"fraction $f out of [0,1]"))
     val b = bucket(concat(col(stratumCol).cast("string"), lit(":"),
       col(idCol).cast("string")))
-    val bound = fractions.foldLeft(lit(boundary(defaultFraction)): Column) {
-      case (acc, (s, f)) =>
-        when(col(stratumCol) === lit(s), lit(boundary(f))).otherwise(acc)
-    }
-    df.filter(b < bound)
+    val withBound = attachPerKey(df, col(stratumCol),
+      fractions.map { case (s, f) => s -> Seq[Any](boundary(f)) },
+      Seq(StructField("__ss_bound", StringType)),
+      Seq(lit(boundary(defaultFraction))), chainMaxKeys)
+    withBound.filter(b < col("__ss_bound")).drop("__ss_bound")
   }
 
   /** Cap every group at `n` rows, selected deterministically — the
@@ -129,20 +184,42 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Per-source md5-rank window shared by the mixing operators. */
+  private def sourceRank(idCol: String, srcCol: String): Column = {
+    import org.apache.spark.sql.expressions.Window
+    val key = md5(concat(col(srcCol).cast("string"), lit(":"),
+      col(idCol).cast("string")))
+    row_number().over(
+      Window.partitionBy(col(srcCol)).orderBy(key.asc, col(idCol).asc))
+  }
+
   /** Temperature-weighted source mixing — the standard multi-source
     * training-mix reweighter (the `p_i^alpha / sum p_j^alpha` rule of
-    * multilingual/multi-domain pretraining): draw `targetTotal` documents
-    * across sources with per-source quotas proportional to `n_s^alpha`,
-    * so `alpha` = 1 keeps natural proportions and `alpha` → 0 flattens
-    * toward uniform, upsampling rare sources relative to their share.
+    * multilingual/multi-domain pretraining): draw ~`targetTotal`
+    * documents across sources with per-source quotas proportional to
+    * `n_s^alpha`, so `alpha` = 1 keeps natural proportions and `alpha`
+    * → 0 flattens toward uniform, upsampling rare sources relative to
+    * their share.
+    *
+    * CONTRACT NOTES (exact, engine-portable semantics):
+    *  - The draw is APPROXIMATELY `targetTotal`: per-source quotas are
+    *    rounded independently with a `max(1, …)` floor (every source
+    *    contributes at least one row), so the total can land a few rows
+    *    above or below the target — up to ±(#sources) in the worst
+    *    case. Callers needing an exact count should trim the result.
+    *  - A source's quota is capped at its population (alpha < 1 can ask
+    *    a rare source for more rows than it has; this operator samples
+    *    without replacement and keeps the source whole instead — see
+    *    [[temperatureMixRepeats]] for the upsampling contract that
+    *    emits per-row copy counts for the data loader).
+    *  - Rows whose source is NULL are DROPPED (no quota can key them);
+    *    a NULL source group still contributes its population to the
+    *    Σ n^alpha normalizer, exactly as `SUM(POW(n, alpha))` over a
+    *    SQL `GROUP BY source` would. Filter nulls first (or backfill a
+    *    sentinel source) if they must participate.
     *
     * Per-source counts (one hash agg, k rows) come to the driver — k is
-    * the number of SOURCES (domains/languages, tens), not corpus-sized,
-    * the same bounded-collect discipline as the IVF centroid pulls. A
-    * source's quota is capped at its population (alpha < 1 can ask a
-    * rare source for more rows than it has; this operator samples
-    * without replacement, so it keeps the source whole instead —
-    * upsampling-with-repeats is a separate concern for the data loader).
+    * the number of SOURCES (domains/languages), not corpus-sized.
     * Selection within a source is the same stable pseudo-random draw as
     * [[quotaCap]] (`md5(source || ':' || id)` rank), reproducible across
     * engines, reruns and partitionings. The rank filter is TWO stacked
@@ -153,30 +230,90 @@ object Sampling {
     * `rn <= quota(source)` trim. The shuffle therefore ships
     * O(tasks x max-quota) rows per source, never a hot source's full
     * contents, and the residual filter only discards inside the already-
-    * capped stream (SamplingSpec plan-asserts the partial+final pair). */
+    * capped stream (SamplingSpec plan-asserts the partial+final pair).
+    * The per-source quota attaches via [[attachPerKey]]: a when-chain at
+    * tens of sources, a broadcast quota join past `chainMaxKeys` (a
+    * per-domain mix with 100k+ groups must not build a 100k-deep
+    * expression tree — both routes return identical rows, asserted in
+    * SamplingSpec). */
   def temperatureMix(df: DataFrame, idCol: String, srcCol: String,
-                     alpha: Double, targetTotal: Long): DataFrame = {
+                     alpha: Double, targetTotal: Long,
+                     chainMaxKeys: Int = chainRouteMaxKeys): DataFrame = {
     require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
     require(targetTotal >= 1, s"targetTotal must be >= 1, got $targetTotal")
-    val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n"))
-      .collect().map(r => (r.get(0), r.getLong(1)))
-    val sumA = counts.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
-    val quota = counts.map { case (src, n) =>
-      (src, math.min(n,
-        math.max(1L, math.round(targetTotal * math.pow(n.toDouble, alpha) / sumA))))
+    val all = df.groupBy(col(srcCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    val sumA = all.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val quota = all.filter(_._1 != null).map { case (src, n) =>
+      src -> math.min(n,
+        math.max(1L, math.round(targetTotal * math.pow(n.toDouble, alpha) / sumA)))
     }.toMap
-    val quotaCol = quota.foldLeft(lit(0L): Column) { case (acc, (src, q)) =>
-      when(col(srcCol) === lit(src), lit(q)).otherwise(acc)
-    }
-    import org.apache.spark.sql.expressions.Window
-    val key = md5(concat(col(srcCol).cast("string"), lit(":"),
-      col(idCol).cast("string")))
-    val w = Window.partitionBy(col(srcCol)).orderBy(key.asc, col(idCol).asc)
     val maxQuota = if (quota.isEmpty) 1L else quota.values.max
-    df.withColumn("__tm_rn", row_number().over(w))
+    val ranked = df.withColumn("__tm_rn", sourceRank(idCol, srcCol))
       .filter(col("__tm_rn") <= lit(maxQuota))
-      .filter(col("__tm_rn") <= quotaCol)
-      .drop("__tm_rn")
+    attachPerKey(ranked, col(srcCol),
+      quota.map { case (s, q) => s -> Seq[Any](q) },
+      Seq(StructField("__tm_q", LongType)),
+      Seq(lit(null)), chainMaxKeys)
+      .filter(col("__tm_rn") <= col("__tm_q"))
+      .drop("__tm_rn", "__tm_q")
+  }
+
+  /** [[temperatureMix]] with the UPSAMPLING side of the contract made
+    * explicit: returns the mixed rows plus an `n_copies` LONG column
+    * telling the data loader how many times to emit each row, so an
+    * alpha → 0 mix can ask a rare source for MORE rows than it has and
+    * get a deterministic repeat plan instead of a silently-capped draw.
+    *
+    * Per source s with population n_s, the uncapped quota is
+    * q_s = max(1, round(targetTotal · n_s^alpha / Σ n^alpha)); every row
+    * of s gets `n_copies = q_s div n_s`, and the first `q_s mod n_s`
+    * rows in the stable md5 rank order get one extra — so
+    * Σ n_copies == q_s EXACTLY, reproducibly, on any engine (the rank
+    * is the same `md5(source || ':' || id)` draw as [[temperatureMix]]).
+    * Rows with `n_copies` = 0 (the unchosen tail of a DOWNsampled
+    * source) are not returned; when no source is upsampled the returned
+    * row set is exactly [[temperatureMix]]'s with `n_copies` = 1.
+    * NULL-source rows are dropped, same as [[temperatureMix]].
+    *
+    * The engine stays replacement-free — repeats are a COUNT, not
+    * materialized rows (a 50× upsampled source costs its population,
+    * not 50× it, in every downstream shuffle); the loader expands them
+    * at iteration time. Scale shape matches [[temperatureMix]] except
+    * the literal map-side group cap only installs when NO source is
+    * upsampled (an upsampled source keeps every row, so there is no
+    * literal bound to push; the window itself remains one hash exchange
+    * on source). */
+  def temperatureMixRepeats(df: DataFrame, idCol: String, srcCol: String,
+                            alpha: Double, targetTotal: Long,
+                            chainMaxKeys: Int = chainRouteMaxKeys): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
+    require(targetTotal >= 1, s"targetTotal must be >= 1, got $targetTotal")
+    val all = df.groupBy(col(srcCol).cast("string").as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    val sumA = all.map { case (_, n) => math.pow(n.toDouble, alpha) }.sum
+    val plan = all.filter(_._1 != null).map { case (src, n) =>
+      val q = math.max(1L, math.round(targetTotal * math.pow(n.toDouble, alpha) / sumA))
+      src -> (q / n, q % n) // (base copies for all rows, +1 for first rem)
+    }.toMap
+    val ranked = {
+      val r = df.withColumn("__tm_rn", sourceRank(idCol, srcCol))
+      // pure downsample (all bases 0): the rank filter has a literal
+      // bound again — install the map-side group cap like temperatureMix
+      if (plan.nonEmpty && plan.values.forall(_._1 == 0L))
+        r.filter(col("__tm_rn") <= lit(plan.values.map(_._2).max))
+      else r
+    }
+    attachPerKey(ranked, col(srcCol),
+      plan.map { case (s, (b, rem)) => s -> Seq[Any](b, rem) },
+      Seq(StructField("__tm_base", LongType), StructField("__tm_rem", LongType)),
+      Seq(lit(null), lit(null)), chainMaxKeys)
+      .withColumn("n_copies",
+        col("__tm_base") + when(col("__tm_rn") <= col("__tm_rem"), 1L).otherwise(0L))
+      .filter(col("n_copies") >= 1)
+      .drop("__tm_rn", "__tm_base", "__tm_rem")
   }
 
   /** Deterministic global shuffle for training order: assign every row a

@@ -565,6 +565,22 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- temperature mixing WITH the upsampling contract made explicit:
+    //    emits per-row n_copies so the data loader can repeat rare-source
+    //    rows deterministically. alpha=0.25 at targetTotal=600 over the
+    //    sf0.01 lang skew upsamples every non-en lang (quota > population
+    //    → base >= 1) while en stays downsampled (base 0, rank-trimmed) —
+    //    both branches of the copy-count formula are live and the per-
+    //    source copy sums are exact. [[graft.operators.Sampling
+    //    .temperatureMixRepeats]].
+    "text_mix_repeats" -> ((s, dir) => {
+      import graft.operators.Sampling
+      Sampling.temperatureMixRepeats(Tables(s, dir, "documents"), "doc_id",
+          "lang", alpha = 0.25, targetTotal = 600)
+        .select(col("doc_id"), col("lang"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- deterministic global shuffle for training order: 256 hex shards +
     //    dense in-shard positions, a reproducible pseudo-random permutation
     //    without a global sort. [[graft.operators.Sampling.shardShuffle]].
@@ -873,9 +889,9 @@ object Text extends QueryPack {
       """WITH tk AS (SELECT doc_id,
         |  list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t FROM documents),
         |sd AS (SELECT doc_id,
-        |  array_to_string(list_transform(range(CAST(FLOOR((len(t) + 7) / 8) AS BIGINT)),
+        |  COALESCE(array_to_string(list_transform(range(CAST(FLOOR((len(t) + 7) / 8) AS BIGINT)),
         |    i -> array_to_string(t[i*8+1 : i*8+8], ' ') ||
-        |      CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END), chr(10))
+        |      CASE i % 3 WHEN 0 THEN '.' WHEN 1 THEN '!' ELSE '?' END), chr(10)), '')
         |  || chr(10) || 'short line.'
         |  || CASE WHEN doc_id % 41 = 0 THEN chr(10) || 'lorem ipsum dolor sit amet.' ELSE '' END
         |  || CASE WHEN doc_id % 37 = 0 THEN chr(10) || 'config { debug } done here now.' ELSE '' END
@@ -951,6 +967,26 @@ object Text extends QueryPack {
         |  FROM documents)
         |SELECT r.doc_id, r.lang FROM r JOIN t USING (lang)
         |WHERE rn <= tgt ORDER BY doc_id""".stripMargin,
+
+    // same quota arithmetic as text_mix_temperature but UNCAPPED: an
+    // upsampled source's quota splits into q // n base copies for every
+    // row plus one extra for the first q % n rows of the md5 rank order;
+    // `//` is DuckDB integer division, matching Scala Long division
+    "text_mix_repeats" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, POW(n, 0.25) AS a FROM c),
+        |t AS (SELECT lang, n, GREATEST(1,
+        |    CAST(ROUND(600 * a / (SELECT SUM(a) FROM w)) AS BIGINT)) AS q FROM w),
+        |b AS (SELECT lang, n, q, q // n AS base, q % n AS rem FROM t),
+        |r AS (SELECT doc_id, lang,
+        |  row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |SELECT r.doc_id, r.lang,
+        |  CAST(b.base + CASE WHEN r.rn <= b.rem THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+        |FROM r JOIN b USING (lang)
+        |WHERE b.base >= 1 OR r.rn <= b.rem
+        |ORDER BY doc_id""".stripMargin,
 
     // same pair derivation as the dedup_ngram_jaccard oracle, components
     // via recursive CTE (the dedup_components pattern), keeper = best

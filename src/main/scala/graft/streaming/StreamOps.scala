@@ -150,12 +150,25 @@ object StreamOps {
     * original was never admitted), which is the semantic a training-
     * corpus intake wants.
     *
-    * `onBatch` receives (kept survivors, duplicate pairs, batchId). Both
-    * frames are eagerly materialized (localCheckpoint) BEFORE the index
-    * append: they are computed by reading the index tables, and deferring
-    * their evaluation past the append would silently re-read the grown
-    * index (self-referential table read — the same reason the gate
-    * queries checkpoint their pair sets). Same idempotency note as
+    * Intra-batch near-dups are removed too: after the index check, the
+    * surviving docs are LSH'd against EACH OTHER ([[graft.operators.Dedup
+    * .minHashNearDups]]) and the greater id of every pair is dropped
+    * (greedy first-by-id canonical, the same transitive keep-one rule as
+    * batch dedup) — so two copies arriving in the same micro-batch admit
+    * exactly one, and only that one enters the index. The intra-batch
+    * pass costs one self-join over the BATCH's band table (batch-sized,
+    * not index-sized).
+    *
+    * `onBatch` receives (kept survivors, duplicate pairs, batchId); the
+    * pair frame unions index hits and intra-batch hits, with `batch_id`
+    * always the REJECTED doc and `corpus_id` the accepted doc it
+    * collided with (for intra-batch pairs, the kept smaller id — part of
+    * the accepted corpus from this batch on). Both frames are eagerly
+    * materialized (localCheckpoint) BEFORE the index append: they are
+    * computed by reading the index tables, and deferring their
+    * evaluation past the append would silently re-read the grown index
+    * (self-referential table read — the same reason the gate queries
+    * checkpoint their pair sets). Same idempotency note as
     * [[dedupStreamAgainstIndex]] for batch replays. */
   def curateStreamAgainstIndex(docs: DataFrame,
                                spark: org.apache.spark.sql.SparkSession,
@@ -168,12 +181,22 @@ object StreamOps {
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val q = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
       try {
-        val pairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
+        val idxPairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
             q, spark, tableName, idCol, textCol, shingleN, numHashes,
             bands, estThreshold)
           .localCheckpoint(true)
-        val kept = q.join(
-            pairs.select(col("batch_id").as(idCol)).distinct(), Seq(idCol),
+        val idxSurvivors = q.join(
+          idxPairs.select(col("batch_id").as(idCol)).distinct(), Seq(idCol),
+          "left_anti")
+        val intraPairs = graft.operators.Dedup.minHashNearDups(
+            idxSurvivors, idCol, textCol, shingleN, numHashes, bands,
+            estThreshold)
+          .localCheckpoint(true)
+        val pairs = idxPairs.unionByName(
+          intraPairs.select(col("id_b").as("batch_id"),
+            col("id_a").as("corpus_id"), col("est_jaccard")))
+        val kept = idxSurvivors.join(
+            intraPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
             "left_anti")
           .localCheckpoint(true)
         onBatch(kept, pairs, id)

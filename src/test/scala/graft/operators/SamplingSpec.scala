@@ -200,6 +200,71 @@ class SamplingSpec extends SparkSpec {
       s"expected partial AND final WindowGroupLimitExec, found $nodes:\n$physical")
   }
 
+  test("quota attach routes: when-chain and broadcast-join return identical rows") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 3000L).map(i => (i, s"s${i % 23}")).toDF("id", "src")
+    // temperatureMix: force the join route with chainMaxKeys = 0
+    val chain = Sampling.temperatureMix(rows, "id", "src", 0.5, 500)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val joined = Sampling.temperatureMix(rows, "id", "src", 0.5, 500,
+      chainMaxKeys = 0).collect().map(_.getLong(0)).sorted.toSeq
+    assert(chain == joined, "temperatureMix join route must equal chain route")
+    // the join route must broadcast the quota frame, not shuffle it
+    val plan = Sampling.temperatureMix(rows, "id", "src", 0.5, 500,
+      chainMaxKeys = 0).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"quota lookup must be a broadcast join:\n$plan")
+    // stableStratifiedSample: same routing contract (incl. default fraction)
+    val fr = (0 until 23).map(i => s"s$i" -> (if (i % 2 == 0) 0.5 else 0.1)).toMap
+    val sChain = Sampling.stableStratifiedSample(rows, "id", "src", fr, 0.25)
+      .collect().map(_.getLong(0)).sorted.toSeq
+    val sJoin = Sampling.stableStratifiedSample(rows, "id", "src", fr, 0.25,
+      chainMaxKeys = 0).collect().map(_.getLong(0)).sorted.toSeq
+    assert(sChain == sJoin, "stratified-sample join route must equal chain route")
+    // a stratum NOT in the map takes the default on both routes
+    val partial = Sampling.stableStratifiedSample(rows, "id", "src",
+      Map("s0" -> 0.0), 1.0, chainMaxKeys = 0)
+    assert(partial.filter(col("src") === "s0").count() == 0L)
+    assert(partial.filter(col("src") === "s1").count() ===
+      rows.filter(col("src") === "s1").count())
+  }
+
+  test("temperatureMixRepeats emits exact per-source copy counts; downsample-only equals temperatureMix") {
+    val sp = spark
+    import sp.implicits._
+    val rows = (0L until 1000L).map { i =>
+      (i, if (i < 800) "big" else if (i < 950) "mid" else "rare")
+    }.toDF("id", "src")
+    // alpha=0 / target=3000: every source asked for 1000 rows — big is
+    // upsampled 1000/800, mid 1000/150, rare 1000/50 = 20 copies each
+    val up = Sampling.temperatureMixRepeats(rows, "id", "src", 0.0, 3000)
+    val sums = up.groupBy(col("src")).agg(
+        sum(col("n_copies")).as("s"), count(lit(1)).as("c"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(sums("rare") == (1000L, 50L), s"rare: 20 copies x 50 rows: $sums")
+    assert(sums("mid") == (1000L, 150L), s"mid: base 6 + 100 extras: $sums")
+    assert(sums("big") == (1000L, 800L), s"big: base 1 + 200 extras: $sums")
+    // pure downsample: row set identical to temperatureMix, all n_copies=1
+    val down = Sampling.temperatureMixRepeats(rows, "id", "src", 1.0, 100)
+    assert(down.filter(col("n_copies") =!= 1L).count() == 0L)
+    assert(down.select(col("id")).collect().map(_.getLong(0)).sorted.toSeq ==
+      Sampling.temperatureMix(rows, "id", "src", 1.0, 100)
+        .collect().map(_.getLong(0)).sorted.toSeq,
+      "downsample-only repeats must select exactly temperatureMix's rows")
+    // stable under repartitioning, and both routes agree
+    val a = up.collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    val b = Sampling.temperatureMixRepeats(rows.repartition(13), "id", "src",
+        0.0, 3000, chainMaxKeys = 0)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sorted.toSeq
+    assert(a == b, "copy plan must be partition-invariant and route-invariant")
+    // NULL sources drop but still feed the normalizer (documented contract)
+    val withNull = (0L until 100L).map(i =>
+      (i, if (i % 2 == 0) "s" else null)).toDF("id", "src")
+    assert(Sampling.temperatureMixRepeats(withNull, "id", "src", 1.0, 10)
+      .filter(col("src").isNull).count() == 0L)
+  }
+
   test("shardShuffle is a stable permutation: 256 shards, dense positions, seed-dependent") {
     val sp = spark
     import sp.implicits._
