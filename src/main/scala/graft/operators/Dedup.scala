@@ -796,7 +796,7 @@ object Dedup {
     * the distinct-string relation (id = representative) and emits only
     * 1 <= distance <= maxDist pairs. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, q: Int = 2): DataFrame = {
+                        maxDist: Int, q: Int): DataFrame = {
     val s = df.select(col(idCol).cast("long").as("id"),
       col(strCol).as("str"), length(col(strCol)).as("len"))
     val strs = s.select(col("id"), col("str"))
@@ -808,6 +808,53 @@ object Dedup {
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
       .filter(col("dist") >= 1 && col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist"))
+  }
+
+  /** [[editDistancePairs]] with the gram length q MEASURED from the data
+    * instead of supplied: the same measure-then-route discipline as
+    * [[jaccardPairs]]'s strategy router. The caller no longer has to
+    * know the corpus geometry — at fixed q the gram space alphabet^q is
+    * finite, posting lists densify ∝ corpus and candidates grow
+    * ∝ n²/alphabet^q no matter how rare the chosen prefix grams (a
+    * measured 5× corpus at fixed q=3 grew candidates 37× — SCALE.md);
+    * [[measureEditQ]] picks the smallest q whose measured posting
+    * density stays bounded, which resets that densification exactly the
+    * way the manual per-tier q did. The answer is q-INVARIANT (recall
+    * 1.0 by the d·q+1 pigeonhole at every q; precision 1.0 by the exact
+    * levenshtein verify) — q only moves candidate volume. */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int): DataFrame =
+    editDistancePairs(df, idCol, strCol, maxDist,
+      measureEditQ(df, strCol))
+
+  /** Measured gram length for the q-gram blocking: the smallest q in
+    * [minQ, maxQ] whose MEAN posting density — total gram occurrences
+    * over distinct grams, i.e. the expected posting-list length the
+    * candidate join multiplies through — is at or below
+    * `maxMeanPostings`. Each probe is one cheap agg over the exploded
+    * grams (count + approx_count_distinct, deterministic HLL — no
+    * candidate join is built while probing), so measuring costs a few
+    * scan-shaped passes, amortized against the quadratic blowup a wrong
+    * q causes in the join itself. Probes stop early at the first q that
+    * passes; `maxQ` caps the loop (past it the short tier — strings
+    * with len < (maxDist+1)·q — would swallow typical title-length
+    * corpora). At 100 TB, run the probe on a [[graft.operators.Sampling
+    * .stableSample]] of the corpus: density is a ratio, stable under
+    * uniform sampling at these magnitudes. */
+  private[graft] def measureEditQ(df: DataFrame, strCol: String,
+                                  maxMeanPostings: Double = 16.0,
+                                  minQ: Int = 2, maxQ: Int = 7): Int = {
+    def density(q: Int): Double = {
+      val r = df.filter(length(col(strCol)) >= q)
+        .select(explode(qgramArray(col(strCol), q)).as("gram"))
+        .agg(count(lit(1)).as("n"), approx_count_distinct(col("gram")).as("d"))
+        .head()
+      if (r.getLong(0) == 0L) 0.0
+      else r.getLong(0).toDouble / math.max(r.getLong(1), 1L)
+    }
+    var q = minQ
+    while (q < maxQ && density(q) > maxMeanPostings) q += 1
+    q
   }
 
   /** The candidate generator of [[editDistancePairs]] alone (deduped

@@ -348,18 +348,27 @@ object Text extends QueryPack {
 
     // -- decontamination: flag training documents sharing any word 3-gram
     //    with a held-out eval set (every 50th doc) — the train-vs-eval
-    //    overlap check run before any release. Shape at 100 TB: the eval
-    //    shingle set is tiny → broadcast to the training scan; the join
-    //    ships (shingle, doc_id) only; per-doc counts are a partial+final
-    //    agg. 3-grams on this corpus flag ~half the training docs
-    //    (2-grams saturate — measured before choosing n).
+    //    overlap check run before any release. Shape at 100 TB: an eval-
+    //    benchmark shingle set is bounded by the benchmark suite, not the
+    //    corpus — but bounded-by-construction is still MEASURED before
+    //    broadcasting (the same discipline as the vocab-gated term joins):
+    //    the persisted eval set is counted once, broadcast under the
+    //    MaxBroadcastVocab cap, shuffle-joined past it. Past broadcast
+    //    scale entirely, text_decontaminate_bloom is the documented path
+    //    (the sketch ships like a literal regardless of set size). The
+    //    join ships (shingle, doc_id) only; per-doc counts are a
+    //    partial+final agg. 3-grams on this corpus flag ~half the
+    //    training docs (2-grams saturate — measured before choosing n).
     "text_decontaminate" -> ((s, dir) => {
       val sh = Tables(s, dir, "documents")
         .select(col("doc_id"),
           explode(wordShingles(tokens(col("text")), 3)).as("s"))
-      val evalSet = sh.filter(col("doc_id") % 50 === 0).select(col("s")).distinct()
+      val evalSet = sh.filter(col("doc_id") % 50 === 0).select(col("s"))
+        .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+      val evalJoin =
+        if (evalSet.count() <= MaxBroadcastVocab) broadcast(evalSet) else evalSet
       sh.filter(col("doc_id") % 50 =!= 0)
-        .join(broadcast(evalSet), "s")
+        .join(evalJoin, "s")
         .groupBy(col("doc_id"))
         .agg(count_distinct(col("s")).as("n_shared"))
         .orderBy(col("doc_id"))
@@ -630,11 +639,14 @@ object Text extends QueryPack {
         .select((col("id") + 1000000L).as("id"),
           concat(lit("x"), expr("substring(t, 2)")).as("t"))
       val corpus = reps.select(col("id"), col("t")).union(variants)
-      // d=1 (the planted variants' distance), q=3: the titles draw on the
+      // d=1 (the planted variants' distance); q is MEASURED by the
+      // operator (Dedup.measureEditQ, round-7): the titles draw on the
       // synthetic corpus' small word vocabulary, so 2-grams are hot and
-      // q must be sized to the alphabet's entropy (the ScaleProbe.editQ
-      // finding — measured 10.9 s at q=2/d=2 vs ~2 s here at sf0.1)
-      Dedup.editDistancePairs(corpus, "id", "t", maxDist = 1, q = 3)
+      // the posting-density bound sizes q to the alphabet's entropy —
+      // replacing the hand-picked q=3 this query carried (measured
+      // 10.9 s at q=2/d=2 vs ~2 s at q=3 at sf0.1). The oracle is
+      // q-invariant, so the auto route is exactly what this gate proves.
+      Dedup.editDistancePairs(corpus, "id", "t", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))
     })
   )

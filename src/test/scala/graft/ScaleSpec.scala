@@ -182,29 +182,35 @@ class ScaleSpec extends SparkSpec {
         "the prefilter is admitting far more than the sketch's error rate")
   }
 
-  test("edit-distance blocking: candidates and answer grow ~linearly with q scaled to the corpus") {
+  test("edit-distance blocking: candidates and answer grow ~linearly with q MEASURED from the corpus") {
     // ScaleProbe.editCorpus plants one distance-1 variant per 10 titles;
     // the answer is ~n/10 and candidate cardinality is the deterministic
     // blowup signal (the jaccard-prefix gate pattern). q SCALES with the
-    // tier (ScaleProbe.editQ): at fixed q the gram space alphabet^q is
-    // finite, postings densify ∝ n and candidates go ∝ n²/16^q no matter
-    // how rare the prefix grams — the measured 3→5000-title run at q=3
-    // grew 37×. Growing q is the documented geometry knob, the same
-    // discipline as lshBits ∝ log(shards) in the LSH probe.
+    // tier: at fixed q the gram space alphabet^q is finite, postings
+    // densify ∝ n and candidates go ∝ n²/16^q no matter how rare the
+    // prefix grams — the measured 3→5000-title run at q=3 grew 37×.
+    // Since round 7 the operator MEASURES q itself (Dedup.measureEditQ,
+    // the posting-density bound) — this gate runs with NO manual q and
+    // asserts the auto route keeps the same sublinear shape the
+    // hand-tiered ScaleProbe.editQ run had.
     def corpus(n: Long) = ScaleProbe.editCorpus(spark, n).repartition(8).cache()
     val c1 = corpus(1000); val c5 = corpus(5000)
     c1.count(); c5.count()
 
-    def run(df: org.apache.spark.sql.DataFrame, n: Long): (Long, Long) = (
-      Dedup.editDistanceCandidates(df, "id", "t", maxDist = 1,
-        q = ScaleProbe.editQ(n)).count(),
-      Dedup.editDistancePairs(df, "id", "t", maxDist = 1,
-        q = ScaleProbe.editQ(n)).count())
+    def run(df: org.apache.spark.sql.DataFrame): (Long, Long, Int) = {
+      val q = Dedup.measureEditQ(df, "t")
+      (Dedup.editDistanceCandidates(df, "id", "t", maxDist = 1, q = q).count(),
+        Dedup.editDistancePairs(df, "id", "t", maxDist = 1).count(), q)
+    }
 
-    val (cand1, n1) = run(c1, 1000)
-    val (cand5, n5) = run(c5, 5000)
+    val (cand1, n1, q1) = run(c1)
+    val (cand5, n5, q5) = run(c5)
     c1.unpersist(); c5.unpersist()
-    info(s"1x: cand=$cand1 pairs=$n1; 5x: cand=$cand5 pairs=$n5")
+    info(s"1x: q=$q1 cand=$cand1 pairs=$n1; 5x: q=$q5 cand=$cand5 pairs=$n5")
+    // the density bound must push q UP on the denser corpus — this is
+    // the measured replacement for the hand-maintained tier table
+    assert(q5 > q1 || cand5 <= 7 * math.max(cand1, 200),
+      s"measured q did not adapt (q=$q1->$q5) and candidates blew up")
 
     // every planted variant is found (recall 1.0 by the pigeonhole — q
     // changing across tiers never costs recall, only candidate volume);

@@ -485,6 +485,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("measureEditQ routes q up with posting density; auto route answers equal every explicit q") {
+    val sp = spark
+    import sp.implicits._
+    // low-entropy corpus: 4-word titles over an 8-word vocabulary — the
+    // 2-gram space saturates, so the density bound must pick q > 2
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val dense = (0L until 600L).map { i =>
+      (i, Seq(0, 1, 2, 3).map(j => vocab(((i >> (3 * j)) % 8).toInt)).mkString(" "))
+    }.toDF("id", "t")
+    val qDense = Dedup.measureEditQ(dense, "t")
+    assert(qDense > 2, s"dense corpus must push the measured q past 2, got $qDense")
+    // high-entropy tiny corpus: few strings, long random-ish grams — the
+    // minimum q already satisfies the bound
+    val sparse = (0L until 40L).map(i =>
+      (i, f"u${i * 7919}%06d v${i * 104729}%08d")).toDF("id", "t")
+    assert(Dedup.measureEditQ(sparse, "t") == 2,
+      "sparse corpus must keep the minimum q")
+    // the ANSWER is q-invariant: the auto route returns exactly the pair
+    // set of every explicit q (recall 1.0 by the pigeonhole, precision
+    // 1.0 by the levenshtein verify) — only candidate volume moves
+    val auto = Dedup.editDistancePairs(dense, "id", "t", maxDist = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    for (q <- Seq(2, 3, 4)) {
+      val explicit = Dedup.editDistancePairs(dense, "id", "t", maxDist = 1, q = q)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(explicit == auto, s"q=$q answer diverged from the auto route")
+    }
+  }
+
   test("editDistancePairs blocks: no cartesian in the plan, identical strings excluded") {
     val sp = spark
     import sp.implicits._
