@@ -55,7 +55,13 @@ object Bench {
       Dedup.jaccardPrefixPairs(
         Tables(s, dir, "documents")
           .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
-        "doc_id", "text", shingleN = 2, threshold = 0.8)))
+        "doc_id", "text", shingleN = 2, threshold = 0.8)),
+    // the COMPOSED curation chain (C4 → line removal → index dedup →
+    // decontaminate → mix → shard shuffle) as one lazy job; the standing
+    // index is built on the first rep and reused after (the standing-
+    // index cost model — min-of-N therefore measures the steady state)
+    "op_pipeline" -> ((s, dir) =>
+      PipelineHarness.runOn(s, dir, materialize = false)))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -135,7 +135,12 @@ object ScaleProbe {
     * no matter how rare the chosen prefix grams are. Same geometry-scales-
     * with-data discipline as `lshBits ∝ log₂(shards)` and IVF `k ∝ corpus`
     * in the sibling probes; here q ≈ log₁₆(total grams) for the hex title
-    * alphabet. */
+    * alphabet.
+    *
+    * Since round 7 the operator MEASURES this itself
+    * (graft.operators.Dedup.measureEditQ — posting-density bound); this
+    * table is kept as the hand-derived expectation the measured route
+    * reproduces on the hex corpus (asserted in ScaleSpec). */
   def editQ(n: Long): Int =
     if (n <= 2000) 3 else if (n <= 50000) 4 else 5
 
@@ -340,16 +345,104 @@ object ScaleProbe {
           .agg(sum(col("n_lines") - col("n_kept"))).first().getLong(0))
       t(s"shard_shuffle_$tag")(
         Sampling.shardShuffle(docs, "doc_id", "ep0").count())
+      // high-cardinality temperature mix: 10^4 domains forces the quota
+      // JOIN route (the when-chain caps at 256 keys — a 10^4-branch
+      // expression tree would blow codegen constant pools long before
+      // data size matters). Domains are uniform (20·K rows each), so
+      // every quota is exactly round(targetTotal / 10^4) and the drawn
+      // row count is the deterministic signal: EXACTLY targetTotal at
+      // every tier — drift means the join route and the quota
+      // arithmetic disagree.
+      val nDomains = 10000
+      val mixRows = spark.range(20L * k * nDomains)
+        .select(col("id"), concat(lit("d"), col("id") % nDomains).as("domain"))
+      t(s"mix_hicard_$tag")(
+        Sampling.temperatureMix(mixRows, "id", "domain", alpha = 0.5,
+          targetTotal = 50000L).count())
       val nTitles = 5000L * k
-      val q = editQ(nTitles)
       val titles = editCorpus(spark, nTitles)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       titles.count() // materialize outside the timing
+      // q is MEASURED (round-7 Dedup.measureEditQ) — the hand table
+      // editQ remains as the documented expected tiering the measured
+      // route should reproduce on this corpus
+      val q = Dedup.measureEditQ(titles, "t")
       t(s"edit_candidates_$tag")(
         Dedup.editDistanceCandidates(titles, "id", "t", maxDist = 1, q = q).count())
       t(s"edit_distance_$tag")(
         Dedup.editDistancePairs(titles, "id", "t", maxDist = 1, q = q).count())
       titles.unpersist()
+    }
+
+    /** Streaming-curation batch latency vs standing-index size
+      * (VERDICT_r06 next-round #3): a FIXED 500-doc batch through the
+      * full curateStreamAgainstIndex loop (quality gate → index probe →
+      * intra-batch dedup → checkpoint → fold-in) against the K× index.
+      * The probe is batch-bound by design — the corpus side of the LSH
+      * join is read in place — so per-batch wall must stay ~FLAT as the
+      * index grows; the three successive batches also show the fold-in
+      * steady state. Deterministic signal: kept counts (batch docs are
+      * replica-0 twins → all dedup away; kept = 0 at every tier). */
+    def streamProbe(tag: String, docs: DataFrame): Unit = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val table = s"stream_idx_$tag"
+      Seq("_sigs", "_bands").foreach { sfx =>
+        spark.sql(s"DROP TABLE IF EXISTS $table$sfx")
+        val loc = new org.apache.hadoop.fs.Path(
+          spark.conf.get("spark.sql.warehouse.dir") + s"/$table$sfx")
+        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+      }
+      graft.catalog.Layout.minhashBandIndex(spark, docs, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 32, table)
+      // three successive batches of replica-0 twins under fresh ids
+      // (docReplica(_, 0) — the same _r0-suffixed form the index holds)
+      val twins = docReplica(
+          Tables(spark, src, "documents").filter(col("doc_id") % 10 === 0), 0)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      val keptTotal = new java.util.concurrent.atomic.AtomicLong
+      val in = MemoryStream[(Long, String)]
+      val writer = graft.streaming.StreamOps.curateStreamAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), spark, table, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 32,
+        estThreshold = 0.5)(identity) { (k, _, _) =>
+        keptTotal.addAndGet(k.count()); ()
+      }
+      val q = writer.start()
+      try (0 until 3).foreach { b =>
+        t(s"stream_batch${b}_$tag") {
+          in.addData(twins.map { case (id, tx) =>
+            (id + 2000000000L + b * 1000000L, tx) }.toSeq: _*)
+          q.processAllAvailable()
+          keptTotal.get()
+        }
+      } finally q.stop()
+    }
+
+    /** The COMPOSED curation chain at scale (VERDICT_r06 next-round #1):
+      * C4 gate → line removal → standing-index dedup (+ intra-batch) →
+      * decontamination → temperature mix → shard shuffle, as ONE job
+      * (Curation.pipeline via PipelineHarness — identical wiring to the
+      * op_pipeline bench entry and the ScaleSpec gate). Two timings per
+      * tier: the index build (the one corpus-linear history pass, paid
+      * once in the standing-index model) and the pipeline itself.
+      * Deterministic signal: the harness replicas are structurally
+      * isomorphic, so the final drawn count repeats at every tier to
+      * within the MinHash estimate flicker (quotas are scale-invariant —
+      * see PipelineHarness scaladoc) — real drift means a stage
+      * interaction broke, exactly what per-stage probes can't see. */
+    def pipelineProbe(tag: String, k: Int): Unit = {
+      val c = PipelineHarness.corpus(spark, src, k)
+      val table = s"pipe_idx_$tag"
+      t(s"pipeline_index_$tag") {
+        PipelineHarness.ensureIndex(spark, c, table)
+        spark.table(s"${table}_sigs").count()
+      }
+      t(s"pipeline_$tag")(
+        PipelineHarness.run(spark, c, table, targetTotal = 1000L).count())
     }
 
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
@@ -419,6 +512,21 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    val onlyPipe = probeOnly.contains("pipe")
+    if (onlyPipe) {
+      pipelineProbe("1x", 1)
+      ks.foreach(k => pipelineProbe(s"${k}x", k))
+      spark.stop(); return
+    }
+    val onlyStream = probeOnly.contains("stream")
+    if (onlyStream) {
+      streamProbe("1x", docs1)
+      ks.foreach { k =>
+        val (docsK, _) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
+        streamProbe(s"${k}x", docsK)
+      }
+      spark.stop(); return
+    }
     val onlyLayout = probeOnly.contains("layout")
     if (onlyLayout) {
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
@@ -433,8 +541,9 @@ object ScaleProbe {
       prefixProbe("1x", 1)
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
       curationProbe("1x", 1, docs1)
+      pipelineProbe("1x", 1)
     }
-    if (!onlyBloom) incrProbe("1x", docs1)
+    if (!onlyBloom) { incrProbe("1x", docs1); streamProbe("1x", docs1) }
     if (!onlyIncr) bloomProbe("1x", docs1)
     ks.foreach { k =>
       val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
@@ -446,8 +555,9 @@ object ScaleProbe {
         prefixProbe(s"${k}x", k)
         ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
         curationProbe(s"${k}x", k, docsK)
+        pipelineProbe(s"${k}x", k)
       }
-      if (!onlyBloom) incrProbe(s"${k}x", docsK)
+      if (!onlyBloom) { incrProbe(s"${k}x", docsK); streamProbe(s"${k}x", docsK) }
       if (!onlyIncr) bloomProbe(s"${k}x", docsK)
     }
     spark.stop()

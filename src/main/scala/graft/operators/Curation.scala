@@ -169,6 +169,140 @@ object Curation {
         col("n_kept_lines") >= 3L && !col("has_lorem") && !col("has_brace"))
   }
 
+  /** The default per-row quality gate for [[pipeline]]: C4 line cleaning
+    * (Raffel et al. 2020 §2.2 — [[withC4Rules]], keep_doc verdict, text
+    * REPLACED by the retained lines) followed by the Gopher document
+    * rules (Rae et al. 2021 — [[withGopherMetrics]], passes verdict) on
+    * the CLEANED text. Returns the input columns unchanged except
+    * `textCol`, which carries the C4-cleaned text. Pure per-row scan
+    * work, zero shuffle. */
+  def c4ThenGopherFilter(textCol: String): DataFrame => DataFrame = df => {
+    val cols = df.columns.map(col)
+    val cleaned = withC4Rules(df, textCol)
+      .filter(col("keep_doc"))
+      .withColumn(textCol, col("clean_text"))
+      .select(cols: _*)
+    withGopherMetrics(cleaned, textCol)
+      .filter(col("passes"))
+      .select(cols: _*)
+  }
+
+  /** The COMPOSED corpus-curation chain — the realistic end-to-end intake
+    * a training corpus runs, as ONE job with a shared caching discipline
+    * (reference analog: the 14-step `Runner.Run` orchestration,
+    * `internal/pipeline/runner.go:169-448`, which plays exactly this
+    * composition role for the reference's deploy pipeline):
+    *
+    *  1. per-row quality gate (`qualityFilter`, default
+    *     [[c4ThenGopherFilter]]) — pure scan, no shuffle; the gate may
+    *     rewrite `textCol` (C4 does);
+    *  2. corpus-wide boilerplate-line removal ([[removeBoilerplateLines]],
+    *     line-df agg + anti-join); documents reduced to zero lines drop;
+    *  3. near-dup dedup against a STANDING MinHash index
+    *     ([[Dedup.curateBatchAgainstIndex]] semantics: the probe reads
+    *     the bucketed band table in place, only this batch shuffles),
+    *     PLUS intra-batch near-dups (greedy smaller-id canonical — the
+    *     rule of [[graft.streaming.StreamOps.curateStreamAgainstIndex]]);
+    *  4. decontamination against an eval shingle set: contaminated
+    *     documents REMOVED; the eval relation is counted and broadcast
+    *     only under `maxBroadcastShingles` (measure-then-route — the
+    *     text_decontaminate discipline), with
+    *     the exact shuffle semi-join as the at-scale fallback;
+    *  5. temperature mixing ([[Sampling.temperatureMix]] — quotas attach
+    *     chain- or join-routed by source cardinality);
+    *  6. deterministic shard shuffle ([[Sampling.shardShuffle]]) — the
+    *     output carries (shard, pos) training order.
+    *
+    * Caching discipline — what a 100 TB run actually has to get right
+    * across stage BOUNDARIES even when each stage is clean alone:
+    *  - the post-line-removal frame is the one reuse point (read by the
+    *    dedup signature pass, the intra-batch pass, the decontamination
+    *    shingle pass, the mix's count agg and the final row set); the
+    *    pipeline persists exactly that frame and nothing else;
+    *  - with `materialize` on, the post-decontamination survivor set is
+    *    eagerly checkpointed BEFORE any index append — the survivors are
+    *    computed by READING the index tables, and deferring their
+    *    evaluation past the append would re-read the grown index (the
+    *    curateStreamAgainstIndex self-referential-append hazard);
+    *  - `appendToIndex` folds the ACCEPTED corpus (post-dedup,
+    *    post-decontamination — not the mix draw, which is a per-run
+    *    sample) into the standing index, so the next increment dedups
+    *    against everything this run admitted.
+    *
+    * `materialize = false` keeps the whole chain lazy (no checkpoint, no
+    * append, persist left to the caller) — the form PLANS.md audits and
+    * Bench times. Composed-plan audit: PLANS.md `op_pipeline`; scale
+    * posture: SCALE.md `pipeline_*` tiers + the ScaleSpec output-count
+    * gate. */
+  def pipeline(spark: org.apache.spark.sql.SparkSession, docs: DataFrame,
+               idCol: String, textCol: String, srcCol: String,
+               targetTotal: Long,
+               alpha: Double = 0.5,
+               minLineDocs: Long = 50,
+               indexTable: Option[String] = None,
+               evalShingles: Option[DataFrame] = None,
+               evalShingleN: Int = 3,
+               shardSeed: String = "ep0",
+               qualityFilter: Option[DataFrame => DataFrame] = None,
+               shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
+               buckets: Int = 8, estThreshold: Double = 0.3,
+               appendToIndex: Boolean = false,
+               maxBroadcastShingles: Long = 1L << 20,
+               materialize: Boolean = true): DataFrame = {
+    require(!appendToIndex || indexTable.nonEmpty,
+      "appendToIndex requires an indexTable")
+    require(!appendToIndex || materialize,
+      "appendToIndex requires materialize=true: the survivors are computed " +
+        "by reading the index tables and must be checkpointed before the " +
+        "append grows them")
+    val cols = docs.columns.map(col)
+    val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
+    val q = gate(docs).select(cols: _*)
+    val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs)
+    val cleaned = q.drop(textCol)
+      .join(lineClean.filter(col("n_kept") >= 1)
+        .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
+      .select(cols: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val afterDedup = indexTable match {
+      case Some(table) =>
+        val idxSurv = Dedup.curateBatchAgainstIndex(cleaned, spark, table,
+          idCol, textCol, shingleN, numHashes, bands, buckets, estThreshold,
+          appendSurvivors = false)
+        val intra = Dedup.minHashNearDups(idxSurv, idCol, textCol, shingleN,
+          numHashes, bands, estThreshold)
+        idxSurv.join(intra.select(col("id_b").as(idCol)).distinct(),
+          Seq(idCol), "left_anti")
+      case None => cleaned
+    }
+    val decon = evalShingles match {
+      case Some(es) =>
+        val esp = es.select(col(es.columns.head).as("__pl_s")).distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val esJoin =
+          if (esp.count() <= maxBroadcastShingles) broadcast(esp) else esp
+        val contaminated = afterDedup.select(col(idCol),
+            explode(graft.functions.wordShingles(tokens(col(textCol)),
+              evalShingleN)).as("__pl_s"))
+          .join(esJoin, "__pl_s")
+          .select(col(idCol)).distinct()
+        afterDedup.join(contaminated, Seq(idCol), "left_anti")
+      case None => afterDedup
+    }
+    val accepted = if (materialize) decon.localCheckpoint(true) else decon
+    if (appendToIndex)
+      graft.catalog.Layout.minhashIndexAppend(spark, accepted.select(cols: _*),
+        idCol, textCol, shingleN, numHashes, bands, buckets, indexTable.get)
+    val out = Sampling.shardShuffle(
+      Sampling.temperatureMix(accepted, idCol, srcCol, alpha, targetTotal),
+      idCol, shardSeed)
+    if (materialize) {
+      val mat = out.localCheckpoint(true)
+      cleaned.unpersist()
+      mat
+    } else out
+  }
+
   /** Per-document mean corpus log-probability (the CCNet perplexity-
     * bucket proxy): a unigram LM fit on the corpus itself scores every
     * document by the mean ln p(token). Per-token logp is quantized to

@@ -61,4 +61,73 @@ class CurationSpec extends SparkSpec {
     assert(out == Map(1L -> "keep me one", 2L -> "keep me two",
       3L -> "keep me three"))
   }
+
+  test("pipeline composes exactly the chain of its stages and appends accepted docs to the index") {
+    import graft.{PipelineHarness, Tables}
+    val sf = "/root/testdata/sf0.001"
+    val corpus = PipelineHarness.corpus(spark, sf)
+    val table = "cur_pipe_spec_idx"
+    PipelineHarness.ensureIndex(spark, corpus, table)
+
+    val out = Curation.pipeline(spark, corpus, "doc_id", "text", "lang",
+      targetTotal = 30L, alpha = 0.5, minLineDocs = 50,
+      indexTable = Some(table),
+      evalShingles = Some(PipelineHarness.evalShingles(corpus)),
+      evalShingleN = 3, shardSeed = "ep0",
+      qualityFilter = Some(PipelineHarness.c4OnlyFilter),
+      shingleN = 2, numHashes = 32, bands = 8, buckets = 8,
+      estThreshold = 0.3, appendToIndex = false)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "text", "lang", "source", "shard", "pos"))
+    val got = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got.nonEmpty, "pipeline must keep a nonempty draw")
+    assert(got.size <= 30 + 5, s"draw ${got.size} blew past targetTotal + #langs")
+
+    // the pipeline must equal the hand-composed chain of its stages
+    val cols = corpus.columns.map(col)
+    val q = PipelineHarness.c4OnlyFilter(corpus).select(cols: _*)
+    val cleaned = q.drop("text").join(
+        Curation.removeBoilerplateLines(q, "doc_id", "text", 50)
+          .filter(col("n_kept") >= 1)
+          .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(cols: _*)
+    val idxSurv = Dedup.curateBatchAgainstIndex(cleaned, spark, table,
+      "doc_id", "text", 2, 32, 8, 8, 0.3, appendSurvivors = false)
+    val intra = Dedup.minHashNearDups(idxSurv, "doc_id", "text", 2, 32, 8, 0.3)
+    val kept = idxSurv.join(intra.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val contaminated = kept.select(col("doc_id"),
+        explode(graft.functions.wordShingles(graft.functions.tokens(col("text")), 3)).as("s"))
+      .join(PipelineHarness.evalShingles(corpus), "s")
+      .select(col("doc_id")).distinct()
+    val accepted = kept.join(contaminated, Seq("doc_id"), "left_anti")
+    val manual = graft.operators.Sampling.shardShuffle(
+        graft.operators.Sampling.temperatureMix(accepted, "doc_id", "lang", 0.5, 30L),
+        "doc_id", "ep0")
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(got == manual, "pipeline must equal its hand-composed stage chain")
+
+    // the index dedup must FIRE: history twins (doc_id % 20 == 0 among the
+    // C4 survivors) are near-dups of the index and must not be drawn
+    val cleanedTwins = cleaned.filter(col("doc_id") % 20 === 0)
+      .select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    assert(cleanedTwins.nonEmpty, "corpus must contain index twins for the gate")
+    assert(got.intersect(cleanedTwins).isEmpty,
+      "docs with an index twin must be deduped out")
+
+    // appendToIndex folds the ACCEPTED set (pre-mix) into the index
+    val sigsBefore = spark.table(s"${table}_sigs").count()
+    val nAccepted = accepted.count()
+    Curation.pipeline(spark, corpus, "doc_id", "text", "lang",
+      targetTotal = 30L, alpha = 0.5, minLineDocs = 50,
+      indexTable = Some(table),
+      evalShingles = Some(PipelineHarness.evalShingles(corpus)),
+      evalShingleN = 3, shardSeed = "ep0",
+      qualityFilter = Some(PipelineHarness.c4OnlyFilter),
+      shingleN = 2, numHashes = 32, bands = 8, buckets = 8,
+      estThreshold = 0.3, appendToIndex = true).count()
+    val sigsAfter = spark.table(s"${table}_sigs").count()
+    assert(sigsAfter == sigsBefore + nAccepted,
+      s"index must grow by exactly the accepted set: $sigsBefore + $nAccepted != $sigsAfter")
+  }
 }

@@ -115,4 +115,104 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally
       Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
   }
+
+  test("curation loop: two near-dup copies in ONE micro-batch admit exactly one") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0L until 5L).map(i => (i, sentence(i.toInt))).toDF("doc_id", "text")
+    val table = "mh_intra_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    val kept = mutable.Map[Long, Set[Long]]()
+    val dups = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, buckets = 4,
+      estThreshold = 0.5)(identity) { (k, pairs, id) =>
+      kept(id) = k.collect().map(_.getLong(0)).toSet
+      dups(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 4, table)
+      val q = writer.start()
+      try {
+        // one batch: TWO copies of a novel doc plus a dup of corpus doc 1
+        // — the smaller-id copy is the canonical, the greater one is an
+        // intra-batch dup (batch_id = rejected, corpus_id = kept), and
+        // only the canonical enters the index
+        in.addData((100L, sentence(80)), (101L, sentence(80)),
+          (102L, sentence(1)))
+        q.processAllAvailable()
+        // next batch: a third copy must pair with the ADMITTED canonical
+        in.addData((200L, sentence(80)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(kept(0L) == Set(100L), s"batch 0 kept ${kept(0L)}")
+      assert(dups(0L) == Set((101L, 100L), (102L, 1L)))
+      assert(kept(1L) == Set.empty)
+      assert(dups(1L) == Set((200L, 100L)),
+        "a later copy must dedup against the admitted intra-batch canonical")
+      assert(sp.table(s"${table}_sigs").count() == 6L) // 5 corpus + 1 admitted
+    } finally
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+
+  test("curation loop: per-batch wall stays bounded while the standing index grows") {
+    // VERDICT_r06 next-round #3: the index probe is batch-bound by
+    // design (the corpus side is read in place, only the batch
+    // shuffles) — prove it UNDER the streaming loop. 12 batches of 300
+    // novel docs each fold into the index (index grows ~12x over the
+    // run); if any stage re-scanned or re-shuffled the accumulated
+    // index per batch, late-batch wall would grow with index size and
+    // blow the ratio bound. Wall-clock ratios are box-sensitive, so the
+    // bound is deliberately loose (4x late-vs-early median) — a real
+    // index-linear regression at 12x growth lands far past it.
+    val sp = spark
+    import sp.implicits._
+    val table = "mh_tput_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    val nBatches = 12
+    val batchDocs = 300
+    def batchRows(b: Int): Seq[(Long, String)] =
+      (0 until batchDocs).map { i =>
+        val id = b * 100000L + i
+        (id, (0 until 8).map(j => s"b${b}d${i}w$j").mkString(" "))
+      }
+    val keptCounts = mutable.Map[Long, Long]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, buckets = 4,
+      estThreshold = 0.5)(identity) { (k, _, id) => keptCounts(id) = k.count() }
+    try {
+      Layout.minhashBandIndex(sp,
+        (0L until 300L).map(i => (i, (0 until 8).map(j => s"seed${i}w$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 2, numHashes = 16, bands = 4,
+        buckets = 4, table)
+      val q = writer.start()
+      val walls = (0 until nBatches).map { b =>
+        val t0 = System.nanoTime()
+        in.addData(batchRows(b): _*)
+        q.processAllAvailable()
+        (System.nanoTime() - t0) / 1e9
+      }
+      q.stop()
+      info(walls.map(w => f"$w%.2f").mkString("batch walls: ", " ", " s"))
+      // all docs are novel: every batch keeps everything
+      assert(keptCounts.values.toSet == Set(batchDocs.toLong),
+        s"novel docs must all survive: $keptCounts")
+      // index really grew across the run
+      assert(sp.table(s"${table}_sigs").count() == 300L + nBatches.toLong * batchDocs)
+      def median(xs: Seq[Double]) = xs.sorted.apply(xs.length / 2)
+      val early = median(walls.slice(1, 5))
+      val late = median(walls.takeRight(4))
+      assert(late <= 4.0 * math.max(early, 0.5),
+        f"late-batch wall $late%.2f s vs early $early%.2f s — " +
+          "batch cost is growing with the standing index")
+    } finally
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
 }
