@@ -56,12 +56,56 @@ object Bench {
         Tables(s, dir, "documents")
           .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0),
         "doc_id", "text", shingleN = 2, threshold = 0.8)),
+    // the incremental probe path of dedup_minhash_incr without its exact
+    // census arm: signatures for the historical corpus, then the batch
+    // banded against that index (the steady-state daily-increment cost)
+    "op_dedup_minhash_incr" -> ((s, dir) => {
+      val docs = Tables(s, dir, "documents")
+      val col = org.apache.spark.sql.functions.col _
+      val index = Dedup.minHashSignatures(
+        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+        shingleN = 2, numHashes = 128)
+      Dedup.minHashNearDupsAgainst(docs.filter(col("doc_id") % 3 === 0),
+        index, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
+    }),
+    // the IVF top-k probe path of sim_ann_ivf_topk_check without its exact
+    // brute-force census arm
+    "op_sim_ann_ivf_topk" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val col = org.apache.spark.sql.functions.col _
+      val qvec = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .collect().head.getSeq[Double](0)
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 8, lloydIters = 3, seed = 42)
+      Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
+        k = 10, cents, nprobe = 3, assignReplicas = 2)
+    }),
     // the COMPOSED curation chain (C4 → line removal → index dedup →
     // decontaminate → mix → shard shuffle) as one lazy job; the standing
     // index is built on the first rep and reused after (the standing-
     // index cost model — min-of-N therefore measures the steady state)
     "op_pipeline" -> ((s, dir) =>
       PipelineHarness.runOn(s, dir, materialize = false)))
+
+  /** Contract-arm GATE queries (round-6 verdict "next round" #2): entries
+    * whose plan deliberately contains an exact brute-force arm (full
+    * cross-pair census, exact top-k, recall denominator) alongside the
+    * operator under test, so correctness is self-verifying in the query
+    * itself. Their wall time measures the contract, not the engine — the
+    * operator paths alone are benchmarked under `operatorBenches`. Timed
+    * under the "contract_arms" JSON key, outside the headline total. */
+  val contractArmQueries: Set[String] = Set(
+    "dedup_minhash_lsh",      // exact pairwise-Jaccard census arm
+    "dedup_minhash_incr",     // symmetric-vs-incremental cross-check arm
+    "dedup_minhash_check",    // estimator-vs-exact gate (oracle: SELECT TRUE)
+    "dedup_simhash_check",    // banding-exactness gate (oracle: SELECT TRUE)
+    "dedup_jaccard_prefix",   // prefix-filter vs exact all-pairs arm
+    "sim_ann_ivf_incr",       // exact cross-pair contract arm
+    "sim_ann_ivf_recall",     // brute-force recall denominator
+    "sim_ann_ivf_topk_check", // exact top-k census
+    "sim_ann_recall")         // brute-force recall denominator
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -101,7 +145,15 @@ object Bench {
         }.sorted
         name -> times
       }
-    val results = time(SparkEntry.queries.toSeq)
+    val (armEntries, engineEntries) =
+      SparkEntry.queries.toSeq.partition(e => contractArmQueries(e._1))
+    val results = time(engineEntries)
+    // the exact-arm GATE queries go in a separate key too (round-6 verdict
+    // "next round" #2): each deliberately runs a brute-force contract arm
+    // (full cross-pair set, exact top-k, recall census) NEXT TO the
+    // operator so correctness is self-verifying — their wall time measures
+    // the gate, not the engine. Their operator paths are timed under op_*.
+    val armResults = time(armEntries)
     // the op_* diagnostics go in a SEPARATE key: their cost is already
     // inside the gate queries' timings (the gates run operator + exact
     // contract arm), so folding them into `total` would double-count the
@@ -111,19 +163,32 @@ object Bench {
       rs.map { case (k, ts) => "\"" + k + "\":" + f(ts) }
         .mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
+    val armTotal = armResults.map(_._2.min).sum
     // headline numbers stay min-of-N (measures the code, not the noise);
     // median + spread (max-min) expose per-query run-to-run variance so a
     // one-off box-contention spike is distinguishable from a regression.
-    // "schema":2 marks the round-5 output change (op_* moved out of the
-    // headline into "operators"); "total_with_operators" is the old
-    // round-4-and-earlier definition so a consumer diffing the raw JSON
-    // across rounds has a like-for-like number without reading BASELINE.md.
-    println(s"""{"metric":"total","value":$total,"unit":"sec","schema":2,""" +
-      s""""total_with_operators":${total + opResults.map(_._2.min).sum},""" +
+    // "schema":3 marks the round-7 output change (contract-arm gates moved
+    // out of the headline into "contract_arms"); "total_with_contract_arms"
+    // is the round-5/6 schema-2 definition and "total_with_operators" the
+    // round-4-and-earlier one, so a consumer diffing raw JSON across rounds
+    // has like-for-like numbers without reading BASELINE.md.
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","schema":3,""" +
+      s""""total_with_contract_arms":${total + armTotal},""" +
+      s""""total_with_operators":${total + armTotal + opResults.map(_._2.min).sum},""" +
       s""""reps":$reps,"queries":${obj(results)(_.min)},""" +
       s""""median":${obj(results)(ts => ts(ts.length / 2))},""" +
       s""""spread":${obj(results)(ts => ts.max - ts.min)},""" +
-      s""""operators":${obj(opResults)(_.min)},"sf":"$sfDir"}""")
+      s""""contract_arms":${obj(armResults)(_.min)},""" +
+      s""""arm_median":${obj(armResults)(ts => ts(ts.length / 2))},""" +
+      s""""operators":${obj(opResults)(_.min)},"sf":"$sfDir"}"""
+    // the driver captures only the TAIL of long stdout lines (BENCH_r06:
+    // "parsed": null with a mid-object "tail") — so the durable artifact
+    // is a FILE, and stdout carries the same JSON for human eyes.
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (full + "\n").getBytes("UTF-8"))
+    println(full)
     spark.stop()
   }
 }

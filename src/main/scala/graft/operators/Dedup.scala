@@ -133,13 +133,14 @@ object Dedup {
   def minHashNearDupsAgainst(batch: DataFrame, corpusSigs: DataFrame,
                              idCol: String, textCol: String,
                              shingleN: Int = 2, numHashes: Int = 32,
-                             bands: Int = 8, estThreshold: Double = 0.3): DataFrame = {
+                             bands: Int = 8, estThreshold: Double = 0.3,
+                             materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
     crossNearDups(
       minHashSignatures(batch, idCol, textCol, shingleN, numHashes),
       corpusSigs, bandedSignatures(corpusSigs, bands, rows), bands, rows,
-      estThreshold)
+      estThreshold, materialize)
   }
 
   /** [[minHashNearDupsAgainst]] over the BUCKETED index tables written by
@@ -196,9 +197,14 @@ object Dedup {
     * hash partitioning survives into the join requirement. */
   private def crossNearDups(batchSigsRaw: DataFrame, corpusSigs: DataFrame,
                             bandedCorpus: DataFrame, bands: Int, rows: Int,
-                            estThreshold: Double): DataFrame = {
-    val batchSigs = batchSigsRaw
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                            estThreshold: Double,
+                            materialize: Boolean = true): DataFrame = {
+    // materialize=false keeps the lineage visible for plan audits (no
+    // persist/checkpoint side effects, runs no job) — graft.Plans only
+    val batchSigs =
+      if (materialize)
+        batchSigsRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else batchSigsRaw
     val pairs = bandedSignatures(batchSigs, bands, rows)
       .select(col("id").as("batch_id"), col("bucket"))
       .join(bandedCorpus.select(col("id").as("corpus_id"), col("bucket")),
@@ -215,9 +221,10 @@ object Dedup {
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("batch_id"), col("corpus_id"),
         round(col("est_jaccard"), 4).as("est_jaccard"))
-      .localCheckpoint(eager = true)
+    if (!materialize) return out
+    val mat = out.localCheckpoint(eager = true)
     batchSigs.unpersist()
-    out
+    mat
   }
 
   /** 64-bit SimHash per document — one row pass, no shuffle. */
