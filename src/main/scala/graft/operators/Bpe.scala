@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.tokens
+
+/** Distributed byte-pair-encoding tokenizer training (Sennrich et al.
+  * 2016) — the vocabulary-building step of a training-data pipeline,
+  * run over the corpus the engine just curated.
+  *
+  * The key scale property of BPE training is that after the first word
+  * count the corpus never appears again: merges operate on the WORD
+  * VOCABULARY table (word → corpus frequency), which grows sublinearly
+  * in corpus bytes (Heaps' law) — at 100 TB the vocab relation is
+  * typically 10^7–10^8 rows, a mid-size DataFrame, while the corpus
+  * stays untouched on disk. Each merge iteration is:
+  *
+  *  1. one codegen'd scan of the vocab table exploding adjacent symbol
+  *     pairs weighted by word frequency, into a hash aggregation with
+  *     map-side partial combine (the pair space is vocab-bounded);
+  *  2. a 1-row `orderBy(...).limit(1)` TakeOrdered — the argmax pair —
+  *     collected to the driver. This is a k-bounded driver action
+  *     (k = numMerges rows over the whole run), not a corpus collect;
+  *  3. a per-row fold rewriting each word's symbol array, merging the
+  *     chosen pair left-to-right without overlap (pure expression work).
+  *
+  * Lineage is capped with `localCheckpoint` every `checkpointEvery`
+  * merges — without it the plan nests `numMerges` folds and analysis
+  * time goes quadratic. Ties at the argmax break deterministically by
+  * (weight DESC, left ASC, right ASC), so training is reproducible and
+  * engine-independent.
+  *
+  * Encoding with the trained merges is [[encode]] — an expression chain
+  * of depth numMerges, appropriate for the tens-to-hundreds of merges a
+  * spec/analysis pass uses. A production 30k-merge vocabulary should
+  * not inline 30k folds into one expression tree (codegen/constant-pool
+  * limits — the Sampling.quotaCap when-chain lesson); route it through
+  * numMerges/checkpointEvery iterative scans of the corpus exactly like
+  * [[train]] rewrites the vocab, or a dedicated greedy-longest-match
+  * expression.
+  *
+  * Reference analog: none — the reference has no tokenizer surface;
+  * training-data north-star component. */
+object Bpe {
+
+  /** Lowercased whitespace-token frequencies — the corpus-to-vocab
+    * reduction every other step runs on. One scan, one hash agg. */
+  def wordCounts(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(lower(col(textCol)))).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("weight"))
+
+  /** Adjacent-pair frequencies of a symbol-array vocab table, weighted
+    * by word frequency. Overlapping occurrences all count (the
+    * classical get_stats semantics: "aaa" holds (a,a) twice). */
+  private[graft] def pairCounts(syms: DataFrame): DataFrame =
+    syms.select(col("weight"), explode(
+        when(size(col("syms")) >= 2,
+          transform(sequence(lit(0), size(col("syms")) - 2),
+            j => struct(get(col("syms"), j).as("a"),
+              get(col("syms"), j + 1).as("b"))))
+          .otherwise(array().cast("array<struct<a:string,b:string>>"))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(sum(col("weight")).as("w"))
+
+  /** Merge every non-overlapping left-to-right occurrence of the
+    * adjacent pair (a, b) in a symbol array into the single symbol
+    * `a+b` — one per-row fold, no shuffle. The skip flag implements the
+    * non-overlap rule: after a merge the right member cannot start
+    * another ("aaa" + (a,a) → ["aa", "a"]).
+    *
+    * The input is bound ONCE to a lambda variable (`transform` over a
+    * 1-element array) before the fold references it: Catalyst
+    * expressions are trees, not DAGs, so referencing a nested child
+    * column k times multiplies the subtree k-fold — chaining merges
+    * (exactly what [[encode]] and [[train]] do) would otherwise grow
+    * the expression ~5^merges and OOM the analyzer at a dozen merges.
+    * Bound through the lambda leaf, each chained merge adds constant
+    * size. */
+  private[graft] def mergeAdjacent(syms: Column, a: String, b: String): Column = {
+    val merged = lit(a + b)
+    element_at(transform(array(syms), s =>
+      when(size(s) < 2, s).otherwise(
+        aggregate(sequence(lit(0), size(s) - 1),
+          struct(array().cast("array<string>").as("out"), lit(false).as("skip")),
+          (st, i) => {
+            val cur = get(s, i)
+            val nxt = get(s, i + 1) // null past the end -> condition falls through
+            when(st.getField("skip"),
+              struct(st.getField("out").as("out"), lit(false).as("skip")))
+              .when(cur === lit(a) && nxt === lit(b),
+                struct(concat(st.getField("out"), array(merged)).as("out"),
+                  lit(true).as("skip")))
+              .otherwise(
+                struct(concat(st.getField("out"), array(cur)).as("out"),
+                  lit(false).as("skip")))
+          },
+          st => st.getField("out")))), lit(1))
+  }
+
+  /** Train `numMerges` BPE merges over a (word, frequency) table; stops
+    * early when the best remaining pair's corpus frequency drops below
+    * `minPairCount` (merging a once-seen pair never helps a tokenizer).
+    * Returns the ordered merge table (rank, left, right) — rank 1 is
+    * the first, highest-frequency merge. Deterministic (see object
+    * scaladoc for the tie rule and the per-iteration plan shape). */
+  def train(words: DataFrame, wordCol: String, weightCol: String,
+            numMerges: Int, minPairCount: Long = 2L,
+            checkpointEvery: Int = 8): DataFrame = {
+    require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
+    val spark = words.sparkSession
+    import spark.implicits._
+    var syms = words
+      .select(split(col(wordCol), "").as("syms"),
+        col(weightCol).cast("long").as("weight"))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    var done = false
+    while (merges.size < numMerges && !done) {
+      val top = pairCounts(syms)
+        .orderBy(col("w").desc, col("a"), col("b")).limit(1).collect()
+      if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
+      else {
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
+        merges += ((merges.size + 1, a, b))
+        syms = syms.withColumn("syms", mergeAdjacent(col("syms"), a, b))
+        if (merges.size % checkpointEvery == 0) syms = syms.localCheckpoint(true)
+      }
+    }
+    merges.toSeq.toDF("rank", "left", "right")
+  }
+
+  /** Encode one word column with a trained merge list, applying merges
+    * in rank order (the BPE inference rule). Expression depth =
+    * merges.size — see the object scaladoc for the large-vocab route. */
+  def encode(word: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(split(word, ""): Column) {
+      case (s, (a, b)) => mergeAdjacent(s, a, b)
+    }
+
+  /** Collect a merge table back to the rank-ordered (left, right) list
+    * [[encode]] consumes — numMerges rows, a k-bounded driver action. */
+  def collectMerges(merges: DataFrame): Seq[(String, String)] =
+    merges.orderBy(col("rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+}

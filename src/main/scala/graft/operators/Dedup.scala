@@ -947,4 +947,162 @@ object Dedup {
   private def qgramArray(str: org.apache.spark.sql.Column, q: Int) =
     transform(sequence(lit(1), length(str) - (q - 1)),
       i => str.substr(i, lit(q)))
+
+  // -------------------------------------------------------------------
+  // Sub-document granularities: paragraphs and raw character spans
+  // -------------------------------------------------------------------
+
+  /** Paragraph-granularity exact dedup with KEEP-FIRST semantics — the
+    * Dolma-style pass between document dedup ([[fingerprints]]) and line
+    * removal ([[Curation.removeBoilerplateLines]]): a paragraph
+    * (normalized: whitespace-collapsed, lowercased, hashed — the
+    * [[fingerprints]] identity at paragraph grain) is kept only at its
+    * FIRST corpus occurrence ordered by (id, position); every later copy
+    * is deleted from its document. Unlike line removal (which deletes
+    * ALL copies past a df threshold), keep-first preserves exactly one
+    * copy of shared content. Paragraphs whose normalized form is empty
+    * carry no content identity and are always kept (document structure,
+    * not duplication).
+    *
+    * Output: one row per input document — `n_paras`, `n_kept`,
+    * `clean_text` (surviving paragraphs, original order and bytes,
+    * re-joined with `sep`); documents losing every paragraph survive
+    * with empty text.
+    *
+    * Plan shape, and why it survives 100 TB:
+    *  1. posexplode on the separator — map-side;
+    *  2. the keep-first winner per paragraph key is ONE hash aggregation
+    *     `min(struct(id, pos))` — partial map-side combine ships
+    *     (16-byte key, 12-byte winner) per map-task-distinct paragraph,
+    *     never paragraph text, and a million-copy boilerplate paragraph
+    *     costs one agg cell, not a sorted window partition;
+    *  3. winners join back on the key (AQE promotes the filtered winner
+    *     relation to broadcast when it fits; the shuffle join keyed on
+    *     the 16-byte hash is the at-scale fallback);
+    *  4. per-document reassembly is the [[Curation.removeBoilerplateLines]]
+    *     collect_list/array_sort shape — bounded by one document's
+    *     paragraph count, the bound every scan of the row already pays.
+    *
+    * Reference analog: none (the reference pipes text through engine SQL
+    * untouched) — training-data north-star surface. */
+  def dedupParagraphs(docs: DataFrame, idCol: String, textCol: String,
+                      sep: String = "\n\n"): DataFrame = {
+    val id = col(idCol)
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val paras = docs
+      .select(id, posexplode(split(col(textCol), qsep)).as(Seq("pos", "para")))
+      .withColumn("norm", lower(trim(regexp_replace(col("para"), "\\s+", " "))))
+      .withColumn("pkey", md5(col("norm")))
+    // min_by (ObjectHashAggregate) rather than min(struct) (SortAggregate):
+    // same winner, hash-based partial combine without per-task sorts
+    val winners = paras.filter(length(col("norm")) > 0)
+      .groupBy(col("pkey"))
+      .agg(min_by(
+        struct(id.cast("long").as("w_id"), col("pos").cast("long").as("w_pos")),
+        struct(id.cast("long"), col("pos").cast("long"))).as("w"))
+      .select(col("pkey"), col("w.w_id").as("w_id"), col("w.w_pos").as("w_pos"))
+    val kept = paras.join(winners, Seq("pkey"), "left")
+      .filter(col("w_id").isNull ||
+        (id.cast("long") === col("w_id") &&
+          col("pos").cast("long") === col("w_pos")))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e.getField("para")), sep).as("clean_text"))
+    docs.select(id, size(split(col(textCol), qsep)).cast("long").as("n_paras"))
+      .join(kept, Seq(idCol), "left")
+      .select(id, col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
+  /** Exact repeated-substring removal — the Lee et al. 2021
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * suffix-array pass re-expressed as a shuffle-friendly relational
+    * plan: delete every MAXIMAL character span all of whose
+    * length-`gramLen` windows occur more than once in the corpus
+    * (including a second time in the same document). A span qualifying
+    * under this rule is verbatim-repeated gram by gram, which is the
+    * distributed approximation of "substring of length >= gramLen
+    * appearing twice" that gram-granularity blocking can certify without
+    * building a corpus-wide suffix array.
+    *
+    * Output: one row per document — `n_chars`, `n_spans` (maximal
+    * removed spans), `n_removed` (characters deleted), `clean_text`
+    * (the document with removed ranges cut out, remaining bytes
+    * untouched). All copies of a repeated span are removed (the Lee et
+    * al. semantics); pair it with [[dedupParagraphs]] when one surviving
+    * copy is wanted at a coarser grain.
+    *
+    * Plan shape, and why it survives 100 TB:
+    *  1. postings (id, pos, 16-byte md5 of the char gram) — one per
+    *     character, built per-row by a codegen'd transform (`substr`
+    *     with column offsets), no join against exploded characters;
+    *  2. the duplicate census is a hash agg on the 16-byte key with
+    *     map-side partial combine, then a semi-join of postings against
+    *     the (data-dependent, unhinted — AQE promotes) duplicated-key
+    *     set. This is the one O(corpus-bytes) shuffle, inherent to the
+    *     semantics: every window must be checked against every other;
+    *  3. duplicated positions aggregate per document (sort_array over a
+    *     per-doc-bounded list — duplicate positions only, typically a
+    *     tiny fraction of bytes) and join back by id; span merge,
+    *     removal counting and the string surgery are then pure per-row
+    *     fold expressions (`aggregate` HOFs) — no per-character rows
+    *     ever shuffle, unlike the naive formulation that windows over
+    *     an exploded character table twice.
+    *
+    * The 16-byte key keeps gram-hash collisions negligible at 10^14
+    * grams (p ~ 10^-11); an 8-byte key would collide at that scale and
+    * silently delete non-duplicated text. */
+  def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
+                          gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val id = col(idCol)
+    val text = col(textCol)
+    val n = length(text)
+    val posting = docs.select(id,
+        explode(when(n >= gramLen,
+          transform(sequence(lit(1), n - (gramLen - 1)),
+            p => struct(p.cast("int").as("pos"),
+              unhex(md5(text.substr(p, lit(gramLen)))).as("g"))))
+          .otherwise(array().cast("array<struct<pos:int,g:binary>>"))).as("pg"))
+      .select(id, col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val dupKeys = posting.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val dupPos = posting.join(dupKeys, Seq("g"), "left_semi")
+      .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
+    // merge sorted duplicated window starts into maximal covered spans:
+    // window at p covers [p, p+L-1]; runs are contiguous when the next
+    // start is <= current end + 1 (adjacent coverage = one maximal span)
+    val spans = aggregate(
+      coalesce(col("dps"), array().cast("array<int>")),
+      array().cast("array<struct<s:int,e:int>>"),
+      (acc, p) => {
+        val last = try_element_at(acc, lit(-1))
+        when(p <= last.getField("e") + 1,
+          concat(slice(acc, lit(1), size(acc) - 1),
+            array(struct(last.getField("s").as("s"),
+              (p + (gramLen - 1)).as("e")))))
+          .otherwise(concat(acc,
+            array(struct(p.as("s"), (p + (gramLen - 1)).as("e")))))
+      })
+    docs.join(dupPos, Seq(idCol), "left")
+      .withColumn("__spans", spans)
+      .select(id, n.cast("long").as("n_chars"),
+        size(col("__spans")).cast("long").as("n_spans"),
+        aggregate(col("__spans"), lit(0L),
+          (a, sp) => a + (sp.getField("e") - sp.getField("s") + 1)
+            .cast("long")).as("n_removed"),
+        aggregate(col("__spans"),
+          struct(lit(1).as("cur"), lit("").as("acc")),
+          (st, sp) => struct(
+            (sp.getField("e") + 1).as("cur"),
+            concat(st.getField("acc"),
+              text.substr(st.getField("cur"),
+                sp.getField("s") - st.getField("cur"))).as("acc")),
+          st => concat(st.getField("acc"),
+            text.substr(st.getField("cur"), n - st.getField("cur") + 1)))
+          .as("clean_text"))
+  }
 }

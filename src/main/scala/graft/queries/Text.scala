@@ -648,6 +648,87 @@ object Text extends QueryPack {
       // q-invariant, so the auto route is exactly what this gate proves.
       Dedup.editDistancePairs(corpus, "id", "t", maxDist = 1)
         .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- paragraph-granularity KEEP-FIRST dedup (the Dolma-style pass:
+    //    one surviving copy of shared content, later copies deleted) —
+    //    vs text_line_dedup's df-threshold delete-all. The single-line
+    //    synthetic corpus gets deterministic paragraph structure seeded
+    //    (same construction in the oracle): a shared intro on id%5, a
+    //    shared disclaimer on id%3 — the global first occurrence of each
+    //    survives, every later copy drops; naturally identical document
+    //    bodies dedup the same way. Winner selection is ONE min(struct)
+    //    hash agg (map-side combine; no window) — plan + 100 TB notes at
+    //    [[graft.operators.Dedup.dedupParagraphs]].
+    "text_paragraph_dedup" -> ((s, dir) => {
+      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("Welcome to the example archive of shared documents.\n\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nAll documents are provided as-is without warranty."))
+            .otherwise(lit(""))).as("text"))
+      Dedup.dedupParagraphs(seeded, "doc_id", "text")
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- exact repeated-substring (span) removal — the Lee et al. 2021
+    //    suffix-array pass as a relational plan: every maximal character
+    //    span whose length-20 windows all repeat somewhere in the corpus
+    //    is cut from every document holding it. Seeded duplicated
+    //    sentences on id%6 / id%11 guarantee exactly-computable spans;
+    //    the low-entropy synthetic text also repeats naturally, which the
+    //    oracle (an independent per-character window formulation — the
+    //    operator itself never explodes characters) recomputes
+    //    identically. Plan + 100 TB notes at
+    //    [[graft.operators.Dedup.removeRepeatedSpans]].
+    "text_span_dedup" -> ((s, dir) => {
+      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0,
+            lit(" Exactly repeated boilerplate sentence planted for span removal."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" Another verbatim duplicated fragment appearing across documents."))
+            .otherwise(lit(""))).as("text"))
+      Dedup.removeRepeatedSpans(seeded, "doc_id", "text", gramLen = 20)
+        .select(col("doc_id"), col("n_chars"), col("n_spans"), col("n_removed"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- distributed BPE tokenizer training over the corpus vocabulary
+    //    (Sennrich et al. 2016): 24 merges, deterministic (weight DESC,
+    //    pair ASC tie rule). Iterative argmax is not SQL-expressible →
+    //    rows-only driver check (LSH-candidate precedent); the semantics
+    //    gate is BpeSpec's independent naive reimplementation. Plan
+    //    shape + the vocab-not-corpus scale argument:
+    //    [[graft.operators.Bpe]].
+    "text_bpe_train" -> ((s, dir) => {
+      import graft.operators.Bpe
+      Bpe.train(Bpe.wordCounts(Tables(s, dir, "documents"), "text"),
+          "word", "weight", numMerges = 24)
+        .orderBy(col("rank"))
+    }),
+
+    // -- BPE encoding with the trained merges: piece frequencies over the
+    //    corpus. Encodes each DISTINCT word once (vocab-bounded fold
+    //    work) and weighs by word frequency — never re-tokenizes corpus
+    //    rows. Rows-only check (depends on the trained merge list).
+    "text_bpe_encode" -> ((s, dir) => {
+      import graft.operators.Bpe
+      val wc = Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+      val merges = Bpe.collectMerges(
+        Bpe.train(wc, "word", "weight", numMerges = 12))
+      wc.select(explode(Bpe.encode(col("word"), merges)).as("piece"),
+          col("weight"))
+        .groupBy(col("piece")).agg(sum(col("weight")).as("cnt"))
+        .orderBy(col("cnt").desc, col("piece"))
+        .limit(30)
     })
   )
 
@@ -1106,6 +1187,69 @@ object Text extends QueryPack {
         |  ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) AS jaccard
         |FROM inter JOIN sz sa ON sa.doc_id = id_a JOIN sz sb ON sb.doc_id = id_b
         |WHERE ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 4) >= 0.8
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // identical seeding as the Spark side; keep-first winner via a
+    // ROW_NUMBER window over the normalized paragraph identity (the
+    // operator's min(struct) agg — same winner by construction);
+    // empty-normalized paragraphs always kept
+    "text_paragraph_dedup" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Welcome to the example archive of shared documents.' || chr(10) || chr(10) ELSE '' END
+        |  || text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'All documents are provided as-is without warranty.' ELSE '' END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id,
+        |  UNNEST(string_split(text, chr(10) || chr(10))) AS para,
+        |  UNNEST(range(len(string_split(text, chr(10) || chr(10))))) AS pos FROM corpus),
+        |k AS (SELECT doc_id, pos, para,
+        |  lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) AS norm FROM p),
+        |w AS (SELECT doc_id, pos, para,
+        |  CASE WHEN norm = '' THEN 1
+        |       WHEN ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) = 1 THEN 1
+        |       ELSE 0 END AS keep FROM k),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean
+        |  FROM w WHERE keep = 1 GROUP BY doc_id)
+        |SELECT c.doc_id,
+        |  CAST(len(string_split(c.text, chr(10) || chr(10))) AS BIGINT) AS n_paras,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(r.clean, '')) AS clean_fp
+        |FROM corpus c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // identical seeding as the Spark side, INDEPENDENT formulation: the
+    // oracle marks duplicated 20-gram start positions, spreads coverage
+    // per character with a 19-row trailing window max, counts span
+    // starts via LAG, and reassembles kept characters with an ordered
+    // string_agg — no interval merge, so it cross-checks the operator's
+    // per-row span-fold surgery rather than restating it
+    "text_span_dedup" ->
+      """WITH corpus AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 6 = 0 THEN ' Exactly repeated boilerplate sentence planted for span removal.' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' Another verbatim duplicated fragment appearing across documents.' ELSE '' END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, UNNEST(range(1, len(text) - 18)) AS pos, text
+        |  FROM corpus WHERE len(text) >= 20),
+        |g AS (SELECT doc_id, pos, substr(text, pos, 20) AS gram FROM p),
+        |d AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1) WHERE c > 1),
+        |dp AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN d USING (gram)),
+        |ch AS (SELECT doc_id, UNNEST(range(1, len(text) + 1)) AS pos, text FROM corpus),
+        |c2 AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS ck,
+        |  CASE WHEN dp.pos IS NULL THEN 0 ELSE 1 END AS f
+        |  FROM ch LEFT JOIN dp ON ch.doc_id = dp.doc_id AND ch.pos = dp.pos),
+        |w AS (SELECT doc_id, pos, ck,
+        |  MAX(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cov FROM c2),
+        |w2 AS (SELECT doc_id, pos, ck, cov,
+        |  CASE WHEN cov = 1 AND COALESCE(LAG(cov) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |       THEN 1 ELSE 0 END AS st FROM w),
+        |r AS (SELECT doc_id, SUM(st) AS n_spans, SUM(cov) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN cov = 0 THEN ck END, '' ORDER BY pos), '')) AS clean_fp
+        |  FROM w2 GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.text) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(r.clean_fp, md5('')) AS clean_fp
+        |FROM corpus c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
   )
 }

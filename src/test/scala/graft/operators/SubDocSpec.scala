@@ -1,0 +1,194 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Sub-document-granularity dedup (paragraph keep-first, repeated-span
+  * removal) and BPE training — each operator checked against an
+  * INDEPENDENT naive single-node reimplementation on fixtures that hit
+  * the edge geometry (overlapping/adjacent spans, all-duplicate
+  * documents, empty paragraphs, sub-gram-length documents, overlapping
+  * BPE pairs). */
+class SubDocSpec extends SparkSpec {
+
+  // ----------------------------------------------------------------
+  // dedupParagraphs
+  // ----------------------------------------------------------------
+
+  private def naiveParagraphs(docs: Seq[(Long, String)], sep: String)
+      : Map[Long, (Long, Long, String)] = {
+    val seen = scala.collection.mutable.Set.empty[String]
+    docs.sortBy(_._1).map { case (id, t) =>
+      val paras = t.split(java.util.regex.Pattern.quote(sep), -1)
+      val kept = paras.filter { p =>
+        val norm = p.replaceAll("\\s+", " ").trim.toLowerCase
+        norm.isEmpty || seen.add(norm)
+      }
+      id -> ((paras.length.toLong, kept.length.toLong, kept.mkString(sep)))
+    }.toMap
+  }
+
+  test("dedupParagraphs keeps exactly the first occurrence of each paragraph") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma\n\nshared footer text\n\nunique one",
+      2L -> "shared footer text\n\ndelta epsilon",
+      // same paragraph twice WITHIN one doc: second copy drops
+      3L -> "unique two\n\nunique two\n\nShared  Footer   TEXT",
+      // empty paragraph (a\n\n\n\nb) is structure, always kept
+      4L -> "head\n\n\n\ntail",
+      // document that loses everything
+      5L -> "shared footer text")
+    val expected = naiveParagraphs(docs, "\n\n")
+    val got = Dedup.dedupParagraphs(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === expected)
+    // spot-check the semantics directly
+    assert(got(2L)._3 === "delta epsilon")
+    assert(got(3L)._3 === "unique two") // intra-doc copy + normalized copy drop
+    assert(got(4L) === ((3L, 3L, "head\n\n\n\ntail")))
+    assert(got(5L) === ((1L, 0L, "")))
+  }
+
+  // ----------------------------------------------------------------
+  // removeRepeatedSpans
+  // ----------------------------------------------------------------
+
+  private def naiveSpans(docs: Seq[(Long, String)], gramLen: Int)
+      : Map[Long, (Long, Long, Long, String)] = {
+    val counts = scala.collection.mutable.Map.empty[String, Int]
+    for ((_, t) <- docs; i <- 0 to t.length - gramLen)
+      counts.updateWith(t.substring(i, i + gramLen))(c => Some(c.getOrElse(0) + 1))
+    docs.map { case (id, t) =>
+      val cov = Array.fill(t.length)(false)
+      for (i <- 0 to t.length - gramLen
+           if counts(t.substring(i, i + gramLen)) > 1; j <- i until i + gramLen)
+        cov(j) = true
+      val clean = t.zipWithIndex.collect { case (c, j) if !cov(j) => c }.mkString
+      val nSpans = cov.zipWithIndex.count { case (c, j) => c && (j == 0 || !cov(j - 1)) }
+      id -> ((t.length.toLong, nSpans.toLong, cov.count(identity).toLong, clean))
+    }.toMap
+  }
+
+  test("removeRepeatedSpans equals the per-character naive formulation") {
+    val sp = spark
+    import sp.implicits._
+    val shared = "0123456789ABCDEFGHIJ" // exactly gramLen chars
+    val docs = Seq(
+      1L -> s"prefix one $shared middle $shared suffix", // two spans, same doc repeat
+      2L -> s"${shared}head then unrelated tail",        // span at position 1
+      3L -> s"tail case ends with the block $shared",    // span at the end
+      4L -> "short",                                     // below gram length
+      5L -> shared,                                      // entire doc duplicated
+      6L -> "no repeats here at all - unique text body.",
+      // overlapping repeated windows merge into ONE maximal span
+      7L -> s"AB$shared${shared}YZ",
+      8L -> s"CD$shared${shared}WX")
+    val expected = naiveSpans(docs, 20)
+    val got = Dedup.removeRepeatedSpans(docs.toDF("doc_id", "text"),
+        "doc_id", "text", gramLen = 20)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got === expected)
+    assert(got(4L) === ((5L, 0L, 0L, "short"))) // sub-gram doc untouched
+    assert(got(5L)._4 === "")                   // fully-duplicated doc emptied
+    assert(got(7L)._2 === 1L)                   // overlapping windows: one span
+  }
+
+  // ----------------------------------------------------------------
+  // Bpe
+  // ----------------------------------------------------------------
+
+  private def naiveMergeList(s: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < s.length) {
+      if (i + 1 < s.length && s(i) == a && s(i + 1) == b) { out += (a + b); i += 2 }
+      else { out += s(i); i += 1 }
+    }
+    out.toList
+  }
+
+  private def naiveBpe(words: Map[String, Long], numMerges: Int,
+                       minPair: Long): Seq[(String, String)] = {
+    var vocab: Map[List[String], Long] =
+      words.map { case (w, c) => (w.split("").toList, c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      for ((syms, c) <- vocab; i <- 0 until syms.length - 1)
+        counts.updateWith((syms(i), syms(i + 1)))(v => Some(v.getOrElse(0L) + c))
+      val best = counts.toSeq.sortBy { case ((a, b), w) => (-w, a, b) }.headOption
+      best match {
+        case Some(((a, b), w)) if w >= minPair =>
+          out += ((a, b))
+          vocab = vocab.map { case (syms, c) => (naiveMergeList(syms, a, b), c) }
+        case _ => done = true
+      }
+    }
+    out.toSeq
+  }
+
+  test("mergeAdjacent applies the non-overlap left-to-right rule") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(
+      Seq("a", "a", "a"),             // overlap: -> [aa, a]
+      Seq("a", "a", "a", "a"),        // -> [aa, aa]
+      Seq("b", "a", "a", "b"),        // -> [b, aa, b]
+      Seq("a"), Seq.empty[String]).toDF("syms")
+    val got = df.select(Bpe.mergeAdjacent(col("syms"), "a", "a").as("m"))
+      .collect().map(_.getSeq[String](0).toList)
+    assert(got.toList === List(
+      List("aa", "a"), List("aa", "aa"), List("b", "aa", "b"),
+      List("a"), Nil))
+  }
+
+  test("train matches the naive reference merge-for-merge, ties included") {
+    val sp = spark
+    import sp.implicits._
+    // 'low/lower/lowest/new/newest/wide/widest' - the classic BPE corpus,
+    // with weights forcing both clear winners and lexicographic ties
+    val words = Map(
+      "low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+      "new" -> 6L, "newest" -> 3L, "wide" -> 3L, "widest" -> 2L)
+    val expected = naiveBpe(words, numMerges = 10, minPair = 2L)
+    val got = Bpe.collectMerges(
+      Bpe.train(words.toSeq.toDF("word", "weight"), "word", "weight",
+        numMerges = 10, minPairCount = 2L, checkpointEvery = 3))
+    assert(got === expected)
+    assert(got.nonEmpty)
+  }
+
+  test("train stops early when no pair reaches minPairCount") {
+    val sp = spark
+    import sp.implicits._
+    val words = Seq(("ab", 1L), ("cd", 1L)).toDF("word", "weight")
+    val merges = Bpe.train(words, "word", "weight", numMerges = 5,
+      minPairCount = 2L)
+    assert(merges.count() === 0L)
+  }
+
+  test("encode applies trained merges in rank order over distinct words") {
+    val sp = spark
+    import sp.implicits._
+    val words = Map("low" -> 5L, "lowest" -> 6L, "newest" -> 3L)
+    val merges = naiveBpe(words, numMerges = 4, minPair = 2L)
+    val got = Seq("lowest", "slow", "xyz").toDF("word")
+      .select(col("word"), Bpe.encode(col("word"), merges).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    val naive = Map(
+      "lowest" -> merges.foldLeft("lowest".split("").toList) {
+        case (s, (a, b)) => naiveMergeList(s, a, b) },
+      "slow" -> merges.foldLeft("slow".split("").toList) {
+        case (s, (a, b)) => naiveMergeList(s, a, b) },
+      "xyz" -> merges.foldLeft("xyz".split("").toList) {
+        case (s, (a, b)) => naiveMergeList(s, a, b) })
+    assert(got === naive)
+  }
+}
