@@ -129,6 +129,45 @@ object ScaleProbe {
     base.unionAll(dups)
   }
 
+  /** Replica i of the sub-document probe corpus (round 7: span removal,
+    * paragraph keep-first, BPE): n documents of 12 unique 6-char md5
+    * filler tokens, a shared boilerplate SENTENCE appended inside the
+    * first paragraph on every 4th doc, and a shared second PARAGRAPH on
+    * every 3rd doc. Every token carries the fixed-width `_q<ii>` salt of
+    * `saltI`, so replicas are WINDOW-ISOMORPHIC: the underlying chars are
+    * identical across replicas and only the salt digit varies, hence two
+    * character windows match within replica i iff their counterparts
+    * match within replica 0 (digit substitution is invertible on whole
+    * windows) — per-replica span/paragraph answers are EXACTLY replica
+    * 0's. Cross-replica, every 20-char window contains at least one
+    * varying salt digit (max token period 16 chars < 21), so replicas are
+    * fully decoupled and K-replica answers are exactly K x the 1x answer
+    * — the deterministic scale signal. `offsetI` keys the id offset
+    * separately so exact-copy replication (BPE's scale-invariance probe)
+    * can reuse the builder with saltI fixed. Fully distributed (expr over
+    * spark.range — no driver rows). */
+  def subdocReplica(spark: SparkSession, n: Long, saltI: Int,
+                    offsetI: Int): DataFrame = {
+    val sfx = f"_q$saltI%02d"
+    def sent(s: String) = s.split(" ").map(_ + sfx).mkString(" ")
+    val filler = "array_join(transform(sequence(0, 11), " +
+      "j -> concat(substring(md5(concat('f:', cast(id as string), ':', " +
+      s"cast(j as string))), 1, 6), '$sfx')), ' ')"
+    val shared1 =
+      sent("the shared boilerplate sentence repeated verbatim across documents")
+    val shared2 = sent("subscribe to our newsletter for updates and offers")
+    spark.range(n).select(
+      (col("id") + lit(offsetI * IdStride)).as("doc_id"),
+      expr(s"concat($filler, " +
+        s"CASE WHEN id % 4 = 0 THEN concat(' ', '$shared1') ELSE '' END, " +
+        s"CASE WHEN id % 3 = 0 THEN concat('\\n\\n', '$shared2') ELSE '' END)")
+        .as("text"))
+  }
+
+  /** K decoupled (salted) replicas of the sub-document corpus. */
+  def subdocCorpus(spark: SparkSession, n: Long, k: Int): DataFrame =
+    (0 until k).map(i => subdocReplica(spark, n, i, i)).reduce(_ unionAll _)
+
   /** Gram length for an n-title edit-distance run: q must grow with the
     * corpus so the gram space (alphabet^q) outpaces posting-list density —
     * at FIXED q, postings densify ∝ n and candidates go ∝ n²/alphabet^q
@@ -435,7 +474,17 @@ object ScaleProbe {
       * see PipelineHarness scaladoc) — real drift means a stage
       * interaction broke, exactly what per-stage probes can't see. */
     def pipelineProbe(tag: String, k: Int): Unit = {
-      val c = PipelineHarness.corpus(spark, src, k)
+      // materialize the K-replica corpus to parquet first: a real 100 TB
+      // corpus is FILES, not a K-way union of seeded-text expression
+      // trees — left lazy, the harness's 100-branch plan rides into
+      // EVERY stage of the composed pipeline (the corpus is referenced
+      // by the gate, the line-removal join-back, the signature pass and
+      // the eval-shingle derivation), serializing ~30 MiB task binaries
+      // per stage and OOMing the shared local[32] heap at 100x
+      val dst = s"/tmp/graft-scale-pipe-$tag"
+      PipelineHarness.corpus(spark, src, k)
+        .write.mode("overwrite").parquet(s"$dst/documents.parquet")
+      val c = spark.read.parquet(s"$dst/documents.parquet")
       val table = s"pipe_idx_$tag"
       t(s"pipeline_index_$tag") {
         PipelineHarness.ensureIndex(spark, c, table)
@@ -443,6 +492,33 @@ object ScaleProbe {
       }
       t(s"pipeline_$tag")(
         PipelineHarness.run(spark, c, table, targetTotal = 1000L).count())
+    }
+
+    /** Sub-document granularity operators (round 7) on the window-
+      * isomorphic salted-replica corpus: span removal and paragraph
+      * keep-first report their aggregate ANSWER (removed chars / kept
+      * paragraphs) as the rows signal — exactly K-linear by the
+      * [[subdocReplica]] isomorphism argument, gated in ScaleSpec; BPE
+      * trains on EXACT-copy replication (uniform K x weights), where the
+      * merge sequence is scale-invariant and the cost after the word
+      * count is vocab-bound, not corpus-bound. */
+    def subdocProbe(tag: String, k: Int): Unit = {
+      import graft.operators.Bpe
+      val c = subdocCorpus(spark, 5000L, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      t(s"span_dedup_$tag")(
+        Dedup.removeRepeatedSpans(c, "doc_id", "text", gramLen = 20)
+          .agg(sum(col("n_removed"))).head().getLong(0))
+      t(s"paragraph_dedup_$tag")(
+        Dedup.dedupParagraphs(c, "doc_id", "text")
+          .agg(sum(col("n_kept"))).head().getLong(0))
+      c.unpersist()
+      val copies = (0 until k).map(i => subdocReplica(spark, 5000L, 0, i))
+        .reduce(_ unionAll _)
+      t(s"bpe_train_$tag")(
+        Bpe.train(Bpe.wordCounts(copies, "text"), "word", "weight",
+          numMerges = 8).count())
     }
 
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
@@ -518,6 +594,12 @@ object ScaleProbe {
       ks.foreach(k => pipelineProbe(s"${k}x", k))
       spark.stop(); return
     }
+    val onlySubdoc = probeOnly.contains("subdoc")
+    if (onlySubdoc) {
+      subdocProbe("1x", 1)
+      ks.foreach(k => subdocProbe(s"${k}x", k))
+      spark.stop(); return
+    }
     val onlyStream = probeOnly.contains("stream")
     if (onlyStream) {
       streamProbe("1x", docs1)
@@ -542,6 +624,7 @@ object ScaleProbe {
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
       curationProbe("1x", 1, docs1)
       pipelineProbe("1x", 1)
+      subdocProbe("1x", 1)
     }
     if (!onlyBloom) { incrProbe("1x", docs1); streamProbe("1x", docs1) }
     if (!onlyIncr) bloomProbe("1x", docs1)
@@ -556,6 +639,7 @@ object ScaleProbe {
         ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
         curationProbe(s"${k}x", k, docsK)
         pipelineProbe(s"${k}x", k)
+        subdocProbe(s"${k}x", k)
       }
       if (!onlyBloom) { incrProbe(s"${k}x", docsK); streamProbe(s"${k}x", docsK) }
       if (!onlyIncr) bloomProbe(s"${k}x", docsK)

@@ -315,4 +315,77 @@ class ScaleSpec extends SparkSpec {
     assert(rem1 == expected(docs1), s"1x removed $rem1 != seeded ${expected(docs1)}")
     assert(rem5 == expected(docs5), s"5x removed $rem5 != seeded ${expected(docs5)}")
   }
+
+  test("span removal and paragraph keep-first replicate exactly across decoupled replicas") {
+    import org.apache.spark.sql.functions.{col, sum}
+    // window-isomorphic salted replicas (ScaleProbe.subdocReplica): the
+    // per-replica answer is EXACTLY replica 0's and replicas are char-
+    // decoupled, so the K-replica aggregate must be exactly K x the 1x
+    // aggregate — any drift means cross-replica gram/paragraph leakage or
+    // a broken dup census. Deterministic, box-speed-immune.
+    val c1 = ScaleProbe.subdocCorpus(spark, 2000L, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c5 = ScaleProbe.subdocCorpus(spark, 2000L, 5)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def spans(df: org.apache.spark.sql.DataFrame): (Long, Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = graft.operators.Dedup
+          .removeRepeatedSpans(df, "doc_id", "text", gramLen = 20)
+          .agg(sum(col("n_removed")), sum(col("n_spans"))).head()
+        (r.getLong(0), r.getLong(1), (System.nanoTime() - t0) / 1e9)
+      }
+      def paras(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val r = graft.operators.Dedup.dedupParagraphs(df, "doc_id", "text")
+          .agg(sum(col("n_kept"))).head()
+        (r.getLong(0), (System.nanoTime() - t0) / 1e9)
+      }
+      spans(c1); paras(c1) // warm, unmeasured
+      val (rem1, sp1, ts1) = spans(c1)
+      val (rem5, sp5, ts5) = spans(c5)
+      val (kept1, tp1) = paras(c1)
+      val (kept5, tp5) = paras(c5)
+      info(f"span 1x: removed=$rem1 spans=$sp1 in $ts1%.2f s; 5x: removed=$rem5 spans=$sp5 in $ts5%.2f s")
+      info(f"para 1x: kept=$kept1 in $tp1%.2f s; 5x: kept=$kept5 in $tp5%.2f s")
+      assert(rem1 > 0 && sp1 > 0, "span probe found nothing — seeding broke")
+      assert(rem5 == 5 * rem1, s"removed chars must be exactly 5x: $rem1 -> $rem5")
+      assert(sp5 == 5 * sp1, s"span count must be exactly 5x: $sp1 -> $sp5")
+      // paragraph keep-first: each doc keeps its unique filler paragraph;
+      // the shared paragraph survives once per replica (salt-distinct
+      // across replicas) — kept = n + 1 per replica, exactly
+      assert(kept1 == 2001L, s"1x kept $kept1 != n + 1 = 2001")
+      assert(kept5 == 5 * kept1, s"kept must be exactly 5x: $kept1 -> $kept5")
+      val bound = 12.0 * math.max(math.max(ts1, tp1), 0.3)
+      assert(ts5 < bound && tp5 < bound,
+        f"5x walls $ts5%.1f/$tp5%.1f s exceed bound $bound%.1f s")
+    } finally { c1.unpersist(); c5.unpersist() }
+  }
+
+  test("BPE merge sequence is scale-invariant under exact-copy replication") {
+    import graft.operators.Bpe
+    // K exact copies multiply every word weight by K uniformly, so the
+    // per-merge argmax — and hence the whole merge table — must be
+    // IDENTICAL at every tier; the post-word-count cost is vocabulary-
+    // bound, not corpus-bound (the Heaps'-law scale argument in the Bpe
+    // scaladoc). Deterministic signal: table equality, plus the 12x wall
+    // tripwire on the corpus-side word count.
+    def corpus(k: Int) = (0 until k)
+      .map(i => ScaleProbe.subdocReplica(spark, 2000L, 0, i))
+      .reduce(_ unionAll _)
+    def train(k: Int): (Seq[(String, String)], Double) = {
+      val t0 = System.nanoTime()
+      val m = Bpe.collectMerges(Bpe.train(
+        Bpe.wordCounts(corpus(k), "text"), "word", "weight", numMerges = 8))
+      (m, (System.nanoTime() - t0) / 1e9)
+    }
+    train(1) // warm, unmeasured
+    val (m1, t1) = train(1)
+    val (m5, t5) = train(5)
+    info(f"1x: ${m1.size} merges in $t1%.2f s; 5x: ${m5.size} merges in $t5%.2f s")
+    assert(m1.size == 8, s"expected 8 merges, got ${m1.size}")
+    assert(m1 == m5, s"merge tables must be identical: $m1 vs $m5")
+    val bound = 12.0 * math.max(t1, 0.3)
+    assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
+  }
 }
