@@ -59,35 +59,49 @@ object Bench {
     // the incremental probe path of dedup_minhash_incr without its exact
     // census arm: signatures for the historical corpus, then the batch
     // banded against that index (the steady-state daily-increment cost)
-    "op_dedup_minhash_incr" -> ((s, dir) => {
-      val docs = Tables(s, dir, "documents")
-      val col = org.apache.spark.sql.functions.col _
-      val index = Dedup.minHashSignatures(
-        docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
-        shingleN = 2, numHashes = 128)
-      Dedup.minHashNearDupsAgainst(docs.filter(col("doc_id") % 3 === 0),
-        index, "doc_id", "text",
-        shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)
-    }),
+    "op_dedup_minhash_incr" -> ((s, dir) => minhashIncrOp(s, dir, materialize = true)),
     // the IVF top-k probe path of sim_ann_ivf_topk_check without its exact
     // brute-force census arm
-    "op_sim_ann_ivf_topk" -> ((s, dir) => {
-      val emb = Tables(s, dir, "embeddings")
-      val col = org.apache.spark.sql.functions.col _
-      val qvec = emb.filter(col("vec_id") === 0)
-        .select(col("embedding").cast("array<double>"))
-        .collect().head.getSeq[Double](0)
-      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
-        k = 8, lloydIters = 3, seed = 42)
-      Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
-        k = 10, cents, nprobe = 3, assignReplicas = 2)
-    }),
+    "op_sim_ann_ivf_topk" -> ((s, dir) => ivfTopkOp(s, dir)),
     // the COMPOSED curation chain (C4 → line removal → index dedup →
     // decontaminate → mix → shard shuffle) as one lazy job; the standing
     // index is built on the first rep and reused after (the standing-
     // index cost model — min-of-N therefore measures the steady state)
     "op_pipeline" -> ((s, dir) =>
       PipelineHarness.runOn(s, dir, materialize = false)))
+
+  /** The incremental-minhash operator arm, SHARED with graft.Plans
+    * (materialize=false keeps the lineage visible for the audit) so the
+    * plan audited in PLANS.md can never drift from the operator the
+    * bench times. */
+  def minhashIncrOp(s: SparkSession, dir: String,
+                    materialize: Boolean): DataFrame = {
+    val docs = Tables(s, dir, "documents")
+    val col = org.apache.spark.sql.functions.col _
+    val index = Dedup.minHashSignatures(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text",
+      shingleN = 2, numHashes = 128)
+    Dedup.minHashNearDupsAgainst(docs.filter(col("doc_id") % 3 === 0),
+      index, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1,
+      materialize = materialize)
+  }
+
+  /** The IVF top-k operator arm, SHARED with graft.Plans — same
+    * lloydIters as the bench (each Lloyd iteration adds a stage to the
+    * audited centroid-training lineage, so a cheaper audit-only setting
+    * would audit a different plan). */
+  def ivfTopkOp(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(s, dir, "embeddings")
+    val col = org.apache.spark.sql.functions.col _
+    val qvec = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .collect().head.getSeq[Double](0)
+    val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+      k = 8, lloydIters = 3, seed = 42)
+    Similarity.topKForVectorIvf(emb, "vec_id", "embedding", qvec,
+      k = 10, cents, nprobe = 3, assignReplicas = 2)
+  }
 
   /** Contract-arm GATE queries (round-6 verdict "next round" #2): entries
     * whose plan deliberately contains an exact brute-force arm (full

@@ -105,14 +105,10 @@ object PipelineHarness {
     * deterministic per-replica-constant slice. Drops any stale
     * warehouse location first (the ScaleProbe discipline). */
   def ensureIndex(spark: SparkSession, corpus: DataFrame, table: String): Unit = {
-    if (spark.catalog.tableExists(s"${table}_sigs")) return
-    Seq("_sigs", "_bands").foreach { sfx =>
-      spark.sql(s"DROP TABLE IF EXISTS $table$sfx")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$table$sfx")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    // BOTH tables must exist to reuse — a half-built index (died between
+    // the two writes) must rebuild, not silently serve stale bands
+    if (graft.catalog.Layout.minhashIndexComplete(spark, table)) return
+    graft.catalog.Layout.dropMinhashIndex(spark, table)
     val history = corpus.filter(col("doc_id") % 20 === 0)
       .withColumn("doc_id", col("doc_id") + lit(HistoryOffset))
     graft.catalog.Layout.minhashBandIndex(spark, history, "doc_id", "text",

@@ -300,13 +300,7 @@ object ScaleProbe {
           Tables(spark, src, "documents").filter(col("doc_id") % 10 === 0), 0)
         .withColumn("doc_id", col("doc_id") + lit(1000L * IdStride))
       val table = s"mh_incr_$tag"
-      Seq("_sigs", "_bands").foreach { sfx =>
-        spark.sql(s"DROP TABLE IF EXISTS $table$sfx")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + s"/$table$sfx")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      graft.catalog.Layout.dropMinhashIndex(spark, table)
       t(s"incr_index_write_$tag") {
         graft.catalog.Layout.minhashBandIndex(spark, docs, "doc_id", "text",
           shingleN = 2, numHashes = 128, bands = 32, buckets = 32, table)
@@ -427,13 +421,7 @@ object ScaleProbe {
       implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
       import spark.implicits._
       val table = s"stream_idx_$tag"
-      Seq("_sigs", "_bands").foreach { sfx =>
-        spark.sql(s"DROP TABLE IF EXISTS $table$sfx")
-        val loc = new org.apache.hadoop.fs.Path(
-          spark.conf.get("spark.sql.warehouse.dir") + s"/$table$sfx")
-        val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(loc)) fs.delete(loc, true)
-      }
+      graft.catalog.Layout.dropMinhashIndex(spark, table)
       graft.catalog.Layout.minhashBandIndex(spark, docs, "doc_id", "text",
         shingleN = 2, numHashes = 128, bands = 32, buckets = 32, table)
       // three successive batches of replica-0 twins under fresh ids

@@ -126,6 +126,29 @@ object Layout {
     * multi-file layouts force a sort back into the read path).
     * shingleN/numHashes/bands are version-pinned metadata of the layout:
     * probes must pass the same values (like a bucketing spec). */
+  /** True iff BOTH index tables of a [[minhashBandIndex]] layout exist —
+    * the only safe "already built" check: a run that died between the
+    * `_sigs` and `_bands` writes leaves a half-index that every probe
+    * would then read as current. */
+  def minhashIndexComplete(spark: SparkSession, tableName: String): Boolean =
+    spark.catalog.tableExists(s"${tableName}_sigs") &&
+      spark.catalog.tableExists(s"${tableName}_bands")
+
+  /** Drop both index tables AND their warehouse directories. The catalog
+    * is session-scoped but the warehouse directory is not — a previous
+    * session's files under the managed-table LOCATION survive and make a
+    * later `saveAsTable` refuse with LOCATION_ALREADY_EXISTS, so every
+    * rebuild path needs this exact sequence (previously copy-pasted in
+    * three probe/harness sites). */
+  def dropMinhashIndex(spark: SparkSession, tableName: String): Unit =
+    Seq("_sigs", "_bands").foreach { sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $tableName$sfx")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$tableName$sfx")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+
   def minhashBandIndex(spark: SparkSession, docs: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,

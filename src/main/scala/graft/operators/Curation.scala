@@ -201,8 +201,11 @@ object Curation {
     *  3. near-dup dedup against a STANDING MinHash index
     *     ([[Dedup.curateBatchAgainstIndex]] semantics: the probe reads
     *     the bucketed band table in place, only this batch shuffles),
-    *     PLUS intra-batch near-dups (greedy smaller-id canonical — the
-    *     rule of [[graft.streaming.StreamOps.curateStreamAgainstIndex]]);
+    *     PLUS intra-batch near-dups under the greedy smaller-id rule of
+    *     [[graft.streaming.StreamOps.curateStreamAgainstIndex]] (drop
+    *     every doc matching a smaller-id doc — see that scaladoc for the
+    *     exact chain/star behavior; [[Dedup.dedupCorpus]] is the
+    *     transitive-cluster alternative);
     *  4. decontamination against an eval shingle set: contaminated
     *     documents REMOVED; the eval relation is counted and broadcast
     *     only under `maxBroadcastShingles` (measure-then-route — the
@@ -218,7 +221,10 @@ object Curation {
     *  - the post-line-removal frame is the one reuse point (read by the
     *    dedup signature pass, the intra-batch pass, the decontamination
     *    shingle pass, the mix's count agg and the final row set); the
-    *    pipeline persists exactly that frame and nothing else;
+    *    pipeline persists exactly that frame plus the (eval-set-sized)
+    *    distinct shingle relation, and unpersists BOTH before returning —
+    *    a tiered probe running many pipelines in one session must not
+    *    accumulate dead blocks;
     *  - with `materialize` on, the post-decontamination survivor set is
     *    eagerly checkpointed BEFORE any index append — the survivors are
     *    computed by READING the index tables, and deferring their
@@ -259,28 +265,42 @@ object Curation {
     val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
     val q = gate(docs).select(cols: _*)
     val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs)
-    val cleaned = q.drop(textCol)
+    val cleanedLazy = q.drop(textCol)
       .join(lineClean.filter(col("n_kept") >= 1)
         .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
       .select(cols: _*)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // the lazy form (plan audits / bench) takes NO action at construction:
+    // no persist (nothing would unpersist it), no routing count, no
+    // checkpoint — caching is the caller's concern there
+    val cleaned =
+      if (materialize)
+        cleanedLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else cleanedLazy
     val afterDedup = indexTable match {
       case Some(table) =>
         val idxSurv = Dedup.curateBatchAgainstIndex(cleaned, spark, table,
           idCol, textCol, shingleN, numHashes, bands, buckets, estThreshold,
-          appendSurvivors = false)
+          appendSurvivors = false, materialize = materialize)
         val intra = Dedup.minHashNearDups(idxSurv, idCol, textCol, shingleN,
           numHashes, bands, estThreshold)
         idxSurv.join(intra.select(col("id_b").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
       case None => cleaned
     }
+    var esPersisted: Option[DataFrame] = None
     val decon = evalShingles match {
       case Some(es) =>
-        val esp = es.select(col(es.columns.head).as("__pl_s")).distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val espLazy = es.select(col(es.columns.head).as("__pl_s")).distinct()
+        // measure-then-route needs a count (a job): materialized runs only.
+        // The lazy form keeps the join unhinted — the honest at-scale plan
+        // (AQE promotes a small eval set to broadcast at runtime anyway).
         val esJoin =
-          if (esp.count() <= maxBroadcastShingles) broadcast(esp) else esp
+          if (materialize) {
+            val esp = espLazy
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            esPersisted = Some(esp)
+            if (esp.count() <= maxBroadcastShingles) broadcast(esp) else esp
+          } else espLazy
         val contaminated = afterDedup.select(col(idCol),
             explode(graft.functions.wordShingles(tokens(col(textCol)),
               evalShingleN)).as("__pl_s"))
@@ -299,6 +319,7 @@ object Curation {
     if (materialize) {
       val mat = out.localCheckpoint(true)
       cleaned.unpersist()
+      esPersisted.foreach(_.unpersist())
       mat
     } else out
   }

@@ -156,12 +156,13 @@ object Dedup {
                                   tableName: String,
                                   idCol: String, textCol: String,
                                   shingleN: Int = 2, numHashes: Int = 32,
-                                  bands: Int = 8, estThreshold: Double = 0.3): DataFrame = {
+                                  bands: Int = 8, estThreshold: Double = 0.3,
+                                  materialize: Boolean = true): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     crossNearDups(
       minHashSignatures(batch, idCol, textCol, shingleN, numHashes),
       spark.table(s"${tableName}_sigs"), spark.table(s"${tableName}_bands"),
-      bands, numHashes / bands, estThreshold)
+      bands, numHashes / bands, estThreshold, materialize)
   }
 
   /** The daily-increment pipeline in one call: drop batch documents that
@@ -172,7 +173,11 @@ object Dedup {
     * surviving batch rows with their original schema. The anti-join is
     * sized to the matched ids, not the corpus. Intra-batch near-dups are
     * NOT removed here — run [[dedupCorpus]] on the batch first when a
-    * batch can contain its own duplicates. */
+    * batch can contain its own duplicates. `materialize = false` keeps
+    * the whole probe lazy for plan audits (crossNearDups discipline) and
+    * therefore forbids `appendSurvivors`: appending evaluates survivors
+    * through a non-checkpointed chain that READS the index tables the
+    * append is about to grow (the self-referential-append hazard). */
   def curateBatchAgainstIndex(batch: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
                               tableName: String,
@@ -180,9 +185,14 @@ object Dedup {
                               shingleN: Int = 2, numHashes: Int = 32,
                               bands: Int = 8, buckets: Int = 8,
                               estThreshold: Double = 0.3,
-                              appendSurvivors: Boolean = true): DataFrame = {
+                              appendSurvivors: Boolean = true,
+                              materialize: Boolean = true): DataFrame = {
+    require(materialize || !appendSurvivors,
+      "appendSurvivors requires materialize=true: the survivors are " +
+        "computed by reading the index tables and must be checkpointed " +
+        "before the append grows them")
     val dupIds = minHashNearDupsAgainstIndex(batch, spark, tableName,
-        idCol, textCol, shingleN, numHashes, bands, estThreshold)
+        idCol, textCol, shingleN, numHashes, bands, estThreshold, materialize)
       .select(col("batch_id").as(idCol)).distinct()
     val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
     if (appendSurvivors)
@@ -828,11 +838,21 @@ object Dedup {
     * density stays bounded, which resets that densification exactly the
     * way the manual per-tier q did. The answer is q-INVARIANT (recall
     * 1.0 by the d·q+1 pigeonhole at every q; precision 1.0 by the exact
-    * levenshtein verify) — q only moves candidate volume. */
+    * levenshtein verify) — q only moves candidate volume.
+    *
+    * `probeFraction` < 1 measures the density on a
+    * [[Sampling.stableSample]] of the corpus (keyed on `strCol` — the
+    * probe needs no id column): density is a RATIO, stable under uniform
+    * sampling, while each probe pass explodes one gram per character —
+    * at the 100 TB posture the full-corpus probe would cost up to
+    * (maxQ − minQ + 1) corpus scans before any blocking work starts.
+    * The default keeps the probe exact for gate-sized runs. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int): DataFrame =
+                        maxDist: Int, probeFraction: Double = 1.0): DataFrame =
     editDistancePairs(df, idCol, strCol, maxDist,
-      measureEditQ(df, strCol))
+      measureEditQ(
+        if (probeFraction >= 1.0) df
+        else Sampling.stableSample(df, strCol, probeFraction), strCol))
 
   /** Measured gram length for the q-gram blocking: the smallest q in
     * [minQ, maxQ] whose MEAN posting density — total gram occurrences
@@ -994,17 +1014,19 @@ object Dedup {
       .withColumn("norm", lower(trim(regexp_replace(col("para"), "\\s+", " "))))
       .withColumn("pkey", md5(col("norm")))
     // min_by (ObjectHashAggregate) rather than min(struct) (SortAggregate):
-    // same winner, hash-based partial combine without per-task sorts
+    // same winner, hash-based partial combine without per-task sorts. The
+    // id keeps its NATIVE type — "first" is the id column's own ordering
+    // (numeric for numeric ids, lexicographic for string ids), so UUID-
+    // keyed corpora dedup too instead of null-ing out through a cast
     val winners = paras.filter(length(col("norm")) > 0)
       .groupBy(col("pkey"))
       .agg(min_by(
-        struct(id.cast("long").as("w_id"), col("pos").cast("long").as("w_pos")),
-        struct(id.cast("long"), col("pos").cast("long"))).as("w"))
+        struct(id.as("w_id"), col("pos").cast("long").as("w_pos")),
+        struct(id, col("pos").cast("long"))).as("w"))
       .select(col("pkey"), col("w.w_id").as("w_id"), col("w.w_pos").as("w_pos"))
     val kept = paras.join(winners, Seq("pkey"), "left")
       .filter(col("w_id").isNull ||
-        (id.cast("long") === col("w_id") &&
-          col("pos").cast("long") === col("w_pos")))
+        (id === col("w_id") && col("pos").cast("long") === col("w_pos")))
       .groupBy(id)
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(

@@ -152,18 +152,26 @@ object StreamOps {
     *
     * Intra-batch near-dups are removed too: after the index check, the
     * surviving docs are LSH'd against EACH OTHER ([[graft.operators.Dedup
-    * .minHashNearDups]]) and the greater id of every pair is dropped
-    * (greedy first-by-id canonical, the same transitive keep-one rule as
-    * batch dedup) — so two copies arriving in the same micro-batch admit
-    * exactly one, and only that one enters the index. The intra-batch
-    * pass costs one self-join over the BATCH's band table (batch-sized,
-    * not index-sized).
+    * .minHashNearDups]]) and every doc that matches a SMALLER-id doc in
+    * the batch is dropped — one deterministic single-join rule
+    * (batch-sized, not index-sized). Two copies arriving together admit
+    * exactly one. Precise chain/star behavior of this greedy rule (LSH
+    * similarity is not transitive): a chain A–B–C collapses to A (C
+    * drops because it matched B, even though B itself dropped); a star
+    * A–C, B–C keeps both A and B (they never matched each other). For
+    * exact transitive-cluster canonicalization — one survivor per
+    * connected component — run [[graft.operators.Dedup.dedupCorpus]] /
+    * `dedupCorpusByQuality` over the batch before the stream, at the
+    * cost of the iterative component computation.
     *
     * `onBatch` receives (kept survivors, duplicate pairs, batchId); the
     * pair frame unions index hits and intra-batch hits, with `batch_id`
-    * always the REJECTED doc and `corpus_id` the accepted doc it
-    * collided with (for intra-batch pairs, the kept smaller id — part of
-    * the accepted corpus from this batch on). Both frames are eagerly
+    * always the REJECTED doc and `corpus_id` the smaller doc it collided
+    * with. For index hits corpus_id is always an accepted corpus member;
+    * for intra-batch hits it is the kept canonical in the common direct
+    * case, but in a CHAIN it may itself have been dropped — the
+    * surviving canonical is recoverable by following pairs to their
+    * minimum. Both frames are eagerly
     * materialized (localCheckpoint) BEFORE the index append: they are
     * computed by reading the index tables, and deferring their
     * evaluation past the append would silently re-read the grown index

@@ -54,6 +54,21 @@ class SubDocSpec extends SparkSpec {
     assert(got(5L) === ((1L, 0L, "")))
   }
 
+  test("dedupParagraphs dedups under STRING ids (no silent cast-to-null no-op)") {
+    val sp = spark
+    import sp.implicits._
+    // lexicographic id order decides "first"
+    val docs = Seq(
+      "doc-b" -> "shared paragraph\n\nown b",
+      "doc-a" -> "own a\n\nshared paragraph",
+      "doc-c" -> "shared paragraph")
+    val got = Dedup.dedupParagraphs(docs.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got("doc-a") === ((2L, "own a\n\nshared paragraph"))) // doc-a is first
+    assert(got("doc-b") === ((1L, "own b")))
+    assert(got("doc-c") === ((0L, "")))
+  }
+
   // ----------------------------------------------------------------
   // removeRepeatedSpans
   // ----------------------------------------------------------------

@@ -159,6 +159,65 @@ class IncrementalDedupSpec extends SparkSpec {
       Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
   }
 
+  test("curation loop: intra-batch greedy rule — chains collapse to the minimum, stars keep local minima") {
+    // pins the EXACT documented semantics of the drop-if-matches-a-
+    // smaller-id rule (curateStreamAgainstIndex scaladoc): LSH
+    // similarity is not transitive, so a chain A–B–C (A~B, B~C, A!~C)
+    // collapses to A — C drops although its only match B was itself
+    // dropped, and C's pair row references the dropped B (the documented
+    // attribution caveat); a star A~C, B~C keeps BOTH A and B.
+    val sp = spark
+    import sp.implicits._
+    val table = "mh_chain_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    val base = (0 until 30).map(j => s"w$j")
+    def edit(toks: Seq[String], from: Int, until: Int, tag: String) =
+      toks.zipWithIndex.map { case (t, j) =>
+        if (j >= from && j < until) s"$tag$j" else t }
+    // chain: B = A with tokens 0-5 changed, C = B with tokens 6-11 changed
+    // (true 2-shingle jaccard ~0.66 / 0.66 / 0.41 around the 0.5 gate)
+    val chainA = base
+    val chainB = edit(base, 0, 6, "x")
+    val chainC = edit(chainB, 6, 12, "y")
+    // star: D and E are both ~0.66 to F but only ~0.41 to each other;
+    // F carries the LARGEST id so D and E are each locally minimal
+    val starF = (0 until 30).map(j => s"s$j")
+    val starD = edit(starF, 0, 6, "p")
+    val starE = edit(starF, 24, 30, "q")
+    val kept = mutable.Map[Long, Set[Long]]()
+    val dups = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, buckets = 4,
+      estThreshold = 0.5)(identity) { (k, pairs, id) =>
+      kept(id) = k.collect().map(_.getLong(0)).toSet
+      dups(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      // tiny unrelated standing corpus so the index probe has a real table
+      Layout.minhashBandIndex(sp,
+        Seq((900L, (0 until 30).map(j => s"z$j").mkString(" ")))
+          .toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+        buckets = 4, table)
+      val q = writer.start()
+      try {
+        in.addData(
+          (1L, chainA.mkString(" ")), (2L, chainB.mkString(" ")),
+          (3L, chainC.mkString(" ")),
+          (11L, starD.mkString(" ")), (12L, starE.mkString(" ")),
+          (13L, starF.mkString(" ")))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(kept(0L) == Set(1L, 11L, 12L),
+        s"chain keeps its minimum, star keeps both local minima: ${kept(0L)}")
+      assert(dups(0L) == Set((2L, 1L), (3L, 2L), (13L, 11L), (13L, 12L)),
+        s"pair rows are the raw collisions (3 -> dropped 2 included): ${dups(0L)}")
+    } finally
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
