@@ -68,7 +68,12 @@ object Bench {
     // index is built on the first rep and reused after (the standing-
     // index cost model — min-of-N therefore measures the steady state)
     "op_pipeline" -> ((s, dir) =>
-      PipelineHarness.runOn(s, dir, materialize = false)))
+      PipelineHarness.runOn(s, dir, materialize = false)),
+    // the same chain with the round-7 sub-document stages switched on
+    // (paragraph keep-first + span removal between line removal and the
+    // index dedup) — the full Dolma/Lee-et-al. intake order
+    "op_pipeline_full" -> ((s, dir) =>
+      PipelineHarness.runOnFull(s, dir, materialize = false)))
 
   /** The incremental-minhash operator arm, SHARED with graft.Plans
     * (materialize=false keeps the lineage visible for the audit) so the

@@ -131,9 +131,12 @@ object PipelineHarness {
     * run for `indexTable`. */
   def run(spark: SparkSession, corpus: DataFrame, indexTable: String,
           targetTotal: Long = 1000L,
-          materialize: Boolean = true): DataFrame =
+          materialize: Boolean = true,
+          subDocStages: Boolean = false): DataFrame =
     Curation.pipeline(spark, corpus, "doc_id", "text", "lang",
       targetTotal = targetTotal, alpha = 0.5, minLineDocs = 50,
+      paragraphDedup = subDocStages,
+      spanGramLen = if (subDocStages) Some(20) else None,
       indexTable = Some(indexTable),
       evalShingles = Some(evalShingles(corpus)), evalShingleN = 3,
       shardSeed = "ep0", qualityFilter = Some(c4OnlyFilter),
@@ -150,5 +153,18 @@ object PipelineHarness {
     val table = "pipeline_mh_idx"
     ensureIndex(spark, c, table)
     run(spark, c, table, materialize = materialize)
+  }
+
+  /** [[runOn]] with the round-7 sub-document stages enabled (paragraph
+    * keep-first + span removal at gram 20 between line removal and the
+    * index dedup) — the full Dolma/Lee-et-al. intake order. A separate
+    * entry so the default chain's bench/audit numbers stay comparable
+    * across rounds. */
+  def runOnFull(spark: SparkSession, dir: String,
+                materialize: Boolean): DataFrame = {
+    val c = corpus(spark, dir)
+    val table = "pipeline_mh_idx"
+    ensureIndex(spark, c, table)
+    run(spark, c, table, materialize = materialize, subDocStages = true)
   }
 }

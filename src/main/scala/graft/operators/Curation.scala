@@ -198,6 +198,14 @@ object Curation {
     *     rewrite `textCol` (C4 does);
     *  2. corpus-wide boilerplate-line removal ([[removeBoilerplateLines]],
     *     line-df agg + anti-join); documents reduced to zero lines drop;
+    *  2b. OPTIONAL sub-document dedup between line removal and the
+    *     document-level passes — the Dolma/Lee-et-al. order: paragraph
+    *     KEEP-FIRST dedup ([[Dedup.dedupParagraphs]], `paragraphDedup`;
+    *     documents losing every paragraph drop) then repeated-substring
+    *     span removal ([[Dedup.removeRepeatedSpans]], `spanGramLen`;
+    *     documents emptied entirely drop). Both default off — they
+    *     rewrite `textCol`, so the MinHash/decontamination stages then
+    *     see the deduplicated bytes;
     *  3. near-dup dedup against a STANDING MinHash index
     *     ([[Dedup.curateBatchAgainstIndex]] semantics: the probe reads
     *     the bucketed band table in place, only this batch shuffles),
@@ -245,6 +253,9 @@ object Curation {
                targetTotal: Long,
                alpha: Double = 0.5,
                minLineDocs: Long = 50,
+               paragraphDedup: Boolean = false,
+               paragraphSep: String = "\n\n",
+               spanGramLen: Option[Int] = None,
                indexTable: Option[String] = None,
                evalShingles: Option[DataFrame] = None,
                evalShingleN: Int = 3,
@@ -265,13 +276,30 @@ object Curation {
     val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
     val q = gate(docs).select(cols: _*)
     val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs)
-    val cleanedLazy = q.drop(textCol)
+    val afterLines = q.drop(textCol)
       .join(lineClean.filter(col("n_kept") >= 1)
         .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
       .select(cols: _*)
+    val afterParas =
+      if (!paragraphDedup) afterLines
+      else afterLines.drop(textCol)
+        .join(Dedup.dedupParagraphs(afterLines, idCol, textCol, paragraphSep)
+          .filter(col("n_kept") >= 1)
+          .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
+        .select(cols: _*)
+    val cleanedLazy = spanGramLen match {
+      case None => afterParas
+      case Some(l) => afterParas.drop(textCol)
+        .join(Dedup.removeRepeatedSpans(afterParas, idCol, textCol, l)
+          .filter(col("n_removed") < col("n_chars")) // emptied docs drop
+          .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
+        .select(cols: _*)
+    }
     // the lazy form (plan audits / bench) takes NO action at construction:
     // no persist (nothing would unpersist it), no routing count, no
-    // checkpoint — caching is the caller's concern there
+    // checkpoint — caching is the caller's concern there. The persist
+    // point sits AFTER the last text-rewriting stage, so the optional
+    // sub-document passes are inside the one reuse point too.
     val cleaned =
       if (materialize)
         cleanedLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -130,4 +130,48 @@ class CurationSpec extends SparkSpec {
     assert(sigsAfter == sigsBefore + nAccepted,
       s"index must grow by exactly the accepted set: $sigsBefore + $nAccepted != $sigsAfter")
   }
+
+  test("pipeline's optional sub-document stages equal their hand-composed chain and actually fire") {
+    import org.apache.spark.sql.functions.lit
+    // the subdoc probe corpus: unique md5 filler paragraph (+ a shared
+    // sentence inside it on every 4th doc), a shared second paragraph on
+    // every 3rd doc. minLineDocs is set above the corpus size so the
+    // line stage is a pass-through and the sub-document stages do the
+    // work; the mix target exceeds the population so the draw keeps all.
+    val corpus = graft.ScaleProbe.subdocReplica(spark, 200L, 0, 0)
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    val cols = corpus.columns.map(col)
+    val out = Curation.pipeline(spark, corpus, "doc_id", "text", "lang",
+      targetTotal = 10000L, alpha = 1.0, minLineDocs = 100000L,
+      paragraphDedup = true, spanGramLen = Some(20),
+      qualityFilter = Some(identity[org.apache.spark.sql.DataFrame] _))
+    val got = out.select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+
+    val afterParas = corpus.drop("text").join(
+        Dedup.dedupParagraphs(corpus, "doc_id", "text")
+          .filter(col("n_kept") >= 1)
+          .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(cols: _*)
+    val manual = afterParas.drop("text").join(
+        Dedup.removeRepeatedSpans(afterParas, "doc_id", "text", 20)
+          .filter(col("n_removed") < col("n_chars"))
+          .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == manual,
+      "sub-document stages must equal their hand-composed chain")
+
+    // both stages must have FIRED: the shared paragraph (every 3rd doc)
+    // survives only at its first occurrence, and the shared sentence
+    // (every 4th doc) is span-removed from every copy
+    val texts = got.toMap
+    assert(texts(0L).contains("subscribe_q00"),
+      "doc 0 keeps the first copy of the shared paragraph")
+    assert(!texts(3L).contains("subscribe_q00"),
+      "doc 3's later copy of the shared paragraph must dedup away")
+    assert(!texts(4L).contains("boilerplate_q00"),
+      "the shared sentence must be span-removed from every copy")
+    assert(got.size == 200, "no document should vanish in this corpus")
+  }
 }

@@ -180,6 +180,18 @@ class SubDocSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("train is invariant to input partitioning (argmax ties break by value, not order)") {
+    val sp = spark
+    import sp.implicits._
+    val words = Seq("low" -> 5L, "lowest" -> 6L, "new" -> 6L, "newest" -> 3L,
+      "wide" -> 3L, "widest" -> 2L).toDF("word", "weight")
+    val m1 = Bpe.collectMerges(
+      Bpe.train(words.coalesce(1), "word", "weight", numMerges = 6))
+    val m7 = Bpe.collectMerges(
+      Bpe.train(words.repartition(7), "word", "weight", numMerges = 6))
+    assert(m1 == m7, s"merge table must not depend on partitioning: $m1 vs $m7")
+  }
+
   test("train stops early when no pair reaches minPairCount") {
     val sp = spark
     import sp.implicits._
