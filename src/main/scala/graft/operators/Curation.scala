@@ -276,17 +276,34 @@ object Curation {
     val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
     val q = gate(docs).select(cols: _*)
     val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs)
-    val afterLines = q.drop(textCol)
-      .join(lineClean.filter(col("n_kept") >= 1)
-        .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
-      .select(cols: _*)
-    val afterParas =
+    // each text-rewriting stage joins its rewrite back to the surviving
+    // rows, REFERENCING its input twice — on the materialized path every
+    // enabled stage boundary therefore persists (computed once, both
+    // references read cache; at 100 TB recomputing the line-removal agg
+    // under the paragraph join would double the most expensive pass).
+    // All stage persists release before return.
+    val stagePersists = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def stageBoundary(df: DataFrame, needed: Boolean): DataFrame =
+      if (!materialize || !needed) df
+      else {
+        val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        stagePersists += p
+        p
+      }
+    val afterLines = stageBoundary(
+      q.drop(textCol)
+        .join(lineClean.filter(col("n_kept") >= 1)
+          .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
+        .select(cols: _*),
+      needed = paragraphDedup || spanGramLen.nonEmpty)
+    val afterParas = stageBoundary(
       if (!paragraphDedup) afterLines
       else afterLines.drop(textCol)
         .join(Dedup.dedupParagraphs(afterLines, idCol, textCol, paragraphSep)
           .filter(col("n_kept") >= 1)
           .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
-        .select(cols: _*)
+        .select(cols: _*),
+      needed = paragraphDedup && spanGramLen.nonEmpty)
     val cleanedLazy = spanGramLen match {
       case None => afterParas
       case Some(l) => afterParas.drop(textCol)
@@ -347,6 +364,7 @@ object Curation {
     if (materialize) {
       val mat = out.localCheckpoint(true)
       cleaned.unpersist()
+      stagePersists.foreach(_.unpersist())
       esPersisted.foreach(_.unpersist())
       mat
     } else out
