@@ -64,16 +64,21 @@ object Bench {
     // brute-force census arm
     "op_sim_ann_ivf_topk" -> ((s, dir) => ivfTopkOp(s, dir)),
     // the COMPOSED curation chain (C4 → line removal → index dedup →
-    // decontaminate → mix → shard shuffle) as one lazy job; the standing
-    // index is built on the first rep and reused after (the standing-
-    // index cost model — min-of-N therefore measures the steady state)
+    // decontaminate → mix → shard shuffle) in its OPERATIONAL form
+    // (materialize=true): the chain runs with its persist/checkpoint
+    // discipline, exactly as a user executes it, and the timing covers
+    // those jobs. The lazy form is for the PLAN AUDIT only — executing
+    // it recomputes every shared subtree (the post-line-removal frame is
+    // referenced five times) and measures a plan no one should run.
+    // The standing index is built on the first rep and reused after
+    // (the standing-index cost model — min-of-N measures steady state).
     "op_pipeline" -> ((s, dir) =>
-      PipelineHarness.runOn(s, dir, materialize = false)),
+      PipelineHarness.runOn(s, dir, materialize = true)),
     // the same chain with the round-7 sub-document stages switched on
     // (paragraph keep-first + span removal between line removal and the
     // index dedup) — the full Dolma/Lee-et-al. intake order
     "op_pipeline_full" -> ((s, dir) =>
-      PipelineHarness.runOnFull(s, dir, materialize = false)))
+      PipelineHarness.runOnFull(s, dir, materialize = true)))
 
   /** The incremental-minhash operator arm, SHARED with graft.Plans
     * (materialize=false keeps the lineage visible for the audit) so the
