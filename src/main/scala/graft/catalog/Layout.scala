@@ -297,6 +297,40 @@ object Layout {
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_fps")
 
+  /** Standing PARAGRAPH-key index — the sub-document sibling of
+    * [[fingerprintIndex]]: one bucketed table of distinct 16-byte md5
+    * paragraph identities ([[graft.operators.Dedup.paragraphKeys]]),
+    * ~16 bytes per distinct paragraph ever accepted. A batch's
+    * incremental paragraph dedup
+    * ([[graft.operators.Dedup.dedupParagraphsAgainst]]) anti-joins its
+    * paragraphs against this table: bucketed on `pkey`, the corpus side
+    * is read in place and only the batch shuffles. */
+  def paragraphKeyIndex(spark: SparkSession, docs: DataFrame,
+                        textCol: String, sep: String = "\n\n",
+                        buckets: Int = 8,
+                        tableName: String = "para_index"): Unit =
+    graft.operators.Dedup.paragraphKeys(docs, textCol, sep)
+      .repartition(buckets, col("pkey"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "pkey").sortBy("pkey")
+      .format("parquet").saveAsTable(s"${tableName}_pkeys")
+
+  /** Append a batch's KEPT paragraph keys to a [[paragraphKeyIndex]] —
+    * the LSM write; fold in only what the curation accepted so a later
+    * copy of a rejected paragraph is correctly not a duplicate. The
+    * append may re-add keys already present (dedup is an anti-join —
+    * duplicates in the key table cost bytes, not correctness); compact
+    * by rebuilding via [[paragraphKeyIndex]] over the accepted corpus. */
+  def paragraphKeyIndexAppend(spark: SparkSession, batch: DataFrame,
+                              textCol: String, sep: String = "\n\n",
+                              buckets: Int = 8,
+                              tableName: String = "para_index"): Unit =
+    graft.operators.Dedup.paragraphKeys(batch, textCol, sep)
+      .repartition(buckets, col("pkey"))
+      .write.mode("append")
+      .bucketBy(buckets, "pkey").sortBy("pkey")
+      .format("parquet").saveAsTable(s"${tableName}_pkeys")
+
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],
                    tableName: String = "embeddings_ivf"): Unit =

@@ -1039,6 +1039,76 @@ object Dedup {
         coalesce(col("clean_text"), lit("")).as("clean_text"))
   }
 
+  /** Normalized paragraph identities of a document frame: one `pkey` row
+    * per non-empty-normalized paragraph (16-byte md5 of the whitespace-
+    * collapsed lowercased form — the [[dedupParagraphs]] identity).
+    * DISTINCT per corpus: this is what a standing paragraph index
+    * stores, ~16 bytes per distinct paragraph. */
+  def paragraphKeys(docs: DataFrame, textCol: String,
+                    sep: String = "\n\n"): DataFrame = {
+    val qsep = java.util.regex.Pattern.quote(sep)
+    docs.select(explode(split(col(textCol), qsep)).as("para"))
+      .select(lower(trim(regexp_replace(col("para"), "\\s+", " "))).as("norm"))
+      .filter(length(col("norm")) > 0)
+      .select(md5(col("norm")).as("pkey"))
+      .distinct()
+  }
+
+  /** Incremental paragraph keep-first: delete from `batch` every
+    * paragraph whose normalized identity already exists in `corpusKeys`
+    * (a 1-column `pkey` relation — [[paragraphKeys]] of the accepted
+    * corpus, or a bucketed standing table read in place), then apply
+    * [[dedupParagraphs]]' keep-first WITHIN the batch. Same output shape
+    * as [[dedupParagraphs]]. Empty-normalized paragraphs are structure
+    * and always survive.
+    *
+    * Equivalence (spec-asserted): when `corpusKeys` =
+    * [[paragraphKeys]](history) and every history id orders before every
+    * batch id, this equals the symmetric [[dedupParagraphs]] over
+    * history ∪ batch restricted to the batch's rows — the incremental
+    * form never re-reads history text, only its 16-byte key set.
+    *
+    * 100 TB shape: the batch's paragraphs anti-join the key relation on
+    * the 16-byte hash — with the standing keys bucketed on `pkey`
+    * (the [[graft.catalog.Layout]] fingerprint-index discipline), the
+    * corpus side is read in place and only the batch shuffles; the
+    * within-batch winner agg and reassembly are batch-sized. */
+  def dedupParagraphsAgainst(batch: DataFrame, idCol: String, textCol: String,
+                             corpusKeys: DataFrame,
+                             sep: String = "\n\n"): DataFrame = {
+    val id = col(idCol)
+    val qsep = java.util.regex.Pattern.quote(sep)
+    val keys = corpusKeys.select(col(corpusKeys.columns.head).as("pkey"))
+    val paras = batch
+      .select(id, posexplode(split(col(textCol), qsep)).as(Seq("pos", "para")))
+      .withColumn("norm", lower(trim(regexp_replace(col("para"), "\\s+", " "))))
+      .withColumn("pkey", md5(col("norm")))
+    // survivors of the index check: empty-normalized always pass, the
+    // rest anti-join the standing keys
+    val empties = paras.filter(length(col("norm")) === 0)
+    val fresh = paras.filter(length(col("norm")) > 0)
+      .join(keys, Seq("pkey"), "left_anti")
+    val winners = fresh.groupBy(col("pkey"))
+      .agg(min_by(
+        struct(id.as("w_id"), col("pos").cast("long").as("w_pos")),
+        struct(id, col("pos").cast("long"))).as("w"))
+      .select(col("pkey"), col("w.w_id").as("w_id"), col("w.w_pos").as("w_pos"))
+    val kept = fresh.join(winners, Seq("pkey"))
+      .filter(id === col("w_id") && col("pos").cast("long") === col("w_pos"))
+      .select(id, col("pos"), col("para"))
+      .unionByName(empties.select(id, col("pos"), col("para")))
+      .groupBy(id)
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("para")))),
+          e => e.getField("para")), sep).as("clean_text"))
+    batch.select(id, size(split(col(textCol), qsep)).cast("long").as("n_paras"))
+      .join(kept, Seq(idCol), "left")
+      .select(id, col("n_paras"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** Exact repeated-substring removal — the Lee et al. 2021
     * ("Deduplicating Training Data Makes Language Models Better")
     * suffix-array pass re-expressed as a shuffle-friendly relational

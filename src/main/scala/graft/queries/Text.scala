@@ -676,6 +676,34 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- INCREMENTAL paragraph keep-first: the daily-batch form — even
+    //    ids play the accepted corpus (its 16-byte key set is all the
+    //    operator reads — never history text), odd ids the arriving
+    //    batch: batch paragraphs already in the corpus drop, keep-first
+    //    applies within the batch, empties survive as structure. Same
+    //    seeding as text_paragraph_dedup; standing-table variant
+    //    (Layout.paragraphKeyIndex, corpus side read in place) is
+    //    spec-asserted equivalent. [[graft.operators.Dedup
+    //    .dedupParagraphsAgainst]].
+    "text_paragraph_dedup_incr" -> ((s, dir) => {
+      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0,
+            lit("Welcome to the example archive of shared documents.\n\n"))
+            .otherwise(lit("")),
+          col("text"),
+          when(col("doc_id") % 3 === 0,
+            lit("\n\nAll documents are provided as-is without warranty."))
+            .otherwise(lit(""))).as("text"))
+      val history = seeded.filter(col("doc_id") % 2 === 0)
+      val batch = seeded.filter(col("doc_id") % 2 === 1)
+      Dedup.dedupParagraphsAgainst(batch, "doc_id", "text",
+          Dedup.paragraphKeys(history, "text"))
+        .select(col("doc_id"), col("n_paras"), col("n_kept"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- exact repeated-substring (span) removal — the Lee et al. 2021
     //    suffix-array pass as a relational plan: every maximal character
     //    span whose length-20 windows all repeat somewhere in the corpus
@@ -1216,6 +1244,40 @@ object Text extends QueryPack {
         |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
         |  md5(COALESCE(r.clean, '')) AS clean_fp
         |FROM corpus c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the incremental form: even ids are the accepted corpus (only its
+    // normalized key set participates), odd ids the batch — anti-join
+    // then keep-first within the batch, empties always kept
+    "text_paragraph_dedup_incr" ->
+      """WITH corpus AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'Welcome to the example archive of shared documents.' || chr(10) || chr(10) ELSE '' END
+        |  || text ||
+        |  CASE WHEN doc_id % 3 = 0 THEN chr(10) || chr(10) || 'All documents are provided as-is without warranty.' ELSE '' END AS text
+        |  FROM documents),
+        |hist AS (SELECT DISTINCT lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) AS norm
+        |  FROM (SELECT UNNEST(string_split(text, chr(10) || chr(10))) AS para
+        |        FROM corpus WHERE doc_id % 2 = 0)
+        |  WHERE lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) <> ''),
+        |b AS (SELECT doc_id, text FROM corpus WHERE doc_id % 2 = 1),
+        |p AS (SELECT doc_id,
+        |  UNNEST(string_split(text, chr(10) || chr(10))) AS para,
+        |  UNNEST(range(len(string_split(text, chr(10) || chr(10))))) AS pos FROM b),
+        |k AS (SELECT doc_id, pos, para,
+        |  lower(trim(regexp_replace(para, '\s+', ' ', 'g'))) AS norm FROM p),
+        |fresh AS (SELECT k.* FROM k WHERE norm <> '' AND norm NOT IN (SELECT norm FROM hist)),
+        |w AS (SELECT doc_id, pos, para,
+        |  CASE WHEN ROW_NUMBER() OVER (PARTITION BY norm ORDER BY doc_id, pos) = 1
+        |       THEN 1 ELSE 0 END AS keep FROM fresh),
+        |kept AS (SELECT doc_id, pos, para FROM w WHERE keep = 1
+        |  UNION ALL SELECT doc_id, pos, para FROM k WHERE norm = ''),
+        |r AS (SELECT doc_id, COUNT(*) AS n_kept,
+        |  string_agg(para, chr(10) || chr(10) ORDER BY pos) AS clean
+        |  FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id,
+        |  CAST(len(string_split(b.text, chr(10) || chr(10))) AS BIGINT) AS n_paras,
+        |  CAST(COALESCE(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  md5(COALESCE(r.clean, '')) AS clean_fp
+        |FROM b LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     // identical seeding as the Spark side, INDEPENDENT formulation: the
     // oracle marks duplicated 20-gram start positions, spreads coverage

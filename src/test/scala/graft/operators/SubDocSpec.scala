@@ -69,6 +69,64 @@ class SubDocSpec extends SparkSpec {
     assert(got("doc-c") === ((0L, "")))
   }
 
+  test("dedupParagraphsAgainst equals the symmetric keep-first restricted to the batch") {
+    val sp = spark
+    import sp.implicits._
+    // history ids all order before batch ids, so symmetric keep-first
+    // over history ∪ batch gives history the win on shared paragraphs —
+    // exactly what the incremental form computes from the KEY SET alone
+    val history = Seq(
+      1L -> "alpha beta\n\nshared footer text",
+      2L -> "history only paragraph")
+    val batch = Seq(
+      10L -> "shared footer text\n\nnovel one",
+      11L -> "novel one\n\nnovel two",
+      12L -> "head\n\n\n\nshared footer text") // empty para survives
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val incr = collect(Dedup.dedupParagraphsAgainst(
+      batch.toDF("doc_id", "text"), "doc_id", "text",
+      Dedup.paragraphKeys(history.toDF("doc_id", "text"), "text")))
+    val symmetric = collect(Dedup.dedupParagraphs(
+        (history ++ batch).toDF("doc_id", "text"), "doc_id", "text")
+      .filter(col("doc_id") >= 10L))
+    assert(incr === symmetric)
+    assert(incr(10L)._3 === "novel one")           // shared para in history
+    assert(incr(11L)._3 === "novel two")           // novel one won at doc 10
+    assert(incr(12L) === ((3L, 2L, "head\n\n")))   // empty para is structure
+  }
+
+  test("paragraphKeyIndex standing table probes in place and append folds kept keys in") {
+    val sp = spark
+    import sp.implicits._
+    import graft.catalog.Layout
+    val table = "para_idx_spec"
+    sp.sql(s"DROP TABLE IF EXISTS ${table}_pkeys")
+    try {
+      val history = Seq(1L -> "seed paragraph one\n\nseed paragraph two")
+        .toDF("doc_id", "text")
+      Layout.paragraphKeyIndex(sp, history, "text", tableName = table)
+      val batch1 = Seq(
+        10L -> "seed paragraph one\n\nbatch novel alpha").toDF("doc_id", "text")
+      val viaTable = Dedup.dedupParagraphsAgainst(batch1, "doc_id", "text",
+        sp.table(s"${table}_pkeys"))
+      val viaFrame = Dedup.dedupParagraphsAgainst(batch1, "doc_id", "text",
+        Dedup.paragraphKeys(history, "text"))
+      assert(viaTable.collect().toSeq === viaFrame.collect().toSeq)
+      // fold ONLY the kept text in; a later copy of the admitted novel
+      // paragraph must then dedup against the standing table
+      Layout.paragraphKeyIndexAppend(sp,
+        viaTable.select(col("doc_id"), col("clean_text").as("text")),
+        "text", tableName = table)
+      val batch2 = Seq(20L -> "batch novel alpha\n\nbatch novel beta")
+        .toDF("doc_id", "text")
+      val r2 = Dedup.dedupParagraphsAgainst(batch2, "doc_id", "text",
+          sp.table(s"${table}_pkeys")).collect().head
+      assert(r2.getLong(2) === 1L && r2.getString(3) === "batch novel beta")
+    } finally sp.sql(s"DROP TABLE IF EXISTS ${table}_pkeys")
+  }
+
   // ----------------------------------------------------------------
   // removeRepeatedSpans
   // ----------------------------------------------------------------
