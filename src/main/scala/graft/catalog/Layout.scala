@@ -320,16 +320,75 @@ object Layout {
     * copy of a rejected paragraph is correctly not a duplicate. The
     * append may re-add keys already present (dedup is an anti-join —
     * duplicates in the key table cost bytes, not correctness); compact
-    * by rebuilding via [[paragraphKeyIndex]] over the accepted corpus. */
+    * by rebuilding via [[paragraphKeyIndex]] over the accepted corpus.
+    *
+    * The derived key frame is eagerly checkpointed BEFORE the write: a
+    * caller's `batch` is often a lazy plan that itself reads the
+    * `_pkeys` table (dedupParagraphsAgainst over `spark.table`), and a
+    * self-referential append would re-evaluate that plan against the
+    * GROWN key set mid-write — silently dropping the batch's own
+    * just-admitted paragraphs (the same hazard minhashIndexAppend's
+    * callers guard with localCheckpoint). The refresh afterwards clears
+    * any reader-cached pre-append file listing. */
   def paragraphKeyIndexAppend(spark: SparkSession, batch: DataFrame,
                               textCol: String, sep: String = "\n\n",
                               buckets: Int = 8,
-                              tableName: String = "para_index"): Unit =
+                              tableName: String = "para_index"): Unit = {
     graft.operators.Dedup.paragraphKeys(batch, textCol, sep)
+      .localCheckpoint(true)
       .repartition(buckets, col("pkey"))
       .write.mode("append")
       .bucketBy(buckets, "pkey").sortBy("pkey")
       .format("parquet").saveAsTable(s"${tableName}_pkeys")
+    spark.catalog.refreshTable(s"${tableName}_pkeys")
+  }
+
+  /** Standing GRAM census — the span-removal sibling of
+    * [[paragraphKeyIndex]]: one bucketed table of (g, c) rows — the
+    * 16-byte md5 of every distinct length-`gramLen` character window of
+    * the accepted corpus and its occurrence count
+    * ([[graft.operators.Dedup.gramCensus]]). Unlike the per-document
+    * fingerprint tiers this is O(corpus bytes) (~24 B per distinct
+    * gram) — the inherent price of exact substring semantics; it
+    * replaces re-scanning the WHOLE corpus text per batch with an
+    * in-place bucketed read of the census. A batch's incremental span
+    * removal ([[graft.operators.Dedup.removeRepeatedSpansAgainst]])
+    * joins its per-gram counts against this table: bucketed on `g`,
+    * the corpus side is read in place and only the batch shuffles.
+    * `gramLen` is version-pinned layout metadata (probes must pass the
+    * same value), like every index's parameters. */
+  def spanGramCensus(spark: SparkSession, docs: DataFrame,
+                     textCol: String, gramLen: Int,
+                     buckets: Int = 8,
+                     tableName: String = "span_index"): Unit =
+    graft.operators.Dedup.gramCensus(docs, textCol, gramLen)
+      .repartition(buckets, col("g"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "g").sortBy("g")
+      .format("parquet").saveAsTable(s"${tableName}_grams")
+
+  /** Append a batch's gram counts to a [[spanGramCensus]] — the LSM
+    * write; fold in the batch's ACCEPTED (cleaned) text so later
+    * batches count this one's grams too. Appends add one (g, c) row per
+    * batch-distinct gram; probes fold multi-row keys with a
+    * bucket-local sum, and compaction is a rebuild via
+    * [[spanGramCensus]] over the accepted corpus. Eagerly checkpointed
+    * before the write — the batch frame is typically the OUTPUT of
+    * `removeRepeatedSpansAgainst(spark.table(...))`, i.e. a lazy plan
+    * reading the very table being appended to (the
+    * [[paragraphKeyIndexAppend]] self-reference hazard). */
+  def spanGramCensusAppend(spark: SparkSession, batch: DataFrame,
+                           textCol: String, gramLen: Int,
+                           buckets: Int = 8,
+                           tableName: String = "span_index"): Unit = {
+    graft.operators.Dedup.gramCensus(batch, textCol, gramLen)
+      .localCheckpoint(true)
+      .repartition(buckets, col("g"))
+      .write.mode("append")
+      .bucketBy(buckets, "g").sortBy("g")
+      .format("parquet").saveAsTable(s"${tableName}_grams")
+    spark.catalog.refreshTable(s"${tableName}_grams")
+  }
 
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],

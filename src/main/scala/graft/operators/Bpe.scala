@@ -101,9 +101,11 @@ object Bpe {
   /** Train `numMerges` BPE merges over a (word, frequency) table; stops
     * early when the best remaining pair's corpus frequency drops below
     * `minPairCount` (merging a once-seen pair never helps a tokenizer).
-    * Returns the ordered merge table (rank, left, right) — rank 1 is
-    * the first, highest-frequency merge. Deterministic (see object
-    * scaladoc for the tie rule and the per-iteration plan shape). */
+    * Returns the ordered merge table (rank, left, right, weight) — rank 1
+    * is the first, highest-frequency merge, `weight` the pair's corpus
+    * frequency AT SELECTION TIME (an exactly-recomputable training anchor
+    * — the oracle gate re-derives it per iteration). Deterministic (see
+    * object scaladoc for the tie rule and the per-iteration plan shape). */
   def train(words: DataFrame, wordCol: String, weightCol: String,
             numMerges: Int, minPairCount: Long = 2L,
             checkpointEvery: Int = 8): DataFrame = {
@@ -114,20 +116,20 @@ object Bpe {
       .select(split(col(wordCol), "").as("syms"),
         col(weightCol).cast("long").as("weight"))
       .localCheckpoint(true)
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String)]
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     while (merges.size < numMerges && !done) {
       val top = pairCounts(syms)
         .orderBy(col("w").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
       else {
-        val (a, b) = (top(0).getString(0), top(0).getString(1))
-        merges += ((merges.size + 1, a, b))
+        val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        merges += ((merges.size + 1, a, b, w))
         syms = syms.withColumn("syms", mergeAdjacent(col("syms"), a, b))
         if (merges.size % checkpointEvery == 0) syms = syms.localCheckpoint(true)
       }
     }
-    merges.toSeq.toDF("rank", "left", "right")
+    merges.toSeq.toDF("rank", "left", "right", "weight")
   }
 
   /** Encode one word column with a trained merge list, applying merges

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{bitAndCount, bitmapFromInts, minhashSig, simhash64, tokens, wordShingles}
@@ -1017,16 +1017,24 @@ object Dedup {
     // same winner, hash-based partial combine without per-task sorts. The
     // id keeps its NATIVE type — "first" is the id column's own ordering
     // (numeric for numeric ids, lexicographic for string ids), so UUID-
-    // keyed corpora dedup too instead of null-ing out through a cast
-    val winners = paras.filter(length(col("norm")) > 0)
+    // keyed corpora dedup too instead of null-ing out through a cast.
+    // Empty-normalized paragraphs (pure structure, always kept) are split
+    // OUT of the join entirely: they all share the single constant key
+    // md5("") — routing them through the winners join would shuffle every
+    // blank paragraph corpus-wide onto one partition (join-key skew).
+    // They rejoin at the reassembly agg, which is keyed on the document id.
+    val empties = paras.filter(length(col("norm")) === 0)
+    val nonempty = paras.filter(length(col("norm")) > 0)
+    val winners = nonempty
       .groupBy(col("pkey"))
       .agg(min_by(
         struct(id.as("w_id"), col("pos").cast("long").as("w_pos")),
         struct(id, col("pos").cast("long"))).as("w"))
       .select(col("pkey"), col("w.w_id").as("w_id"), col("w.w_pos").as("w_pos"))
-    val kept = paras.join(winners, Seq("pkey"), "left")
-      .filter(col("w_id").isNull ||
-        (id === col("w_id") && col("pos").cast("long") === col("w_pos")))
+    val kept = nonempty.join(winners, Seq("pkey"))
+      .filter(id === col("w_id") && col("pos").cast("long") === col("w_pos"))
+      .select(id, col("pos"), col("para"))
+      .unionByName(empties.select(id, col("pos"), col("para")))
       .groupBy(id)
       .agg(count(lit(1)).as("n_kept"),
         array_join(transform(
@@ -1128,42 +1136,116 @@ object Dedup {
     * copy is wanted at a coarser grain.
     *
     * Plan shape, and why it survives 100 TB:
-    *  1. postings (id, pos, 16-byte md5 of the char gram) — one per
-    *     character, built per-row by a codegen'd transform (`substr`
-    *     with column offsets), no join against exploded characters;
-    *  2. the duplicate census is a hash agg on the 16-byte key with
-    *     map-side partial combine, then a semi-join of postings against
-    *     the (data-dependent, unhinted — AQE promotes) duplicated-key
-    *     set. This is the one O(corpus-bytes) shuffle, inherent to the
-    *     semantics: every window must be checked against every other;
-    *  3. duplicated positions aggregate per document (sort_array over a
-    *     per-doc-bounded list — duplicate positions only, typically a
-    *     tiny fraction of bytes) and join back by id; span merge,
-    *     removal counting and the string surgery are then pure per-row
-    *     fold expressions (`aggregate` HOFs) — no per-character rows
-    *     ever shuffle, unlike the naive formulation that windows over
-    *     an exploded character table twice.
+    *  1. postings (id, pos, `prefixBytes`-byte prefix of the gram's md5)
+    *     — one per character, built per-row by a codegen'd transform
+    *     (`substr` with column offsets), no join against exploded
+    *     characters. The O(corpus-bytes) exchanges carry the TRUNCATED
+    *     key: at the default 8 bytes that cuts the census row from
+    *     16+id+pos to 8+id+pos (~30% narrower) and the census key rows
+    *     from 24 to 16 bytes (~33%);
+    *  2. the duplicate census is a hash agg on the prefix with map-side
+    *     partial combine, then a semi-join of postings against the
+    *     candidate-prefix set. A prefix collision can only ADD candidate
+    *     positions (a superset of the true duplicates), never drop one;
+    *  3. CONFIRM pass over candidates only: candidate positions join
+    *     back to their documents by id, the FULL 16-byte gram keys are
+    *     re-derived per-row for just those positions, and a second
+    *     census on the full key keeps exactly the truly-duplicated ones
+    *     — so the answer is bit-identical to a full-key census
+    *     (SubDocSpec asserts equality down at prefixBytes=1, where
+    *     collisions are common). In the typical regime candidates ≈
+    *     true duplicates (an 8-byte prefix false-positives at ~n²/2⁶⁵),
+    *     so the confirm pass touches a tiny fraction of the corpus; at
+    *     `prefixBytes >= 16` the confirm pass is skipped entirely (the
+    *     prefix IS the collision-safe key);
+    *  4. duplicated positions aggregate per document (sort_array over a
+    *     per-doc-bounded list) and join back by id; span merge, removal
+    *     counting and the string surgery are then pure per-row fold
+    *     expressions (`aggregate` HOFs) — no per-character rows ever
+    *     shuffle twice, unlike the naive formulation that windows over
+    *     an exploded character table.
     *
-    * The 16-byte key keeps gram-hash collisions negligible at 10^14
-    * grams (p ~ 10^-11); an 8-byte key would collide at that scale and
-    * silently delete non-duplicated text. */
+    * The census shuffle width is MEASURED, not inherited: one cheap
+    * `sum(length(text))` agg estimates the posting count and sizes the
+    * census partitioning at `rowsPerPartition` postings each (the
+    * engine's measure-then-route discipline) — a 135M-posting census no
+    * longer funnels through whatever `spark.sql.shuffle.partitions`
+    * happens to be. Both census branches hang off the same explicit
+    * repartition, so ReuseExchange materializes the posting shuffle
+    * once.
+    *
+    * The full 16-byte confirm key keeps gram-hash collisions negligible
+    * at 10^14 grams (p ~ 10^-11); the truncated census key never
+    * affects the answer, only the candidate set. */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                          gramLen: Int): DataFrame = {
+                          gramLen: Int, prefixBytes: Int = 8,
+                          rowsPerPartition: Long = 2000000L): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    require(prefixBytes >= 1, s"prefixBytes must be >= 1, got $prefixBytes")
+    val spark = docs.sparkSession
     val id = col(idCol)
     val text = col(textCol)
+    // measure-then-route: size the per-character exchanges from the
+    // posting estimate (corpus chars), never below the session default
+    val estPostings = docs.agg(sum(length(text).cast("long"))).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val censusParts = math.max(spark.sessionState.conf.numShufflePartitions,
+      (estPostings / rowsPerPartition + 1).toInt)
+    val confirm = prefixBytes < 16
+    val posting = spanPostings(docs, idCol, textCol, gramLen) { gram =>
+        val full = unhex(md5(gram))
+        if (confirm) substring(full, 1, prefixBytes) else full
+      }
+      .repartition(censusParts, col("g"))
+    val candKeys = posting.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val candPos = posting.join(candKeys, Seq("g"), "left_semi")
+      .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
+    val dupPos = if (!confirm) candPos else {
+      // confirm candidates on the full 16-byte key: re-derive grams for
+      // candidate positions only (per-row transform over the candidate
+      // list — the corpus-wide per-character work is already done)
+      val candFull = docs.join(candPos, Seq(idCol))
+        .select(id, explode(transform(col("dps"),
+          p => struct(p.as("pos"),
+            unhex(md5(text.substr(p, lit(gramLen)))).as("g")))).as("pg"))
+        .select(id, col("pg.pos").as("pos"), col("pg.g").as("g"))
+      val dupKeys = candFull.groupBy(col("g")).agg(count(lit(1)).as("c"))
+        .filter(col("c") > 1).select(col("g"))
+      candFull.join(dupKeys, Seq("g"), "left_semi")
+        .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
+    }
+    spanAssembly(docs, idCol, textCol, gramLen, dupPos)
+  }
+
+  /** Per-character gram postings of a document frame — one
+    * (id, pos, key) row per length-`gramLen` window, key derived from
+    * the window by `key` (full or truncated md5). Built per-row by a
+    * codegen'd transform; no exploded-character join. */
+  private def spanPostings(docs: DataFrame, idCol: String, textCol: String,
+                           gramLen: Int)(key: Column => Column): DataFrame = {
+    val text = col(textCol)
     val n = length(text)
-    val posting = docs.select(id,
+    docs.select(col(idCol),
         explode(when(n >= gramLen,
           transform(sequence(lit(1), n - (gramLen - 1)),
             p => struct(p.cast("int").as("pos"),
-              unhex(md5(text.substr(p, lit(gramLen)))).as("g"))))
+              key(text.substr(p, lit(gramLen))).as("g"))))
           .otherwise(array().cast("array<struct<pos:int,g:binary>>"))).as("pg"))
-      .select(id, col("pg.pos").as("pos"), col("pg.g").as("g"))
-    val dupKeys = posting.groupBy(col("g")).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).select(col("g"))
-    val dupPos = posting.join(dupKeys, Seq("g"), "left_semi")
-      .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
+      .select(col(idCol), col("pg.pos").as("pos"), col("pg.g").as("g"))
+  }
+
+  /** The shared tail of both span-removal forms: merge each document's
+    * sorted duplicated window starts into maximal covered spans, then
+    * count and cut them with per-row fold expressions. `dupPos` is
+    * (idCol, dps: sorted array of duplicated window start positions). */
+  private def spanAssembly(docs: DataFrame, idCol: String, textCol: String,
+                           gramLen: Int, dupPos: DataFrame): DataFrame = {
+    val id = col(idCol)
+    val text = col(textCol)
+    val n = length(text)
     // merge sorted duplicated window starts into maximal covered spans:
     // window at p covers [p, p+L-1]; runs are contiguous when the next
     // start is <= current end + 1 (adjacent coverage = one maximal span)
@@ -1196,5 +1278,66 @@ object Dedup {
           st => concat(st.getField("acc"),
             text.substr(st.getField("cur"), n - st.getField("cur") + 1)))
           .as("clean_text"))
+  }
+
+  /** Full-key gram census of a document frame: one (g, c) row per
+    * DISTINCT length-`gramLen` character window — the 16-byte md5 key
+    * and its corpus occurrence count. This is what a STANDING span
+    * census stores ([[graft.catalog.Layout.spanGramCensus]]); unlike
+    * the 16-byte-per-document fingerprint tiers it is O(corpus bytes)
+    * (~24 bytes per distinct gram ≈ 24× corpus bytes worst case) — the
+    * inherent price of exact substring semantics, same order as the
+    * suffix array the batch formulation replaces. Counts (not just
+    * duplicated keys) are stored because the incremental rule needs
+    * singletons: a standing count of 1 plus one batch occurrence makes
+    * a gram duplicated. */
+  def gramCensus(docs: DataFrame, textCol: String, gramLen: Int): DataFrame =
+    spanPostings(docs, docs.columns.head, textCol, gramLen)(
+        g => unhex(md5(g)))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
+
+  /** Incremental repeated-span removal — [[removeRepeatedSpans]]'
+    * operational daily-batch form, the span sibling of
+    * [[dedupParagraphsAgainst]]: delete from `batch` every maximal span
+    * all of whose length-`gramLen` windows occur more than once in the
+    * ACCEPTED CORPUS ∪ BATCH, where the corpus participates only
+    * through its standing gram census `corpusGrams` (a (g, c) relation
+    * — [[gramCensus]] of the accepted corpus, or the bucketed standing
+    * table read in place). Batch-internal repeats count on top: a gram
+    * is duplicated iff its batch count plus standing count exceeds 1.
+    * Output shape identical to [[removeRepeatedSpans]].
+    *
+    * Equivalence (spec-asserted): with `corpusGrams` =
+    * [[gramCensus]](history), this equals the symmetric
+    * [[removeRepeatedSpans]] over history ∪ batch restricted to the
+    * batch's rows — the incremental form never re-scans history text,
+    * only its key census.
+    *
+    * 100 TB shape: the batch's per-gram counts join the census relation
+    * on the 16-byte key — with the standing census bucketed on `g`
+    * (the [[graft.catalog.Layout]] discipline), the corpus side is read
+    * in place and only the batch shuffles (LayoutSpec plan-asserts the
+    * single batch-side exchange); duplicate census rows from LSM
+    * appends fold via a bucket-local sum. */
+  def removeRepeatedSpansAgainst(batch: DataFrame, idCol: String,
+                                 textCol: String, corpusGrams: DataFrame,
+                                 gramLen: Int): DataFrame = {
+    require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
+    val id = col(idCol)
+    val posting = spanPostings(batch, idCol, textCol, gramLen)(
+      g => unhex(md5(g)))
+    val batchCounts = posting.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    // appends may add several rows per key — fold them; on the bucketed
+    // layout this aggregation is exchange-free (bucket-local)
+    val standing = corpusGrams.select(
+        col(corpusGrams.columns(0)).as("g"),
+        col(corpusGrams.columns(1)).cast("long").as("cs"))
+      .groupBy(col("g")).agg(sum(col("cs")).as("cs"))
+    val dupKeys = batchCounts.join(standing, Seq("g"), "left")
+      .filter(col("cb") + coalesce(col("cs"), lit(0L)) > 1)
+      .select(col("g"))
+    val dupPos = posting.join(dupKeys, Seq("g"), "left_semi")
+      .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
+    spanAssembly(batch, idCol, textCol, gramLen, dupPos)
   }
 }

@@ -729,29 +729,71 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- INCREMENTAL span removal: even ids are the accepted corpus,
+    //    participating only through its standing gram census (16-byte
+    //    keys + counts — history text is never re-read); odd ids the
+    //    arriving batch. A batch gram is duplicated iff its batch count
+    //    plus the standing count exceeds 1 — exactly the symmetric rule
+    //    restricted to batch rows, which is what the oracle recomputes.
+    //    Same seeding as text_span_dedup; standing-table variant
+    //    (Layout.spanGramCensus, corpus side read in place) is
+    //    spec-asserted equivalent. [[graft.operators.Dedup
+    //    .removeRepeatedSpansAgainst]].
+    "text_span_dedup_incr" -> ((s, dir) => {
+      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          when(col("doc_id") % 6 === 0,
+            lit(" Exactly repeated boilerplate sentence planted for span removal."))
+            .otherwise(lit("")),
+          when(col("doc_id") % 11 === 0,
+            lit(" Another verbatim duplicated fragment appearing across documents."))
+            .otherwise(lit(""))).as("text"))
+      val history = seeded.filter(col("doc_id") % 2 === 0)
+      val batch = seeded.filter(col("doc_id") % 2 === 1)
+      Dedup.removeRepeatedSpansAgainst(batch, "doc_id", "text",
+          Dedup.gramCensus(history, "text", gramLen = 20), gramLen = 20)
+        .select(col("doc_id"), col("n_chars"), col("n_spans"), col("n_removed"),
+          md5(col("clean_text")).as("clean_fp"))
+        .orderBy(col("doc_id"))
+    }),
+
     // -- distributed BPE tokenizer training over the corpus vocabulary
     //    (Sennrich et al. 2016): 24 merges, deterministic (weight DESC,
-    //    pair ASC tie rule). Iterative argmax is not SQL-expressible →
-    //    rows-only driver check (LSH-candidate precedent); the semantics
-    //    gate is BpeSpec's independent naive reimplementation. Plan
-    //    shape + the vocab-not-corpus scale argument:
+    //    pair ASC tie rule). FULLY oracle-gated (round-8: was rows-only):
+    //    the emitted merge table — rank, pair, AND the pair's census
+    //    weight at selection — is recomputed merge-for-merge by DuckDB
+    //    via chained materialized CTEs (see [[bpeTrainOracle]]); a
+    //    census, argmax-tie, or merge-application regression turns this
+    //    row red. Vocabulary restricted to clean [a-z0-9]+ tokens on both
+    //    sides (removes tokenizer-vs-regex edge noise and guarantees the
+    //    oracle's '||' symbol-delimiter encoding is unambiguous);
+    //    minPairCount=1 so both engines run the fixed 24 iterations.
+    //    Plan shape + the vocab-not-corpus scale argument:
     //    [[graft.operators.Bpe]].
     "text_bpe_train" -> ((s, dir) => {
       import graft.operators.Bpe
-      Bpe.train(Bpe.wordCounts(Tables(s, dir, "documents"), "text"),
-          "word", "weight", numMerges = 24)
+      Bpe.train(
+          Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+            .filter(col("word").rlike("^[a-z0-9]+$")),
+          "word", "weight", numMerges = 24, minPairCount = 1L)
         .orderBy(col("rank"))
     }),
 
     // -- BPE encoding with the trained merges: piece frequencies over the
     //    corpus. Encodes each DISTINCT word once (vocab-bounded fold
     //    work) and weighs by word frequency — never re-tokenizes corpus
-    //    rows. Rows-only check (depends on the trained merge list).
+    //    rows. Oracle-gated (round-8: was rows-only): DuckDB re-trains
+    //    the 12 merges with the chained-CTE recurrence and reads the
+    //    piece frequencies off its own final vocab state; the Spark side
+    //    independently re-encodes each word with [[graft.operators.Bpe
+    //    .encode]]'s rank-ordered fold, so the row also certifies
+    //    encode ≡ train-time vocabulary state.
     "text_bpe_encode" -> ((s, dir) => {
       import graft.operators.Bpe
       val wc = Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+        .filter(col("word").rlike("^[a-z0-9]+$"))
       val merges = Bpe.collectMerges(
-        Bpe.train(wc, "word", "weight", numMerges = 12))
+        Bpe.train(wc, "word", "weight", numMerges = 12, minPairCount = 1L))
       wc.select(explode(Bpe.encode(col("word"), merges)).as("piece"),
           col("weight"))
         .groupBy(col("piece")).agg(sum(col("weight")).as("cnt"))
@@ -759,6 +801,59 @@ object Text extends QueryPack {
         .limit(30)
     })
   )
+
+  /** DuckDB recomputation of [[graft.operators.Bpe.train]] as `numMerges`
+    * chained MATERIALIZED CTE triplets (census → argmax → non-overlap
+    * merge) — the contract-row pattern taken to its limit: the ORACLE
+    * runs the whole training recurrence, so every emitted merge row is
+    * under the hard cross-engine signal.
+    *
+    * Word state is encoded as a '||'-delimited symbol string
+    * (`||t||h||e||`); applying merge (a,b) is then exactly SQL
+    * `replace(s, '|a||b|', '|ab|')` — replace's left-to-right
+    * non-overlapping scan IS the BPE merge rule, and the doubled
+    * delimiter makes adjacent merge sites independent (each occurrence
+    * consumes only the inner halves of its neighbors' delimiters, so
+    * `||a||a||a||a||` correctly collapses to `||aa||aa||`). Symbols are
+    * [a-z0-9]+ by the query's vocabulary filter, so '|' can never occur
+    * inside one. MATERIALIZED is load-bearing: each state CTE is
+    * referenced twice (next census + next state), and DuckDB's default
+    * inlining would re-expand the chain exponentially. */
+  private def bpeStateChain(numMerges: Int): String = {
+    val head =
+      """WITH wc AS MATERIALIZED (
+        |  SELECT word, CAST(COUNT(*) AS BIGINT) AS weight FROM (
+        |    SELECT UNNEST(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS word
+        |    FROM documents)
+        |  WHERE regexp_matches(word, '^[a-z0-9]+$')
+        |  GROUP BY word),
+        |s0 AS MATERIALIZED (SELECT '||' || array_to_string(list_transform(range(1, length(word) + 1), i -> word[i:i]), '||') || '||' AS s, weight FROM wc)""".stripMargin
+    val steps = (1 to numMerges).map { i =>
+      s""",
+         |p$i AS MATERIALIZED (SELECT p.a AS a, p.b AS b, CAST(SUM(weight) AS BIGINT) AS w FROM (
+         |    SELECT weight, UNNEST(list_transform(range(1, len(sy)), j -> {'a': sy[j], 'b': sy[j+1]})) AS p
+         |    FROM (SELECT list_filter(string_split(s, '||'), x -> x <> '') AS sy, weight FROM s${i - 1}))
+         |  GROUP BY 1, 2),
+         |m$i AS MATERIALIZED (SELECT a, b, w FROM p$i ORDER BY w DESC, a, b LIMIT 1),
+         |s$i AS MATERIALIZED (SELECT replace(s, '|' || m.a || '||' || m.b || '|', '|' || m.a || m.b || '|') AS s, weight FROM s${i - 1}, m$i m)""".stripMargin
+    }.mkString
+    head + steps
+  }
+
+  private def bpeTrainOracle(numMerges: Int): String = {
+    val union = (1 to numMerges)
+      .map(i => s"""SELECT $i AS "rank", a AS "left", b AS "right", w AS "weight" FROM m$i""")
+      .mkString("\nUNION ALL ")
+    bpeStateChain(numMerges) +
+      s"""\nSELECT * FROM (\n$union\n) ORDER BY "rank""""
+  }
+
+  private def bpeEncodeOracle(numMerges: Int): String =
+    bpeStateChain(numMerges) +
+      s"""
+         |SELECT piece, CAST(SUM(weight) AS BIGINT) AS cnt FROM (
+         |  SELECT UNNEST(list_filter(string_split(s, '||'), x -> x <> '')) AS piece, weight FROM s$numMerges)
+         |GROUP BY piece ORDER BY cnt DESC, piece LIMIT 30""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q24_token_counts" ->
@@ -1312,6 +1407,48 @@ object Text extends QueryPack {
         |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
         |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
         |  COALESCE(r.clean_fp, md5('')) AS clean_fp
-        |FROM corpus c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin
+        |FROM corpus c LEFT JOIN r USING (doc_id) ORDER BY doc_id""".stripMargin,
+
+    // the incremental form: the duplicate census spans the WHOLE corpus
+    // (history grams participate through their counts — a batch gram
+    // plus a history singleton is duplicated), but spans are marked and
+    // cut only in the odd-id batch documents — the same independent
+    // window/LAG formulation as text_span_dedup
+    "text_span_dedup_incr" ->
+      """WITH corpus AS (SELECT doc_id, text
+        |  || CASE WHEN doc_id % 6 = 0 THEN ' Exactly repeated boilerplate sentence planted for span removal.' ELSE '' END
+        |  || CASE WHEN doc_id % 11 = 0 THEN ' Another verbatim duplicated fragment appearing across documents.' ELSE '' END AS text
+        |  FROM documents),
+        |p AS (SELECT doc_id, UNNEST(range(1, len(text) - 18)) AS pos, text
+        |  FROM corpus WHERE len(text) >= 20),
+        |g AS (SELECT doc_id, pos, substr(text, pos, 20) AS gram FROM p),
+        |d AS (SELECT gram FROM (SELECT gram, COUNT(*) AS c FROM g GROUP BY 1) WHERE c > 1),
+        |dp AS (SELECT g.doc_id, g.pos FROM g SEMI JOIN d USING (gram) WHERE g.doc_id % 2 = 1),
+        |ch AS (SELECT doc_id, UNNEST(range(1, len(text) + 1)) AS pos, text
+        |  FROM corpus WHERE doc_id % 2 = 1),
+        |c2 AS (SELECT ch.doc_id, ch.pos, substr(ch.text, ch.pos, 1) AS ck,
+        |  CASE WHEN dp.pos IS NULL THEN 0 ELSE 1 END AS f
+        |  FROM ch LEFT JOIN dp ON ch.doc_id = dp.doc_id AND ch.pos = dp.pos),
+        |w AS (SELECT doc_id, pos, ck,
+        |  MAX(f) OVER (PARTITION BY doc_id ORDER BY pos
+        |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS cov FROM c2),
+        |w2 AS (SELECT doc_id, pos, ck, cov,
+        |  CASE WHEN cov = 1 AND COALESCE(LAG(cov) OVER (PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |       THEN 1 ELSE 0 END AS st FROM w),
+        |r AS (SELECT doc_id, SUM(st) AS n_spans, SUM(cov) AS n_removed,
+        |  md5(COALESCE(string_agg(CASE WHEN cov = 0 THEN ck END, '' ORDER BY pos), '')) AS clean_fp
+        |  FROM w2 GROUP BY doc_id)
+        |SELECT c.doc_id, CAST(len(c.text) AS BIGINT) AS n_chars,
+        |  CAST(COALESCE(r.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(COALESCE(r.n_removed, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(r.clean_fp, md5('')) AS clean_fp
+        |FROM corpus c LEFT JOIN r USING (doc_id)
+        |WHERE c.doc_id % 2 = 1 ORDER BY doc_id""".stripMargin,
+
+    // full cross-engine recomputation of the training recurrence — see
+    // bpeStateChain for the '||'-encoding / replace-as-merge argument.
+    // numMerges must match the query's (24 train / 12 encode).
+    "text_bpe_train" -> bpeTrainOracle(24),
+    "text_bpe_encode" -> bpeEncodeOracle(12)
   )
 }

@@ -160,6 +160,67 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("span gram census: incremental span removal joins the census buckets in place") {
+    import graft.operators.Dedup
+    val sp = spark
+    import sp.implicits._
+    val shared = "0123456789ABCDEFGHIJ"
+    val history = Seq(
+      1L -> s"history body carrying $shared exactly once",
+      2L -> "independent history body with no repeats").toDF("doc_id", "text")
+    val uniqueB1 = "batch one wholly novel text body kept intact"
+    val batch1 = Seq(
+      10L -> s"batch copy of $shared from history",
+      11L -> uniqueB1).toDF("doc_id", "text")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Layout.spanGramCensus(spark, history, "text", gramLen = 20,
+        buckets = 4, "span_idx")
+      assert(spark.table("span_idx_grams").inputFiles.length == 4)
+      // plan shape of the census probe join: the ONLY exchange is the
+      // batch's per-gram counts hashing into the census bucket layout —
+      // the standing census (the 100 TB side) reaches the join in place,
+      // including its LSM count fold-up (a bucket-local aggregation)
+      val standing = spark.table("span_idx_grams")
+        .groupBy(col("g")).agg(sum(col("c")).as("cs"))
+      val probeJoin = Dedup.gramCensus(batch1, "text", 20)
+        .join(standing, Seq("g"), "left")
+      val plan = probeJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange".r.findAllMatchIn(plan).size == 1,
+        s"only the batch side may shuffle:\n$plan")
+      // table-read and frame variants agree
+      val viaTable = Dedup.removeRepeatedSpansAgainst(batch1, "doc_id",
+        "text", spark.table("span_idx_grams"), gramLen = 20)
+      val viaFrame = Dedup.removeRepeatedSpansAgainst(batch1, "doc_id",
+        "text", Dedup.gramCensus(history, "text", 20), gramLen = 20)
+      assert(viaTable.orderBy(col("doc_id")).collect().toSeq ===
+        viaFrame.orderBy(col("doc_id")).collect().toSeq)
+      val b1 = viaTable.orderBy(col("doc_id")).collect()
+      assert(b1(0).getLong(2) === 1L, "history singleton + batch copy removed")
+      assert(b1(1).getString(4) === uniqueB1, "novel batch text intact")
+      // fold the batch's ACCEPTED (cleaned) text in — directly off the
+      // lazy table-reading output, exercising the checkpoint guard
+      // against the self-referential append
+      Layout.spanGramCensusAppend(spark,
+        viaTable.select(col("clean_text").as("text")), "text",
+        gramLen = 20, buckets = 4, "span_idx")
+      // a later copy of batch1's admitted unique text is now a repeat;
+      // fresh text still is not
+      val batch2 = Seq(20L -> uniqueB1,
+        21L -> "later batch fresh wording with no precedent").toDF("doc_id", "text")
+      val b2 = Dedup.removeRepeatedSpansAgainst(batch2, "doc_id", "text",
+          spark.table("span_idx_grams"), gramLen = 20)
+        .orderBy(col("doc_id")).collect()
+      assert(b2(0).getString(4) === "", "admitted batch-1 text now dedups")
+      assert(b2(1).getLong(3) === 0L, "fresh text untouched")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS span_idx_grams")
+    }
+  }
+
   test("IVF cell-partitioned layout prunes partitions on a probe filter") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.01"

@@ -172,6 +172,61 @@ class SubDocSpec extends SparkSpec {
     assert(got(7L)._2 === 1L)                   // overlapping windows: one span
   }
 
+  test("removeRepeatedSpans is exact under a colliding census prefix (confirm pass)") {
+    val sp = spark
+    import sp.implicits._
+    // ~2500 DISTINCT grams against 256 possible 1-byte prefixes: census
+    // collisions are pigeonhole-certain, so the truncated census marks
+    // many unique grams as candidates — the full-key confirm pass must
+    // strip every false positive and keep the planted duplicates
+    val rnd = new scala.util.Random(42)
+    val shared = "0123456789ABCDEFGHIJ"
+    val docs = (1L to 40L).map { i =>
+      val unique = Array.fill(60)(('a' + rnd.nextInt(26)).toChar).mkString
+      i -> (if (i % 7 == 0) s"$unique $shared" else unique)
+    }
+    val df = docs.toDF("doc_id", "text")
+    def run(prefix: Int) =
+      Dedup.removeRepeatedSpans(df, "doc_id", "text", gramLen = 20,
+          prefixBytes = prefix)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val viaPrefix = run(1)
+    val viaFullKey = run(16)
+    assert(viaPrefix === viaFullKey)
+    assert(viaPrefix === naiveSpans(docs, 20))
+    assert(viaPrefix.count(_._2._2 > 0) === docs.count(_._1 % 7 == 0),
+      "exactly the seeded docs lose their shared block")
+  }
+
+  test("removeRepeatedSpansAgainst equals the symmetric removal restricted to the batch") {
+    val sp = spark
+    import sp.implicits._
+    val shared = "0123456789ABCDEFGHIJ"   // in history once
+    val intra = "KLMNOPQRSTUVWXYZabcd"    // twice WITHIN the batch only
+    val history = Seq(
+      1L -> s"history text holding $shared and nothing else",
+      2L -> "independent history body with no repeats")
+    val batch = Seq(
+      10L -> s"batch copy of $shared the history singleton", // dup vs standing count 1
+      11L -> s"first $intra here",                           // dup vs batch itself
+      12L -> s"again $intra there",
+      13L -> "wholly unique batch document stays intact")
+    def collect(df: DataFrame) =
+      df.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    val incr = collect(Dedup.removeRepeatedSpansAgainst(
+      batch.toDF("doc_id", "text"), "doc_id", "text",
+      Dedup.gramCensus(history.toDF("doc_id", "text"), "text", 20), 20))
+    val symmetric = collect(Dedup.removeRepeatedSpans(
+        (history ++ batch).toDF("doc_id", "text"), "doc_id", "text", 20)
+      .filter(col("doc_id") >= 10L))
+    assert(incr === symmetric)
+    assert(incr(10L)._2 === 1L, "history singleton + batch copy = duplicated")
+    assert(incr(11L)._2 === 1L && incr(12L)._2 === 1L, "batch-internal repeat")
+    assert(incr(13L) === ((41L, 0L, 0L, "wholly unique batch document stays intact")))
+  }
+
   // ----------------------------------------------------------------
   // Bpe
   // ----------------------------------------------------------------
@@ -186,11 +241,11 @@ class SubDocSpec extends SparkSpec {
     out.toList
   }
 
-  private def naiveBpe(words: Map[String, Long], numMerges: Int,
-                       minPair: Long): Seq[(String, String)] = {
+  private def naiveBpeW(words: Map[String, Long], numMerges: Int,
+                        minPair: Long): Seq[(String, String, Long)] = {
     var vocab: Map[List[String], Long] =
       words.map { case (w, c) => (w.split("").toList, c) }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
     var done = false
     while (out.size < numMerges && !done) {
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]
@@ -199,13 +254,17 @@ class SubDocSpec extends SparkSpec {
       val best = counts.toSeq.sortBy { case ((a, b), w) => (-w, a, b) }.headOption
       best match {
         case Some(((a, b), w)) if w >= minPair =>
-          out += ((a, b))
+          out += ((a, b, w))
           vocab = vocab.map { case (syms, c) => (naiveMergeList(syms, a, b), c) }
         case _ => done = true
       }
     }
     out.toSeq
   }
+
+  private def naiveBpe(words: Map[String, Long], numMerges: Int,
+                       minPair: Long): Seq[(String, String)] =
+    naiveBpeW(words, numMerges, minPair).map { case (a, b, _) => (a, b) }
 
   test("mergeAdjacent applies the non-overlap left-to-right rule") {
     val sp = spark
@@ -236,6 +295,21 @@ class SubDocSpec extends SparkSpec {
         numMerges = 10, minPairCount = 2L, checkpointEvery = 3))
     assert(got === expected)
     assert(got.nonEmpty)
+  }
+
+  test("train's weight column is the pair's census frequency at selection time") {
+    val sp = spark
+    import sp.implicits._
+    val words = Map(
+      "low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+      "new" -> 6L, "newest" -> 3L, "wide" -> 3L, "widest" -> 2L)
+    val expected = naiveBpeW(words, numMerges = 10, minPair = 2L)
+      .zipWithIndex.map { case ((a, b, w), i) => (i + 1, a, b, w) }
+    val got = Bpe.train(words.toSeq.toDF("word", "weight"), "word", "weight",
+        numMerges = 10, minPairCount = 2L)
+      .orderBy(col("rank")).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    assert(got === expected)
   }
 
   test("train is invariant to input partitioning (argmax ties break by value, not order)") {
