@@ -164,6 +164,24 @@ object StreamOps {
     * `dedupCorpusByQuality` over the batch before the stream, at the
     * cost of the iterative component computation.
     *
+    * With `paraIndexTable` set, the SUB-DOCUMENT stage runs between the
+    * quality gate and the document-level dedup — the operational Dolma
+    * intake order: each quality survivor's paragraphs anti-join the
+    * standing paragraph-key table
+    * ([[graft.catalog.Layout.paragraphKeyIndex]], read in place) plus
+    * keep-first within the batch
+    * ([[graft.operators.Dedup.dedupParagraphsAgainst]]); documents
+    * continue with their CLEANED text (which is also what the minhash
+    * check sees, what `onBatch` receives, and what the minhash append
+    * stores), and a document whose every paragraph was already admitted
+    * drops here — it is sub-document-duplicate in full, before LSH even
+    * looks at it. After the batch's survivors are decided, ONLY their
+    * kept paragraphs' keys fold into the paragraph index: a paragraph
+    * that arrived in a rejected document (quality-failed or near-dup)
+    * was never admitted, so a later copy of it is correctly fresh —
+    * while a paragraph admitted in batch N stays a duplicate in every
+    * later batch.
+    *
     * `onBatch` receives (kept survivors, duplicate pairs, batchId); the
     * pair frame unions index hits and intra-batch hits, with `batch_id`
     * always the REJECTED doc and `corpus_id` the smaller doc it collided
@@ -176,19 +194,39 @@ object StreamOps {
     * computed by reading the index tables, and deferring their
     * evaluation past the append would silently re-read the grown index
     * (self-referential table read — the same reason the gate queries
-    * checkpoint their pair sets). Same idempotency note as
+    * checkpoint their pair sets). The paragraph-stage output is
+    * checkpointed for the same reason — it reads the `_pkeys` table the
+    * loop later appends to. Same idempotency note as
     * [[dedupStreamAgainstIndex]] for batch replays. */
   def curateStreamAgainstIndex(docs: DataFrame,
                                spark: org.apache.spark.sql.SparkSession,
                                tableName: String, idCol: String, textCol: String,
                                shingleN: Int = 2, numHashes: Int = 32,
                                bands: Int = 8, buckets: Int = 8,
-                               estThreshold: Double = 0.3)
+                               estThreshold: Double = 0.3,
+                               paraIndexTable: Option[String] = None,
+                               paraSep: String = "\n\n",
+                               paraBuckets: Int = 8)
                               (qualityFilter: DataFrame => DataFrame)
                               (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
-      val q = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
+      val q0 = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
       try {
+        // sub-document stage: strip already-admitted paragraphs, drop
+        // docs with nothing left, continue with the cleaned text.
+        // Checkpointed: the plan reads the _pkeys table appended below.
+        val q = paraIndexTable match {
+          case None => q0
+          case Some(pt) =>
+            q0.drop(textCol)
+              .join(graft.operators.Dedup.dedupParagraphsAgainst(
+                  q0, idCol, textCol, spark.table(s"${pt}_pkeys"), paraSep)
+                .filter(col("n_kept") > 0)
+                .select(col(idCol), col("clean_text").as(textCol)),
+                Seq(idCol))
+              .select(q0.columns.map(col): _*)
+              .localCheckpoint(true)
+        }
         val idxPairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
             q, spark, tableName, idCol, textCol, shingleN, numHashes,
             bands, estThreshold)
@@ -208,8 +246,11 @@ object StreamOps {
             "left_anti")
           .localCheckpoint(true)
         onBatch(kept, pairs, id)
+        paraIndexTable.foreach(pt =>
+          graft.catalog.Layout.paragraphKeyIndexAppend(spark, kept, textCol,
+            paraSep, paraBuckets, pt))
         graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName)
-      } finally q.unpersist()
+      } finally q0.unpersist()
     }
 }

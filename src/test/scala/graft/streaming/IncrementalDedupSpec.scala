@@ -218,6 +218,85 @@ class IncrementalDedupSpec extends SparkSpec {
       Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
   }
 
+  test("curation loop with paragraph stage: admitted paragraphs stay rejected, only kept ones fold in") {
+    val sp = spark
+    import sp.implicits._
+    def para(i: Int): String = (0 until 8).map(j => s"p${i}_$j").mkString(" ")
+    // near-dup of para(0): last token changed -> 2-shingle jaccard 0.75
+    val nearDup0 = ((0 until 7).map(j => s"p0_$j") :+ "changed").mkString(" ")
+    val corpus = Seq(
+      0L -> para(0),
+      1L -> s"${para(1)}\n\n${para(2)}").toDF("doc_id", "text")
+    val table = "mh_para_idx"
+    val paraTable = "mh_para_idx_para"
+    def dropAll(): Unit = {
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+      sp.sql(s"DROP TABLE IF EXISTS ${paraTable}_pkeys")
+    }
+    dropAll()
+    val kept = mutable.Map[Long, Map[Long, String]]()
+    val dups = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, buckets = 4,
+      estThreshold = 0.5, paraIndexTable = Some(paraTable),
+      paraBuckets = 4) { df =>
+      df.filter(!col("text").contains("junk")) // the per-row quality gate
+    } { (k, pairs, id) =>
+      kept(id) = k.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      dups(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 4, table)
+      Layout.paragraphKeyIndex(sp, corpus, "text", buckets = 4,
+        tableName = paraTable)
+      val q = writer.start()
+      try {
+        // batch 0:
+        //  100 — corpus paragraph + novel one: stripped to the novel half
+        //  101 — ONLY already-admitted paragraphs: dropped sub-document-
+        //        duplicate in full, before LSH looks at it
+        //  102 — whole-doc near-dup of corpus doc 0: survives the
+        //        paragraph stage (normalized key differs), minhash drops it
+        //  103 — novel: kept
+        //  104 — quality-rejected; its novel paragraph must NOT fold in
+        in.addData(
+          (100L, s"${para(0)}\n\n${para(50)}"),
+          (101L, s"${para(1)}\n\n${para(2)}"),
+          (102L, nearDup0),
+          (103L, para(60)),
+          (104L, s"junk junk junk\n\n${para(90)}"))
+        q.processAllAvailable()
+        // batch 1:
+        //  200 — paragraph admitted in batch 0 (via doc 100) + novel:
+        //        the batch-0 admission must still reject it
+        //  201 — corpus paragraph + novel: corpus rejection still holds
+        //  202 — exactly the paragraph admitted via doc 103: dropped whole
+        //  203 — the paragraph of quality-rejected 104: never admitted,
+        //        so it is FRESH and must be kept
+        in.addData(
+          (200L, s"${para(50)}\n\n${para(70)}"),
+          (201L, s"${para(0)}\n\n${para(71)}"),
+          (202L, para(60)),
+          (203L, para(90)))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(kept(0L).keySet == Set(100L, 103L), s"batch 0 kept ${kept(0L)}")
+      assert(kept(0L)(100L) == para(50), "corpus paragraph stripped")
+      assert(dups(0L) == Set((102L, 0L)))
+      assert(kept(1L).keySet == Set(200L, 201L, 203L), s"batch 1 kept ${kept(1L)}")
+      assert(kept(1L)(200L) == para(70), "batch-0-admitted paragraph stays rejected")
+      assert(kept(1L)(201L) == para(71), "corpus paragraph stays rejected")
+      assert(kept(1L)(203L) == para(90), "paragraph of a rejected doc is fresh")
+      assert(dups(1L) == Set.empty, s"202 drops at the paragraph stage: ${dups(1L)}")
+      // minhash index holds corpus + every kept doc (with cleaned text)
+      assert(sp.table(s"${table}_sigs").count() == 2L + 2L + 3L)
+    } finally dropAll()
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
