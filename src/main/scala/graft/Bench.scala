@@ -78,7 +78,22 @@ object Bench {
     // (paragraph keep-first + span removal between line removal and the
     // index dedup) — the full Dolma/Lee-et-al. intake order
     "op_pipeline_full" -> ((s, dir) =>
-      PipelineHarness.runOnFull(s, dir, materialize = true)))
+      PipelineHarness.runOnFull(s, dir, materialize = true)),
+    // sequential vs batched BPE merge selection over the corpus vocab:
+    // identical 24-merge output here (weight gaps keep created pairs
+    // from overtaking), but the batched route runs ~batchK× fewer
+    // sequential driver jobs — the production-vocabulary cost story
+    "op_bpe_train" -> ((s, dir) =>
+      graft.operators.Bpe.train(bpeWords(s, dir), "word", "weight",
+        numMerges = 24, minPairCount = 1L)),
+    "op_bpe_train_batched" -> ((s, dir) =>
+      graft.operators.Bpe.trainBatched(bpeWords(s, dir), "word", "weight",
+        numMerges = 24, batchK = 8, minPairCount = 1L)))
+
+  /** The text_bpe_train vocabulary (clean [a-z0-9]+ word counts). */
+  private def bpeWords(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.wordCounts(Tables(s, dir, "documents"), "text")
+      .filter(org.apache.spark.sql.functions.col("word").rlike("^[a-z0-9]+$"))
 
   /** The incremental-minhash operator arm, SHARED with graft.Plans
     * (materialize=false keeps the lineage visible for the audit) so the

@@ -480,6 +480,14 @@ object ScaleProbe {
       }
       t(s"pipeline_$tag")(
         PipelineHarness.run(spark, c, table, targetTotal = 1000L).count())
+      // the SAME chain with the sub-document stages on (paragraph
+      // keep-first + span removal between line removal and the index
+      // dedup — the full Dolma/Lee-et-al. intake order). Replica
+      // isomorphism makes the drawn count the deterministic gate here
+      // too (ScaleSpec's pipeline_full gate).
+      t(s"pipeline_full_$tag")(
+        PipelineHarness.run(spark, c, table, targetTotal = 1000L,
+          subDocStages = true).count())
     }
 
     /** Sub-document granularity operators (round 7) on the window-
@@ -501,12 +509,36 @@ object ScaleProbe {
       t(s"paragraph_dedup_$tag")(
         Dedup.dedupParagraphs(c, "doc_id", "text")
           .agg(sum(col("n_kept"))).head().getLong(0))
+      // incremental span removal against the standing gram census of the
+      // K-replica corpus: census built once per tier (span_census_),
+      // then a probe batch that is an EXACT COPY of replica 0 under
+      // fresh ids — every batch window is already in the census, so
+      // n_removed must equal the batch's total chars at EVERY tier (the
+      // deterministic gate; the batch text is tier-invariant). The wall
+      // measures what a daily batch pays as the standing census grows:
+      // a narrow (g, c) bucketed read instead of re-posting the corpus
+      // text through the symmetric census exchange.
+      val censusTable = s"span_census_$tag"
+      graft.catalog.Layout.dropTable(spark, s"${censusTable}_grams")
+      t(s"span_census_$tag") {
+        graft.catalog.Layout.spanGramCensus(spark, c, "text", gramLen = 20,
+          buckets = 8, censusTable)
+        spark.table(s"${censusTable}_grams").count()
+      }
+      val batch = subdocReplica(spark, 5000L, 0, k)
+      t(s"span_dedup_incr_$tag")(
+        Dedup.removeRepeatedSpansAgainst(batch, "doc_id", "text",
+            spark.table(s"${censusTable}_grams"), gramLen = 20)
+          .agg(sum(col("n_removed"))).head().getLong(0))
       c.unpersist()
       val copies = (0 until k).map(i => subdocReplica(spark, 5000L, 0, i))
         .reduce(_ unionAll _)
       t(s"bpe_train_$tag")(
         Bpe.train(Bpe.wordCounts(copies, "text"), "word", "weight",
           numMerges = 8).count())
+      t(s"bpe_train_batched_$tag")(
+        Bpe.trainBatched(Bpe.wordCounts(copies, "text"), "word", "weight",
+          numMerges = 8, batchK = 4).count())
     }
 
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,

@@ -134,20 +134,23 @@ object Layout {
     spark.catalog.tableExists(s"${tableName}_sigs") &&
       spark.catalog.tableExists(s"${tableName}_bands")
 
-  /** Drop both index tables AND their warehouse directories. The catalog
-    * is session-scoped but the warehouse directory is not — a previous
+  /** Drop a managed table AND its warehouse directory. The catalog is
+    * session-scoped but the warehouse directory is not — a previous
     * session's files under the managed-table LOCATION survive and make a
     * later `saveAsTable` refuse with LOCATION_ALREADY_EXISTS, so every
-    * rebuild path needs this exact sequence (previously copy-pasted in
-    * three probe/harness sites). */
+    * rebuild path needs this exact sequence. */
+  def dropTable(spark: SparkSession, table: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $table")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+  }
+
+  /** [[dropTable]] for both tables of a [[minhashBandIndex]] (previously
+    * copy-pasted in three probe/harness sites). */
   def dropMinhashIndex(spark: SparkSession, tableName: String): Unit =
-    Seq("_sigs", "_bands").foreach { sfx =>
-      spark.sql(s"DROP TABLE IF EXISTS $tableName$sfx")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$tableName$sfx")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
+    Seq("_sigs", "_bands").foreach(sfx => dropTable(spark, s"$tableName$sfx"))
 
   def minhashBandIndex(spark: SparkSession, docs: DataFrame,
                        idCol: String, textCol: String,

@@ -273,6 +273,81 @@ class ScaleSpec extends SparkSpec {
       s"scale-invariant quotas must repeat the draw (±#langs): $drawn1 -> $drawn5")
   }
 
+  test("composed pipeline WITH sub-document stages: accepted ~exactly linear, draw ~exactly flat") {
+    // the round-7 verdict "next round" #7 gate: same composition gate as
+    // above but with paragraph keep-first + span removal switched on
+    // between line removal and the index dedup (the full Dolma/Lee-et-
+    // al. intake order, PipelineHarness.run(subDocStages = true)). The
+    // harness replicas are WINDOW-isomorphic (fixed-width _q%02d token
+    // suffix, any 20-char window holds a suffix digit), so the sub-
+    // document stages' outcomes are exactly replica-0's per replica and
+    // the same two deterministic signals hold: accepted population
+    // K-linear (± the MinHash estimate flicker), drawn count flat.
+    // targetTotal sits BELOW the 1x accepted population (the span stage
+    // is in its adversarial regime on this low-entropy corpus — most
+    // furniture text repeats, accepted ≈ 59 at 1x) so the flat-draw
+    // signal engages at every tier instead of capping at population.
+    val src = "/root/testdata/sf0.1"
+    def run(k: Int): (Long, Long, Double) = {
+      val c = PipelineHarness.corpus(spark, src, k)
+      val table = s"pipe_full_gate_${k}x"
+      PipelineHarness.ensureIndex(spark, c, table)
+      val t0 = System.nanoTime()
+      val drawn = PipelineHarness.run(spark, c, table, targetTotal = 40L,
+        subDocStages = true).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      val accepted = PipelineHarness.run(spark, c, table,
+        targetTotal = 2000000000L, subDocStages = true).count()
+      spark.catalog.clearCache()
+      (accepted, drawn, dt)
+    }
+    val (acc1, drawn1, t1) = run(1)
+    val (acc5, drawn5, t5) = run(5)
+    info(f"1x: accepted=$acc1 drawn=$drawn1 $t1%.2f s; 5x: accepted=$acc5 drawn=$drawn5 $t5%.2f s")
+    assert(acc1 > 0 && drawn1 > 0, "gate needs a nonempty pipeline output")
+    assert(drawn1 <= 40L + 5, s"draw $drawn1 must respect targetTotal + #langs")
+    assert(drawn1 < acc1, "target must engage below the accepted population")
+    val slack = math.max(5L, acc1 / 50)
+    assert(math.abs(acc5 - 5 * acc1) <= slack,
+      s"accepted population must be ~5x (±$slack): $acc1 -> $acc5")
+    assert(math.abs(drawn5 - drawn1) <= 5,
+      s"scale-invariant quotas must repeat the draw (±#langs): $drawn1 -> $drawn5")
+  }
+
+  test("incremental span removal: fully-admitted batch answer is exact at every census size") {
+    import org.apache.spark.sql.functions.{col, length, sum}
+    import graft.operators.Dedup
+    // the probe batch is an exact copy of replica 0 under fresh ids, so
+    // every one of its windows is already in the standing census — the
+    // removed-char answer must equal the batch's TOTAL chars, at a 1x
+    // census and at a 5x census alike (batch text is tier-invariant:
+    // the deterministic, box-speed-immune signal). The wall tripwire
+    // bounds what a fixed batch pays as the census grows 5x.
+    val batch = ScaleProbe.subdocReplica(spark, 2000L, 0, 9)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val totalChars = batch.agg(sum(length(col("text")))).head().getLong(0)
+      def run(k: Int): (Long, Double) = {
+        val census = Dedup.gramCensus(
+          ScaleProbe.subdocCorpus(spark, 2000L, k), "text", 20)
+          .localCheckpoint(true) // the "previously built" census premise
+        val t0 = System.nanoTime()
+        val removed = Dedup.removeRepeatedSpansAgainst(batch, "doc_id",
+            "text", census, gramLen = 20)
+          .agg(sum(col("n_removed"))).head().getLong(0)
+        (removed, (System.nanoTime() - t0) / 1e9)
+      }
+      run(1) // warm, unmeasured
+      val (rem1, t1) = run(1)
+      val (rem5, t5) = run(5)
+      info(f"1x census: removed=$rem1 in $t1%.2f s; 5x census: removed=$rem5 in $t5%.2f s")
+      assert(rem1 == totalChars, s"fully-admitted batch: $rem1 != $totalChars")
+      assert(rem5 == totalChars, s"answer must not depend on census size: $rem5")
+      val bound = 12.0 * math.max(t1, 0.3)
+      assert(t5 < bound, f"5x census probe took $t5%.1f s vs bound $bound%.1f s")
+    } finally batch.unpersist()
+  }
+
   test("boilerplate-line removal: removed-instance count is the exact seeded constant per doc") {
     import org.apache.spark.sql.functions.{col, concat, lit, sum, when}
     import graft.operators.Curation

@@ -312,6 +312,38 @@ class SubDocSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("trainBatched: batchK=1 is exactly sequential; disjoint batches match; conflicts defer") {
+    val sp = spark
+    import sp.implicits._
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // batchK=1 degenerates to train's exact sequence on the classic corpus
+    val classic = Seq("low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+      "new" -> 6L, "newest" -> 3L, "wide" -> 3L, "widest" -> 2L)
+      .toDF("word", "weight")
+    assert(table(Bpe.trainBatched(classic, "word", "weight", numMerges = 10,
+        batchK = 1, minPairCount = 2L)) ===
+      table(Bpe.train(classic, "word", "weight", numMerges = 10,
+        minPairCount = 2L)))
+    // four symbol-disjoint pairs: ONE scan selects all four, and the
+    // table (ranks, pairs, weights) is identical to the sequential run
+    val disjoint = Seq("ab" -> 100L, "cd" -> 90L, "ef" -> 80L, "gh" -> 70L)
+      .toDF("word", "weight")
+    assert(table(Bpe.trainBatched(disjoint, "word", "weight", numMerges = 4,
+        batchK = 4)) ===
+      table(Bpe.train(disjoint, "word", "weight", numMerges = 4)))
+    // (a,b) and (b,c) share a symbol: the batch takes only (a,b) and the
+    // NEXT scan re-censuses (b,c) at its post-merge weight 90 — batching
+    // both in one fold would have recorded the stale 95
+    val conflict = Seq("ab" -> 100L, "bc" -> 90L, "abc" -> 5L)
+      .toDF("word", "weight")
+    val got = table(Bpe.trainBatched(conflict, "word", "weight",
+      numMerges = 2, batchK = 2))
+    assert(got === table(Bpe.train(conflict, "word", "weight", numMerges = 2)))
+    assert(got === Seq((1, "a", "b", 105L), (2, "b", "c", 90L)))
+  }
+
   test("train is invariant to input partitioning (argmax ties break by value, not order)") {
     val sp = spark
     import sp.implicits._
