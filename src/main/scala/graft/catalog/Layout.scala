@@ -393,6 +393,24 @@ object Layout {
     spark.catalog.refreshTable(s"${tableName}_grams")
   }
 
+  /** Compact a [[spanGramCensus]] after a run of appends: fold the
+    * multi-row keys the LSM appends leave behind (`sum(c)` per gram —
+    * the exact aggregation every probe would otherwise redo per batch)
+    * and rewrite single-file buckets. Same copy-then-swap shape as
+    * [[minhashIndexCompact]]; `buckets` may grow with the corpus. */
+  def spanGramCensusCompact(spark: SparkSession, buckets: Int,
+                            tableName: String = "span_index"): Unit = {
+    dropTable(spark, s"${tableName}_grams_new")
+    spark.table(s"${tableName}_grams")
+      .groupBy(col("g")).agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+      .repartition(buckets, col("g"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "g").sortBy("g")
+      .format("parquet").saveAsTable(s"${tableName}_grams_new")
+    spark.sql(s"DROP TABLE ${tableName}_grams")
+    spark.sql(s"ALTER TABLE ${tableName}_grams_new RENAME TO ${tableName}_grams")
+  }
+
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],
                    tableName: String = "embeddings_ivf"): Unit =

@@ -199,11 +199,40 @@ object Bpe {
 
   /** Encode one word column with a trained merge list, applying merges
     * in rank order (the BPE inference rule). Expression depth =
-    * merges.size — see the object scaladoc for the large-vocab route. */
+    * merges.size — fine for the tens-to-hundreds of merges an analysis
+    * pass uses; a production 30k-merge vocabulary goes through
+    * [[encodeVocab]] instead (one expression tree of 30k folds would
+    * blow codegen/constant-pool limits). */
   def encode(word: Column, merges: Seq[(String, String)]): Column =
     merges.foldLeft(split(word, ""): Column) {
       case (s, (a, b)) => mergeAdjacent(s, a, b)
     }
+
+  /** Production-vocabulary encoding: apply a LARGE trained merge list to
+    * a distinct-word frame in rank order, cutting lineage with
+    * `localCheckpoint` every `checkpointEvery` merges — the same
+    * capped-iteration shape as [[train]]'s vocab rewriting, so a
+    * 30k-merge vocabulary is ~30k/checkpointEvery bounded-size plans
+    * instead of one unplannable expression tree. Each checkpoint
+    * materializes the VOCAB relation (Heaps'-law sublinear in corpus
+    * bytes), never the corpus. Returns (`wordCol`, pieces).
+    *
+    * Spec-asserted identical to [[encode]] (merge-for-merge the same
+    * fold); encode corpus ROWS by joining this vocab table back on the
+    * word — the corpus is never re-tokenized per merge. */
+  def encodeVocab(words: DataFrame, wordCol: String,
+                  merges: Seq[(String, String)],
+                  checkpointEvery: Int = 64): DataFrame = {
+    require(checkpointEvery >= 1,
+      s"checkpointEvery must be >= 1, got $checkpointEvery")
+    val start = words.select(col(wordCol),
+      split(col(wordCol), "").as("pieces"))
+    merges.grouped(checkpointEvery).foldLeft(start) { (acc, group) =>
+      group.foldLeft(acc) { case (df, (a, b)) =>
+        df.withColumn("pieces", mergeAdjacent(col("pieces"), a, b))
+      }.localCheckpoint(true)
+    }
+  }
 
   /** Collect a merge table back to the rank-ordered (left, right) list
     * [[encode]] consumes — numMerges rows, a k-bounded driver action. */

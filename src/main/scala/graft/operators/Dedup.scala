@@ -1136,34 +1136,39 @@ object Dedup {
     * copy is wanted at a coarser grain.
     *
     * Plan shape, and why it survives 100 TB:
-    *  1. postings (id, pos, `prefixBytes`-byte prefix of the gram's md5)
-    *     — one per character, built per-row by a codegen'd transform
-    *     (`substr` with column offsets), no join against exploded
-    *     characters. The O(corpus-bytes) exchanges carry the TRUNCATED
-    *     key: at the default 8 bytes that cuts the census row from
-    *     16+id+pos to 8+id+pos (~30% narrower) and the census key rows
-    *     from 24 to 16 bytes (~33%);
-    *  2. the duplicate census is a hash agg on the prefix with map-side
+    *  1. postings (id, pos, gram key) — one per character, built per-row
+    *     by a codegen'd transform (`substr` with column offsets), no
+    *     join against exploded characters;
+    *  2. the duplicate census is a hash agg on the key with map-side
     *     partial combine, then a semi-join of postings against the
-    *     candidate-prefix set. A prefix collision can only ADD candidate
-    *     positions (a superset of the true duplicates), never drop one;
-    *  3. CONFIRM pass over candidates only: candidate positions join
-    *     back to their documents by id, the FULL 16-byte gram keys are
-    *     re-derived per-row for just those positions, and a second
-    *     census on the full key keeps exactly the truly-duplicated ones
-    *     — so the answer is bit-identical to a full-key census
-    *     (SubDocSpec asserts equality down at prefixBytes=1, where
-    *     collisions are common). In the typical regime candidates ≈
-    *     true duplicates (an 8-byte prefix false-positives at ~n²/2⁶⁵),
-    *     so the confirm pass touches a tiny fraction of the corpus; at
-    *     `prefixBytes >= 16` the confirm pass is skipped entirely (the
-    *     prefix IS the collision-safe key);
-    *  4. duplicated positions aggregate per document (sort_array over a
+    *     candidate-key set;
+    *  3. duplicated positions aggregate per document (sort_array over a
     *     per-doc-bounded list) and join back by id; span merge, removal
     *     counting and the string surgery are then pure per-row fold
     *     expressions (`aggregate` HOFs) — no per-character rows ever
     *     shuffle twice, unlike the naive formulation that windows over
     *     an exploded character table.
+    *
+    * `prefixBytes` trades exchange width against a confirm pass. Below
+    * 16, the O(corpus-bytes) exchanges carry a TRUNCATED md5 prefix
+    * (8 bytes cuts the census row from 16+id+pos to 8+id+pos, ~30%
+    * narrower); a prefix collision can only ADD candidate positions, so
+    * a CONFIRM pass re-derives the FULL 16-byte keys for candidate
+    * positions only (a per-row transform over the candidate lists) and
+    * a second census keeps exactly the truly-duplicated ones — the
+    * answer is bit-identical to the full-key census (SubDocSpec asserts
+    * equality down at prefixBytes=1, where collisions are pigeonhole-
+    * certain). The confirm pass costs in proportion to the DUPLICATED
+    * fraction: at production dup fractions (a few percent of windows)
+    * the prefix route wins — ~30% narrower corpus-wide exchanges
+    * against a confirm pass over a small slice; on corpora where most
+    * windows repeat it loses — measured 2.4–2.6× slower on this repo's
+    * adversarial synthetic fixture, where nearly every window repeats
+    * and the confirm pass re-touches the whole corpus (SCALE.md r8
+    * notes). The default is therefore the full 16-byte key (exact in
+    * one pass, never worse); route to `prefixBytes = 8` when the
+    * corpus' duplicated fraction is known to be small — the same
+    * measure-then-route discipline as every other gate in the engine.
     *
     * The census shuffle width is MEASURED, not inherited: one cheap
     * `sum(length(text))` agg estimates the posting count and sizes the
@@ -1178,7 +1183,7 @@ object Dedup {
     * at 10^14 grams (p ~ 10^-11); the truncated census key never
     * affects the answer, only the candidate set. */
   def removeRepeatedSpans(docs: DataFrame, idCol: String, textCol: String,
-                          gramLen: Int, prefixBytes: Int = 8,
+                          gramLen: Int, prefixBytes: Int = 16,
                           rowsPerPartition: Long = 2000000L): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     require(prefixBytes >= 1, s"prefixBytes must be >= 1, got $prefixBytes")

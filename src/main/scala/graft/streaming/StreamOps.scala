@@ -182,6 +182,16 @@ object StreamOps {
     * while a paragraph admitted in batch N stays a duplicate in every
     * later batch.
     *
+    * With `spanCensusTable` set, exact repeated-SPAN removal
+    * ([[graft.operators.Dedup.removeRepeatedSpansAgainst]] against the
+    * standing gram census, [[graft.catalog.Layout.spanGramCensus]]) runs
+    * after the paragraph stage — the Lee-et-al. finest grain: spans
+    * whose every `spanGramLen`-window already occurs in the accepted
+    * corpus (or more than once within the batch) are cut, a document
+    * cut to nothing drops, and the surviving documents' CLEANED text
+    * grams fold into the census after the batch's survivors are decided
+    * — same admitted-only discipline as the paragraph keys.
+    *
     * `onBatch` receives (kept survivors, duplicate pairs, batchId); the
     * pair frame unions index hits and intra-batch hits, with `batch_id`
     * always the REJECTED doc and `corpus_id` the smaller doc it collided
@@ -206,16 +216,20 @@ object StreamOps {
                                estThreshold: Double = 0.3,
                                paraIndexTable: Option[String] = None,
                                paraSep: String = "\n\n",
-                               paraBuckets: Int = 8)
+                               paraBuckets: Int = 8,
+                               spanCensusTable: Option[String] = None,
+                               spanGramLen: Int = 20,
+                               spanBuckets: Int = 8)
                               (qualityFilter: DataFrame => DataFrame)
                               (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       val q0 = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
       try {
-        // sub-document stage: strip already-admitted paragraphs, drop
-        // docs with nothing left, continue with the cleaned text.
-        // Checkpointed: the plan reads the _pkeys table appended below.
-        val q = paraIndexTable match {
+        // sub-document stages: strip already-admitted paragraphs, then
+        // already-admitted spans; drop docs with nothing left, continue
+        // with the cleaned text. Checkpointed: the plans read the
+        // _pkeys/_grams tables appended below.
+        val q1 = paraIndexTable match {
           case None => q0
           case Some(pt) =>
             q0.drop(textCol)
@@ -225,6 +239,18 @@ object StreamOps {
                 .select(col(idCol), col("clean_text").as(textCol)),
                 Seq(idCol))
               .select(q0.columns.map(col): _*)
+              .localCheckpoint(true)
+        }
+        val q = spanCensusTable match {
+          case None => q1
+          case Some(st) =>
+            q1.drop(textCol)
+              .join(graft.operators.Dedup.removeRepeatedSpansAgainst(
+                  q1, idCol, textCol, spark.table(s"${st}_grams"), spanGramLen)
+                .filter(length(col("clean_text")) > 0)
+                .select(col(idCol), col("clean_text").as(textCol)),
+                Seq(idCol))
+              .select(q1.columns.map(col): _*)
               .localCheckpoint(true)
         }
         val idxPairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
@@ -249,6 +275,9 @@ object StreamOps {
         paraIndexTable.foreach(pt =>
           graft.catalog.Layout.paragraphKeyIndexAppend(spark, kept, textCol,
             paraSep, paraBuckets, pt))
+        spanCensusTable.foreach(st =>
+          graft.catalog.Layout.spanGramCensusAppend(spark, kept, textCol,
+            spanGramLen, spanBuckets, st))
         graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName)
       } finally q0.unpersist()

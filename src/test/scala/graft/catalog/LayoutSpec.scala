@@ -215,6 +215,16 @@ class LayoutSpec extends SparkSpec {
         .orderBy(col("doc_id")).collect()
       assert(b2(0).getString(4) === "", "admitted batch-1 text now dedups")
       assert(b2(1).getLong(3) === 0L, "fresh text untouched")
+      // compaction folds the LSM multi-row keys and restores single-file
+      // buckets; probe results must be identical
+      val preRows = spark.table("span_idx_grams").count()
+      Layout.spanGramCensusCompact(spark, buckets = 4, "span_idx")
+      assert(spark.table("span_idx_grams").inputFiles.length == 4)
+      assert(spark.table("span_idx_grams").count() <= preRows)
+      val b2c = Dedup.removeRepeatedSpansAgainst(batch2, "doc_id", "text",
+          spark.table("span_idx_grams"), gramLen = 20)
+        .orderBy(col("doc_id")).collect()
+      assert(b2c.toSeq === b2.toSeq, "compaction must not change probe results")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
       spark.sql("DROP TABLE IF EXISTS span_idx_grams")

@@ -365,6 +365,23 @@ class SubDocSpec extends SparkSpec {
     assert(merges.count() === 0L)
   }
 
+  test("encodeVocab (capped-lineage production route) equals the expression-fold encode") {
+    val sp = spark
+    import sp.implicits._
+    val words = Map("low" -> 5L, "lower" -> 2L, "lowest" -> 6L,
+      "new" -> 6L, "newest" -> 3L, "wide" -> 3L, "widest" -> 2L)
+    val merges = naiveBpe(words, numMerges = 10, minPair = 1L)
+    val vocab = words.keys.toSeq.toDF("word")
+    val viaExpr = vocab
+      .select(col("word"), Bpe.encode(col("word"), merges).as("pieces"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    // checkpointEvery=3 forces several lineage cuts inside the 10 merges
+    val viaVocab = Bpe.encodeVocab(vocab, "word", merges, checkpointEvery = 3)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    assert(viaVocab === viaExpr)
+    assert(viaVocab.values.exists(_.size > 1), "fixture must produce real pieces")
+  }
+
   test("encode applies trained merges in rank order over distinct words") {
     val sp = spark
     import sp.implicits._

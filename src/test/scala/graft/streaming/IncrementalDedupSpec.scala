@@ -297,6 +297,72 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("curation loop with span stage: admitted spans are cut, fully-covered docs drop whole") {
+    val sp = spark
+    import sp.implicits._
+    val S = "0123456789ABCDEFGHIJ" // exactly gramLen chars, lives in the corpus
+    val corpus = Seq(0L -> s"corpus history body with block $S")
+      .toDF("doc_id", "text")
+    val table = "mh_span_idx"
+    val spanTable = "mh_span_idx_census"
+    def dropAll(): Unit = {
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+      sp.sql(s"DROP TABLE IF EXISTS ${spanTable}_grams")
+    }
+    dropAll()
+    val uniqueV = "unique batch document kept wholly intact yes"
+    val kept = mutable.Map[Long, Map[Long, String]]()
+    val dups = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 128, bands = 32, buckets = 4,
+      estThreshold = 0.5, spanCensusTable = Some(spanTable),
+      spanBuckets = 4)(identity) { (k, pairs, id) =>
+      kept(id) = k.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      dups(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 4, table)
+      Layout.spanGramCensus(sp, corpus, "text", gramLen = 20,
+        buckets = 4, spanTable)
+      val q = writer.start()
+      try {
+        // batch 0:
+        //  100 — unique opening + the corpus block: block cut, doc kept
+        //  101 — EXACTLY the corpus block: cut to nothing, drops before
+        //        LSH ever sees it (no pair row)
+        //  102 — wholly unique: kept intact
+        in.addData(
+          (100L, s"brand new opening words $S"),
+          (101L, S),
+          (102L, uniqueV))
+        q.processAllAvailable()
+        // batch 1:
+        //  200 — fresh words + a 20-char block of the ADMITTED doc 102:
+        //        the admitted span is cut (batch-0 fold-in), rest kept
+        //  201 — fresh: kept intact
+        in.addData(
+          (200L, "fresh words " + uniqueV.substring(0, 20)),
+          (201L, "later batch fresh wording with no precedent"))
+        q.processAllAvailable()
+      } finally q.stop()
+
+      assert(kept(0L).keySet == Set(100L, 102L), s"batch 0 kept ${kept(0L)}")
+      // the cut is "$S" PLUS the preceding space: the corpus doc also has
+      // a space before its block, so the space+prefix window repeats too
+      assert(kept(0L)(100L) == "brand new opening words", "corpus block cut")
+      assert(kept(0L)(102L) == uniqueV)
+      assert(dups(0L) == Set.empty, s"101 dropped at the span stage: ${dups(0L)}")
+      assert(kept(1L).keySet == Set(200L, 201L), s"batch 1 kept ${kept(1L)}")
+      assert(kept(1L)(200L) == "fresh words ",
+        "a span admitted in batch 0 must be cut in batch 1")
+      // the minhash index holds the corpus + kept docs with CLEANED text
+      assert(sp.table(s"${table}_sigs").count() == 1L + 2L + 2L)
+    } finally dropAll()
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
