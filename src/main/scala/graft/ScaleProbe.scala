@@ -449,6 +449,66 @@ object ScaleProbe {
       } finally q.stop()
     }
 
+    /** The streaming loop with BOTH sub-document stages on (round 8):
+      * standing minhash index + paragraph key index + span gram census
+      * over the tier corpus (setup timed once — the census is the
+      * O(corpus) piece), then three warm micro-batches of half
+      * replica-0 TWINS (every paragraph already admitted → dropped
+      * sub-document-duplicate in full, before LSH) and half FRESH docs
+      * (pass every stage, get admitted and folded into all three
+      * standing structures). Deterministic signal: kept count per
+      * batch == the fresh half exactly, at every tier. The batch
+      * latency is what a daily intake pays as the standing state grows
+      * 100×: paragraph anti-join + span census probe + LSH, all
+      * in-place bucketed reads on the corpus side. */
+    def streamSubdocProbe(tag: String, docs: DataFrame): Unit = {
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+      import spark.implicits._
+      val table = s"stream_sd_idx_$tag"
+      val paraT = s"stream_sd_para_$tag"
+      val spanT = s"stream_sd_span_$tag"
+      graft.catalog.Layout.dropMinhashIndex(spark, table)
+      graft.catalog.Layout.dropTable(spark, s"${paraT}_pkeys")
+      graft.catalog.Layout.dropTable(spark, s"${spanT}_grams")
+      t(s"stream_subdoc_setup_$tag") {
+        graft.catalog.Layout.minhashBandIndex(spark, docs, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, buckets = 32, table)
+        graft.catalog.Layout.paragraphKeyIndex(spark, docs, "text",
+          buckets = 32, tableName = paraT)
+        graft.catalog.Layout.spanGramCensus(spark, docs, "text", gramLen = 20,
+          buckets = 32, spanT)
+        spark.table(s"${spanT}_grams").count()
+      }
+      val twins = docReplica(
+          Tables(spark, src, "documents").filter(col("doc_id") % 10 === 0), 0)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => (r.getLong(0), r.getString(1)))
+      def fresh(b: Int): Seq[(Long, String)] =
+        twins.indices.map { i =>
+          (3000000000L + b * 1000000L + i,
+            (0 until 8).map(j => s"fb${b}i${i}w$j").mkString(" "))
+        }
+      val keptTotal = new java.util.concurrent.atomic.AtomicLong
+      val in = MemoryStream[(Long, String)]
+      val writer = graft.streaming.StreamOps.curateStreamAgainstIndex(
+        in.toDF().toDF("doc_id", "text"), spark, table, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 32,
+        estThreshold = 0.5, paraIndexTable = Some(paraT), paraBuckets = 32,
+        spanCensusTable = Some(spanT), spanBuckets = 32)(identity) { (k, _, _) =>
+        keptTotal.addAndGet(k.count()); ()
+      }
+      val q = writer.start()
+      try (0 until 3).foreach { b =>
+        t(s"stream_subdoc_batch${b}_$tag") {
+          in.addData((twins.map { case (id, tx) =>
+            (id + 2000000000L + b * 1000000L, tx) } ++ fresh(b)).toSeq: _*)
+          q.processAllAvailable()
+          keptTotal.get()
+        }
+      } finally q.stop()
+    }
+
     /** The COMPOSED curation chain at scale (VERDICT_r06 next-round #1):
       * C4 gate → line removal → standing-index dedup (+ intra-batch) →
       * decontamination → temperature mix → shard shuffle, as ONE job
@@ -623,9 +683,11 @@ object ScaleProbe {
     val onlyStream = probeOnly.contains("stream")
     if (onlyStream) {
       streamProbe("1x", docs1)
+      streamSubdocProbe("1x", docs1)
       ks.foreach { k =>
         val (docsK, _) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
         streamProbe(s"${k}x", docsK)
+        streamSubdocProbe(s"${k}x", docsK)
       }
       spark.stop(); return
     }
@@ -646,7 +708,7 @@ object ScaleProbe {
       pipelineProbe("1x", 1)
       subdocProbe("1x", 1)
     }
-    if (!onlyBloom) { incrProbe("1x", docs1); streamProbe("1x", docs1) }
+    if (!onlyBloom) { incrProbe("1x", docs1); streamProbe("1x", docs1); streamSubdocProbe("1x", docs1) }
     if (!onlyIncr) bloomProbe("1x", docs1)
     ks.foreach { k =>
       val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
@@ -661,7 +723,7 @@ object ScaleProbe {
         pipelineProbe(s"${k}x", k)
         subdocProbe(s"${k}x", k)
       }
-      if (!onlyBloom) { incrProbe(s"${k}x", docsK); streamProbe(s"${k}x", docsK) }
+      if (!onlyBloom) { incrProbe(s"${k}x", docsK); streamProbe(s"${k}x", docsK); streamSubdocProbe(s"${k}x", docsK) }
       if (!onlyIncr) bloomProbe(s"${k}x", docsK)
     }
     spark.stop()
