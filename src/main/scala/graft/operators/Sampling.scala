@@ -316,6 +316,83 @@ object Sampling {
       .drop("__tm_rn", "__tm_base", "__tm_rem")
   }
 
+  /** [[temperatureMix]] with the quota denominated in TOKENS — the
+    * contract a trainer actually has (a data budget is so-many tokens,
+    * not so-many documents; mixing by document count over-weights
+    * short-document sources). Per source s with token population t_s,
+    * the budget is q_s = min(t_s, max(1, round(targetTokens · t_s^alpha
+    * / Σ t_j^alpha))); the source's documents are laid out in the stable
+    * `md5(source || ':' || id)` order (the [[temperatureMix]] draw) and
+    * every document whose preceding token count within its source is
+    * below q_s is kept — document-granular, so the drawn total lands in
+    * [q_s, q_s + last-doc) per source, deterministically.
+    *
+    * 100 TB shape: the per-source running token offsets do NOT sort any
+    * source in one partition (the [[temperatureMix]] window would — fine
+    * for ranks under a group limit, wrong for a 50 TB source's cumsum).
+    * Same two-phase prefix sum as [[Packing.packSequences]]: the order
+    * hash's first 2 hex chars shard each source 256 ways, a window
+    * cumsum runs per (source, shard) slice, and the per-source shard
+    * bases — a (#sources × 256)-row relation — prefix-sum under a
+    * per-source window and broadcast back. One hash exchange on
+    * (source, shard); ordering by (shard, hash) equals ordering by the
+    * hash alone (the shard IS its prefix), which is what the DuckDB
+    * oracle recomputes with a single window. Quotas attach via
+    * [[attachPerKey]] (when-chain / broadcast-join routed).
+    *
+    * NULL-source rows are dropped ([[temperatureMix]] contract); rows
+    * with a NULL token count are dropped (no defined position in the
+    * token stream); zero-token rows ride along free wherever their
+    * position lands inside the budget. */
+  def temperatureMixTokens(df: DataFrame, idCol: String, srcCol: String,
+                           nTokCol: String, alpha: Double, targetTokens: Long,
+                           chainMaxKeys: Int = chainRouteMaxKeys): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha $alpha out of [0,1]")
+    require(targetTokens >= 1, s"targetTokens must be >= 1, got $targetTokens")
+    import org.apache.spark.sql.expressions.Window
+    val n = col(nTokCol).cast("long")
+    val all = df.filter(n.isNotNull)
+      .groupBy(col(srcCol).cast("string").as("__src"))
+      .agg(sum(n).as("__t"))
+      .collect().map(r => (if (r.isNullAt(0)) null else r.getString(0), r.getLong(1)))
+    val sumA = all.map { case (_, t) => math.pow(t.toDouble, alpha) }.sum
+    val quota = all.filter(_._1 != null).map { case (src, t) =>
+      src -> math.min(t,
+        math.max(1L, math.round(targetTokens * math.pow(t.toDouble, alpha) / sumA)))
+    }.toMap
+    val h = md5(concat(col(srcCol).cast("string"), lit(":"), col(idCol).cast("string")))
+    val tagged = df.filter(n.isNotNull && col(srcCol).isNotNull)
+      .withColumn("__mt_h", h)
+      .withColumn("__mt_shard", substring(col("__mt_h"), 1, 2))
+    val wCum = Window
+      .partitionBy(col(srcCol).cast("string"), col("__mt_shard"))
+      .orderBy(col("__mt_h"), col(idCol))
+    val withCum = tagged.withColumn("__mt_cum", sum(n).over(wCum))
+    // bases from the PRE-window frame under fresh names: deriving them
+    // from withCum would make the join a self-join whose shard equality
+    // resolves to one attribute (trivially true — Spark warns) and
+    // cross-matches every base of the source
+    val wBase = Window.partitionBy(col("__src"))
+      .orderBy(col("__b_shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val bases = tagged
+      .groupBy(col(srcCol).cast("string").as("__src"),
+        col("__mt_shard").as("__b_shard"))
+      .agg(sum(n).as("__st"))
+      .withColumn("__mt_base", coalesce(sum(col("__st")).over(wBase), lit(0L)))
+      .select(col("__src"), col("__b_shard"), col("__mt_base"))
+    val positioned = withCum.join(broadcast(bases),
+        col(srcCol).cast("string") === col("__src") &&
+          col("__mt_shard") === col("__b_shard"))
+      .drop("__src", "__b_shard")
+      .withColumn("__mt_before", col("__mt_base") + col("__mt_cum") - n)
+    attachPerKey(positioned, col(srcCol),
+      quota.map { case (s, q) => s -> Seq[Any](q) },
+      Seq(StructField("__mt_q", LongType)),
+      Seq(lit(null)), chainMaxKeys)
+      .filter(col("__mt_before") < col("__mt_q"))
+      .drop("__mt_h", "__mt_shard", "__mt_cum", "__mt_base", "__mt_before", "__mt_q")
+  }
+
   /** Deterministic global shuffle for training order: assign every row a
     * shard label (first 2 hex chars of `md5(seed || ':' || id)` — 256
     * shards) and a dense position within its shard (rank by the full

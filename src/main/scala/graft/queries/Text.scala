@@ -600,6 +600,42 @@ object Text extends QueryPack {
         .orderBy(col("shard"), col("pos"))
     }),
 
+    // -- temperature mixing with the quota in TOKENS — the trainer's
+    //    actual budget contract: per-source token totals reweighted by
+    //    t^0.5, documents drawn in the stable md5 order until each
+    //    source's token budget is covered (document-granular boundary).
+    //    The distributed form's two-phase sharded cumsum is order-
+    //    equivalent to the oracle's single window (the shard is the
+    //    hash's own prefix). [[graft.operators.Sampling
+    //    .temperatureMixTokens]].
+    "text_mix_tokens" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      Sampling.temperatureMixTokens(docs, "doc_id", "lang", "n_tokens",
+          alpha = 0.5, targetTokens = 120000)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- sequence packing: the concat-then-chunk layout step — documents
+    //    in the deterministic ep0 shard-shuffle order, token streams
+    //    concatenated and cut into 512-token training sequences,
+    //    boundary-straddling documents splitting into fragments. Fully
+    //    deterministic in (ids, token counts, seed) → the oracle
+    //    recomputes the entire layout (order, cumsums, shard bases,
+    //    fragment arithmetic) in SQL. [[graft.operators.Packing
+    //    .packSequences]].
+    "text_pack_sequences" -> ((s, dir) => {
+      import graft.operators.Packing
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      Packing.packSequences(docs, "doc_id", "n_tokens",
+          seqLen = 512, seed = "ep0")
+        .orderBy(col("seq_id"), col("seq_off"))
+    }),
+
     // -- quality-aware canonical selection: within each connected near-dup
     //    group (the exact ngram-jaccard pairs), keep the member with the
     //    highest alpha-ratio quality score (min id tiebreak) — the
@@ -1264,6 +1300,52 @@ object Text extends QueryPack {
         |  CAST(row_number() OVER (PARTITION BY substr(hv, 1, 2)
         |    ORDER BY hv, doc_id) AS BIGINT) AS pos
         |FROM h ORDER BY shard, pos""".stripMargin,
+
+    // token-budget temperature mix: POW quotas over per-source token
+    // totals (the text_mix_temperature arithmetic, denominated in
+    // tokens), then a per-source running token offset in the same md5
+    // order — keep documents whose preceding tokens sit under the budget
+    "text_mix_tokens" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n
+        |  FROM documents),
+        |c AS (SELECT lang, SUM(n) AS t FROM d GROUP BY 1),
+        |w AS (SELECT lang, t, POW(t, 0.5) AS a FROM c),
+        |q AS (SELECT lang, LEAST(t, GREATEST(1,
+        |    CAST(ROUND(120000 * a / (SELECT SUM(a) FROM w)) AS BIGINT))) AS q FROM w),
+        |r AS (SELECT doc_id, lang, n,
+        |    CAST(SUM(n) OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - n AS bef
+        |  FROM d)
+        |SELECT r.doc_id, r.lang, r.n AS n_tokens FROM r JOIN q USING (lang)
+        |WHERE r.bef < q.q ORDER BY doc_id""".stripMargin,
+
+    // the full packing layout recomputed in SQL: same md5 order as
+    // text_shard_shuffle, per-shard cumsum, shard-base prefix sum,
+    // fragment arithmetic in BIGINT floor division
+    "text_pack_sequences" ->
+      """WITH h AS (SELECT doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS BIGINT) AS n,
+        |    md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hv FROM documents),
+        |sh AS (SELECT doc_id, n, substr(hv, 1, 2) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(hv, 1, 2)
+        |    ORDER BY hv, doc_id) AS BIGINT) AS pos,
+        |  SUM(n) OVER (PARTITION BY substr(hv, 1, 2)
+        |    ORDER BY hv, doc_id) AS cum FROM h),
+        |t AS (SELECT shard, SUM(n) AS t FROM sh GROUP BY shard),
+        |b AS (SELECT shard, CAST(COALESCE(SUM(t) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |  FROM t),
+        |g AS (SELECT sh.doc_id, sh.shard, sh.pos, sh.n,
+        |    CAST(b.base + sh.cum - sh.n AS BIGINT) AS s
+        |  FROM sh JOIN b USING (shard) WHERE sh.n > 0),
+        |f AS (SELECT doc_id, shard, pos, n, s,
+        |    UNNEST(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id FROM g)
+        |SELECT doc_id, shard, pos, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+        |  CAST(GREATEST(s, seq_id * 512) - s AS BIGINT) AS frag_start,
+        |  CAST(LEAST(s + n, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512) AS BIGINT) AS frag_len
+        |FROM f ORDER BY seq_id, seq_off""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

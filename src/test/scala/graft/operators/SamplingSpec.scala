@@ -265,6 +265,61 @@ class SamplingSpec extends SparkSpec {
       .filter(col("src").isNull).count() == 0L)
   }
 
+  test("temperatureMixTokens draws each source's token budget in the stable order, exactly") {
+    val sp = spark
+    import sp.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // skewed sources with varied doc lengths; 'big' must be trimmed to
+    // its token budget, 'tiny' is floor-1-protected and population-capped
+    val docs = (1L to 400L).map(i => (i, "big", 5L + i % 9)) ++
+      (1L to 40L).map(i => (i + 1000L, "mid", 3L + i % 5)) ++
+      Seq((2000L, "tiny", 4L))
+    val df = docs.toDF("doc_id", "lang", "n_tokens")
+    val target = 600L
+    val got = Sampling.temperatureMixTokens(df, "doc_id", "lang", "n_tokens",
+        alpha = 0.5, targetTokens = target)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // naive reference: quotas from token totals, then a plain sorted
+    // cumsum per source — the single-window form the two-phase sharded
+    // prefix sum must reproduce exactly
+    val totals = docs.groupBy(_._2).map { case (s, xs) => s -> xs.map(_._3).sum }
+    val sumA = totals.values.map(math.pow(_, 0.5)).sum
+    val quotas = totals.map { case (s, t) =>
+      s -> math.min(t, math.max(1L, math.round(target * math.pow(t.toDouble, 0.5) / sumA)))
+    }
+    val expected = docs.groupBy(_._2).flatMap { case (src, xs) =>
+      var before = 0L
+      xs.sortBy { case (id, s, _) => (md5hex(s"$s:$id"), id) }.flatMap {
+        case (id, s, n) =>
+          val keep = before < quotas(src); before += n
+          if (keep) Some((id, s, n)) else None
+      }
+    }.toSet
+    assert(got === expected)
+    // the budget boundary is document-granular: drawn tokens land in
+    // [quota, quota + last-doc) for trimmed sources, == population for
+    // capped ones
+    // toSeq before summing: mapping a SET of rows to token counts would
+    // collapse duplicate counts and undercount the draw
+    val drawn = got.groupBy(_._2).map { case (s, xs) => s -> xs.toSeq.map(_._3).sum }
+    assert(drawn("big") >= quotas("big") &&
+      drawn("big") < quotas("big") + 14, s"big drew ${drawn("big")} vs ${quotas("big")}")
+    assert(drawn("tiny") === 4L, "population-capped source keeps everything")
+    assert(got.map(_._2).toSet === Set("big", "mid", "tiny"))
+    // partition invariance (the two-phase prefix sum is order-free)
+    val got13 = Sampling.temperatureMixTokens(df.repartition(13), "doc_id",
+        "lang", "n_tokens", alpha = 0.5, targetTokens = target)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got13 === got)
+    // quota-attach routes agree (when-chain vs broadcast join)
+    val gotJoin = Sampling.temperatureMixTokens(df, "doc_id", "lang",
+        "n_tokens", alpha = 0.5, targetTokens = target, chainMaxKeys = 0)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(gotJoin === got)
+  }
+
   test("shardShuffle is a stable permutation: 256 shards, dense positions, seed-dependent") {
     val sp = spark
     import sp.implicits._
