@@ -48,6 +48,10 @@ object Bench {
       Similarity.ivfNearDupPairs(Tables(s, dir, "embeddings"),
         "vec_id", "embedding",
         k = 8, probes = 3, lloydIters = 3, seed = 42, simThreshold = 0.3)),
+    "op_semdedup" -> ((s, dir) =>
+      Similarity.semDedup(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)),
     "op_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, threshold = 0.2)),
@@ -149,7 +153,10 @@ object Bench {
     "sim_ann_ivf_incr",       // exact cross-pair contract arm
     "sim_ann_ivf_recall",     // brute-force recall denominator
     "sim_ann_ivf_topk_check", // exact top-k census
-    "sim_ann_recall")         // brute-force recall denominator
+    "sim_ann_recall",         // brute-force recall denominator
+    "dedup_semdedup")         // global keep-min-id removal-set arm (the
+                              // O(n²) brute pair census); the operator
+                              // path alone is op_semdedup
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -395,4 +395,57 @@ object Curation {
       .select(col(idCol), col("n_tokens"),
         round(col("slp").cast("double") / col("n_tokens"), 4).as("mean_logp"))
   }
+
+  /** Per-document mean BIGRAM log-probability with add-α smoothing — the
+    * CCNet perplexity filter (Wenzek et al. 2020) one Markov order up
+    * from [[unigramLogProb]]: fit bigram counts on the corpus itself and
+    * score every document by mean ln p(w_i | w_{i−1}), where
+    * p(w2|w1) = (c(w1,w2) + α) / (c(w1) + α·V), c(w1) the bigram-context
+    * count (Σ_w2 c(w1,w2)) and V the corpus token-type count. Smoothing
+    * keeps the estimator proper (the LM here is fit on the scoring
+    * corpus, so no bigram is unseen, but a held-out corpus plugs into the
+    * same formula). Per-bigram logp is quantized to DECIMAL(12,6) BEFORE
+    * the per-doc sum (QueryPack policy — order-independent, bit-identical
+    * cross-engine); documents with < 2 tokens have no bigrams and are
+    * absent (inner-join semantics both engines).
+    *
+    * 100 TB shape: bigram extraction is a per-row HOF (adjacent-token
+    * structs from the document's own token array — zero shuffle, no
+    * window); the count tables are plain partial+final aggregations on
+    * (w1,w2)/(w1); V is a 1-row scalar broadcast; the score join routes
+    * through the MEASURED bigram-vocabulary gate — broadcast when the
+    * bigram type count fits, (w1,w2)-keyed shuffle join at web scale. */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+                    alpha: Double, maxBroadcastVocab: Long): DataFrame = {
+    require(alpha > 0, s"alpha must be > 0, got $alpha")
+    val toks = tokens(lower(col(textCol)))
+    val bigrams = docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol), explode(transform(
+        sequence(lit(1), size(toks) - 1),
+        i => struct(element_at(toks, i).as("w1"),
+          element_at(toks, (i + 1).cast("int")).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+    val vs = docs.select(explode(toks).as("t"))
+      .agg(countDistinct(col("t")).as("vs"))
+    val lp = c2.join(c1, "w1").crossJoin(broadcast(vs))
+      .select(col("w1"), col("w2"),
+        round(log((col("c2") + alpha) /
+          (col("c1").cast("double") + col("vs") * alpha)), 6)
+          .cast(DecimalType(12, 6)).as("logp"))
+    // measured route on the BIGRAM type count (the idfJoinVocabGated
+    // discipline, keyed on the pair)
+    val lpp = lp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nTypes = lpp.count()
+    val joined =
+      if (nTypes <= maxBroadcastVocab) bigrams.join(broadcast(lpp), Seq("w1", "w2"))
+      else bigrams.join(lpp, Seq("w1", "w2"))
+    joined
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .select(col(idCol), col("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 4).as("mean_logp"))
+  }
 }

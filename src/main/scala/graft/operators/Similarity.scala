@@ -489,4 +489,95 @@ object Similarity {
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
+
+  /** SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): embedding-space semantic
+    * dedup. Cluster the corpus with the [[trainIvfCentroids]] spherical
+    * k-means, then WITHIN each cluster remove every vector that has an
+    * exact-cosine neighbor at `tau` or above preceding it in the keep
+    * order — keep-first under a total order, the same relational rule as
+    * `Dedup.dedupParagraphs`, so the answer is exact given the clustering
+    * (no greedy iteration-order dependence).
+    *
+    * Keep order (`keepBy`):
+    *  - `"id"`       — lowest id survives each neighborhood (the
+    *                   oracle-friendly default; clustered removals are
+    *                   then a provable SUBSET of the global keep-min-id
+    *                   rule, making recall measurable with two counts);
+    *  - `"centroid"` — the paper's best-performing policy: LOW cosine to
+    *                   the (primary) cluster centroid survives — dedup
+    *                   keeps the atypical member of each duplicate
+    *                   neighborhood. Rounded to 6 dp before comparison
+    *                   (ties → lower id) so the order is deterministic.
+    *
+    * `probes` > 1 assigns each vector to its `probes` nearest cells
+    * (IVF-style boundary replication): a pair is compared if the two
+    * vectors share ANY cell, which recovers neighbors split across a cell
+    * boundary — the clustered-removal set stays a subset of the global
+    * rule (a same-cell neighbor is still a real neighbor), recall just
+    * rises. Output: one row per input vector — (id, cell, cent_sim,
+    * kept) with `cell` the primary (nearest) centroid.
+    *
+    * 100 TB shape (the paper's own cost model): candidate work is
+    * Σ cell² — size k ≈ √N so cells hold ~√N vectors, train centroids on
+    * a `trainFraction` sample (scan-side filter, no shuffle) and assign
+    * the full corpus map-side (the k×dim centroid matrix rides in the
+    * plan). The pair join shuffles (cell, id, order-key) rows only;
+    * embeddings join back per surviving candidate inside [[verifyPairs]];
+    * AQE skew-join splits hot cells. Zero-norm vectors have no direction,
+    * join no pairs, and are always kept.
+    *
+    * Reference analog: none (no embedding ops in the reference) — a
+    * training-data north-star operator. */
+  def semDedup(df: DataFrame, idCol: String, embCol: String,
+               k: Int, probes: Int, lloydIters: Int, seed: Long,
+               tau: Double, keepBy: String = "id",
+               trainFraction: Double = 1.0,
+               materialize: Boolean = true): DataFrame = {
+    require(keepBy == "id" || keepBy == "centroid",
+      s"keepBy must be 'id' or 'centroid', got '$keepBy'")
+    val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed,
+      trainFraction)
+    // persisted: feeds the assignment self-join and both verify joins
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        l2NormSq(col(embCol)).as("nsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cent_sim = cosine to the PRIMARY centroid == max over cells (the
+    // assignment is the argmax). Zero-norm rows have no cosine (NULL
+    // cent_sim, guarded — ANSI mode makes a bare /0 an error, not NULL)
+    // and are excluded from pair generation below: no direction, no
+    // neighbors, always kept.
+    val cos = cents.map(c => dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq")))
+    val centSim = when(col("nsq") > 0,
+      round(if (cos.size == 1) cos.head else greatest(cos: _*), 6))
+    val assigned = base.select(col("id"), col("nsq"),
+      element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
+      centSim.as("cent_sim"),
+      ivfAssign(col("emb"), cents, probes).as("cells"))
+    val sides = assigned.filter(col("nsq") > 0)
+      .select(col("id"), col("cent_sim"), explode(col("cells")).as("cellx"))
+    val a = sides.select(col("id").as("id_a"), col("cent_sim").as("cs_a"),
+      col("cellx").as("cell_a"))
+    val b = sides.select(col("id").as("id_b"), col("cent_sim").as("cs_b"),
+      col("cellx").as("cell_b"))
+    // precedence: a survives b — candidate pairs carry only ids + the
+    // 6dp-rounded order key, never embeddings
+    val precedes =
+      if (keepBy == "id") col("id_a") < col("id_b")
+      else col("cs_a") < col("cs_b") ||
+        (col("cs_a") === col("cs_b") && col("id_a") < col("id_b"))
+    val pairs = a.join(b, col("cell_a") === col("cell_b") && precedes)
+      .select(col("id_a"), col("id_b")).distinct()
+    // pair sides carry nsq > 0 only (filtered above), so the verify
+    // division is safe under ANSI semantics
+    val removed = verifyPairs(pairs, base.filter(col("nsq") > 0)
+        .select(col("id"), col("emb"), col("nsq")), tau)
+      .select(col("id_b").as("id")).distinct()
+      .withColumn("__rm", lit(true))
+    materializeAndRelease(
+      assigned.join(removed, Seq("id"), "left")
+        .select(col("id"), col("cell"), col("cent_sim"),
+          coalesce(!col("__rm"), lit(true)).as("kept")),
+      base, materialize)
+  }
 }

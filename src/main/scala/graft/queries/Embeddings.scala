@@ -211,6 +211,34 @@ object Embeddings extends QueryPack {
           (col("n_found") >= col("n_true") * 0.9).as("recall_ok"))
     }),
 
+    // -- SemDeDup (Abbas et al. 2023): spherical-k-means clusters + exact
+    //    within-cluster cosine, keep-first under the id order
+    //    ([[graft.operators.Similarity.semDedup]]). SELF-VERIFYING, the
+    //    sim_ann_ivf contract shape: under keepBy="id" a vector is removed
+    //    iff a SAME-CELL neighbor at >= tau precedes it, so the clustered
+    //    removal set is a provable subset of the global keep-min-id rule
+    //    {b : ∃ a < b, cos(a,b) >= tau} — whose size DuckDB recomputes
+    //    exactly from the raw embeddings (distinct id_b of the brute pair
+    //    set). Gates: anchor n_true, subset via except, vertex recall
+    //    >= 0.9 (2-probe boundary replication recovers cell-split
+    //    neighborhoods), nonempty.
+    "dedup_semdedup" -> ((s, dir) => {
+      val globalRemoved = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_b")).distinct().localCheckpoint()
+      val removed = Similarity.semDedup(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)
+        .filter(!col("kept"))
+        .select(col("id").as("id_b")).localCheckpoint()
+      globalRemoved.agg(count(lit(1)).as("n_true"))
+        .crossJoin(removed.except(globalRemoved).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(col("n_true"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_removed") >= col("n_true") * 0.9).as("recall_ok"),
+          (col("n_removed") > 0).as("nonempty"))
+    }),
+
     // -- IVF top-k search for one query vector (vec 0): probe the 3
     //    nearest of 8 cells with 2-way corpus assignment (IVF replication
     //    — boundary neighbors are indexed under both nearby cells), rank
@@ -500,6 +528,20 @@ object Embeddings extends QueryPack {
       """SELECT count(*) AS n_corpus, TRUE AS n_results_ok,
         |  TRUE AS overlap_ok, TRUE AS sims_exact_ok
         |FROM embeddings""".stripMargin,
+
+    // global keep-min-id removal count recomputed exactly: a vector is
+    // removed under the unclustered rule iff SOME lower id is an exact
+    // >= 0.3 neighbor (decimal-gated like dedup_embedding_cosine)
+    "dedup_semdedup" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT count(DISTINCT b.vec_id) AS n_true, TRUE AS subset_ok,
+        |  TRUE AS recall_ok, TRUE AS nonempty
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
 
     "emb_quantize_int8" ->
       """WITH e AS (

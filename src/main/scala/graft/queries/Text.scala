@@ -561,6 +561,19 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- CCNet perplexity filter one Markov order up: corpus-fit bigram
+    //    LM with add-0.1 smoothing scores every document by mean
+    //    ln p(w_i | w_{i-1}). Bigram extraction is a per-row HOF (no
+    //    window, no shuffle); logp quantized to DECIMAL(12,6) pre-sum;
+    //    the score join routes through the measured bigram-type gate.
+    //    [[graft.operators.Curation.bigramLogProb]].
+    "text_bigram_lm" -> ((s, dir) => {
+      import graft.operators.Curation
+      Curation.bigramLogProb(Tables(s, dir, "documents"), "doc_id", "text",
+          alpha = 0.1, MaxBroadcastVocab)
+        .orderBy(col("doc_id"))
+    }),
+
     // -- temperature-weighted source mixing over the skewed `lang` column
     //    (en is 3x fr in the corpus; alpha = 0.5 flattens the draw toward
     //    uniform). Operator semantics + the bounded driver collect and
@@ -1202,6 +1215,30 @@ object Text extends QueryPack {
         |  FROM v, n),
         |j AS (SELECT t.doc_id, lp.logp FROM t JOIN lp USING (term))
         |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS mean_logp
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // bigram LM: adjacent-token pairs from the 1-based token list, context
+    // counts summed off the bigram census (CAST — SUM(BIGINT) is HUGEINT),
+    // add-0.1 smoothing against the token-type count, logp quantized to
+    // DECIMAL(12,6) before the per-doc sum (the text_unigram_lm policy)
+    "text_bigram_lm" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS ws
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |    UNNEST(list_transform(range(1, len(ws)),
+        |      i -> struct_pack(w1 := ws[i], w2 := ws[i + 1]))) AS bg
+        |  FROM t WHERE len(ws) >= 2),
+        |b2 AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM b),
+        |c2 AS (SELECT w1, w2, COUNT(*) AS c2 FROM b2 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT COUNT(DISTINCT x) AS vs FROM (SELECT UNNEST(ws) AS x FROM t)),
+        |lp AS (SELECT w1, w2,
+        |    CAST(ROUND(ln((c2 + 0.1) / (CAST(c1 AS DOUBLE) + 0.1 * vs)), 6) AS DECIMAL(12,6)) AS logp
+        |  FROM c2 JOIN c1 USING (w1), v),
+        |j AS (SELECT b2.doc_id, lp.logp FROM b2 JOIN lp USING (w1, w2))
+        |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS mean_logp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 

@@ -174,4 +174,43 @@ class CurationSpec extends SparkSpec {
       "the shared sentence must be span-removed from every copy")
     assert(got.size == 200, "no document should vanish in this corpus")
   }
+
+  test("bigramLogProb matches a naive add-alpha bigram LM; short docs absent") {
+    val d = docs(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran"),
+      (3L, "a dog sat on the mat"),
+      (4L, "single"), // one token -> no bigrams -> absent
+      (5L, ""))       // zero tokens -> absent
+    val alpha = 0.1
+    // naive single-node reference
+    val tokd = Map(
+      1L -> "the cat sat on the mat".split(" ").toSeq,
+      2L -> "the cat ran".split(" ").toSeq,
+      3L -> "a dog sat on the mat".split(" ").toSeq)
+    val allBigrams = tokd.values.flatMap(ws => ws.zip(ws.tail)).toSeq
+    val c2 = allBigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = allBigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val vocab = (tokd.values.flatten ++ Seq("single")).toSet.size // doc 4's token counts toward V
+    def logp(b: (String, String)): BigDecimal =
+      BigDecimal(math.log((c2(b) + alpha) / (c1(b._1).toDouble + alpha * vocab)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    val expect = tokd.map { case (id, ws) =>
+      val lps = ws.zip(ws.tail).map(logp)
+      id -> (lps.size.toLong,
+        BigDecimal(lps.sum.toDouble / lps.size)
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+    val got = Curation.bigramLogProb(d, "id", "text", alpha, maxBroadcastVocab = 1000)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "short docs must be absent")
+    for ((id, (n, m)) <- expect) {
+      assert(got(id)._1 == n, s"doc $id bigram count")
+      assert(math.abs(got(id)._2 - m) < 1e-9, s"doc $id mean_logp ${got(id)._2} vs $m")
+    }
+    // the shuffle-join route (type count above the gate) agrees exactly
+    val shuffled = Curation.bigramLogProb(d, "id", "text", alpha, maxBroadcastVocab = 0)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(shuffled == got, "broadcast and shuffle routes must agree")
+  }
 }
