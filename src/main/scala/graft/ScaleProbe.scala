@@ -40,7 +40,7 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
-  private val IdStride = 10_000_000L
+  private[graft] val IdStride = 10_000_000L
 
   /** Replica i of the documents table: ids offset, every token suffixed
     * `_r<i>` so shingles never collide across replicas. */
@@ -691,6 +691,46 @@ object ScaleProbe {
       }
       spark.stop(); return
     }
+    /** SemDeDup + bigram-LM tiers (round 8). SemDeDup's deterministic
+      * signal is the embReplica planted-dup structure: 2% planted
+      * near-dups per shard (cos ≈ 0.99, the only pairs ≥ 0.8 — see
+      * embReplica), each preceded by its lower-id base, so the removed
+      * count must be ~EXACTLY the planted count, K-linear, at every
+      * tier (3-probe replication absorbs cell-boundary splits). The
+      * verify arm ships embeddings per candidate — same geometry as
+      * ivf_ann, so it probes the sub-headline tiers (k < 20) like
+      * ivf_ann does; k and trainFraction scale with the corpus.
+      * Bigram-LM's signal is output cardinality: one row per document
+      * with ≥ 2 tokens — exactly K-linear — while the bigram census
+      * crosses the broadcast gate into the shuffle route as the
+      * replica-suffixed vocabulary grows K×. */
+    def lmProbe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
+                ivfK: Int, headlineOnly: Boolean,
+                trainFraction: Double): Unit = {
+      import graft.operators.Curation
+      if (!headlineOnly)
+        t(s"semdedup_$tag")(
+          Similarity.semDedup(emb, "vec_id", "embedding", k = ivfK,
+            probes = 3, lloydIters = 2, seed = 42, tau = 0.8,
+            trainFraction = trainFraction)
+            .filter(!col("kept")).count())
+      t(s"bigram_lm_$tag")(
+        Curation.bigramLogProb(docs, "doc_id", "text", alpha = 0.1,
+          maxBroadcastVocab = 2000000L).count())
+    }
+    val onlyLm = probeOnly.contains("lm")
+    if (onlyLm) {
+      lmProbe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false,
+        trainFraction = 1.0)
+      ks.foreach { k =>
+        val (docsK, embK) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
+        val nVec = embK.count()
+        lmProbe(s"${k}x", k, docsK, embK, ivfK = 8 * k,
+          headlineOnly = k >= 20,
+          trainFraction = math.min(1.0, 20000.0 / nVec))
+      }
+      spark.stop(); return
+    }
     val onlyLayout = probeOnly.contains("layout")
     if (onlyLayout) {
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
@@ -707,6 +747,8 @@ object ScaleProbe {
       curationProbe("1x", 1, docs1)
       pipelineProbe("1x", 1)
       subdocProbe("1x", 1)
+      lmProbe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false,
+        trainFraction = 1.0)
     }
     if (!onlyBloom) { incrProbe("1x", docs1); streamProbe("1x", docs1); streamSubdocProbe("1x", docs1) }
     if (!onlyIncr) bloomProbe("1x", docs1)
@@ -722,6 +764,9 @@ object ScaleProbe {
         curationProbe(s"${k}x", k, docsK)
         pipelineProbe(s"${k}x", k)
         subdocProbe(s"${k}x", k)
+        lmProbe(s"${k}x", k, docsK, embK, ivfK = 8 * k,
+          headlineOnly = k >= 20,
+          trainFraction = math.min(1.0, 20000.0 / nVec))
       }
       if (!onlyBloom) { incrProbe(s"${k}x", docsK); streamProbe(s"${k}x", docsK); streamSubdocProbe(s"${k}x", docsK) }
       if (!onlyIncr) bloomProbe(s"${k}x", docsK)

@@ -418,33 +418,50 @@ object Curation {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
                     alpha: Double, maxBroadcastVocab: Long): DataFrame = {
     require(alpha > 0, s"alpha must be > 0, got $alpha")
-    val toks = tokens(lower(col(textCol)))
-    val bigrams = docs
-      .filter(size(toks) >= 2)
-      .select(col(idCol), explode(transform(
-        sequence(lit(1), size(toks) - 1),
-        i => struct(element_at(toks, i).as("w1"),
-          element_at(toks, (i + 1).cast("int")).as("w2")))).as("b"))
+    // bind the token array ONCE per row behind a projection: referencing
+    // the raw tokens() tree from inside a lambda re-evaluates the whole
+    // split/filter per reference in interpreted HOF evaluation (the Bpe
+    // lambda-binding lesson) — with element_at per index that is O(n²)
+    // per document. zip_with over two slices touches the bound array 3
+    // times per row, independent of length.
+    val tokenized = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("__toks"))
+      .filter(size(col("__toks")) >= 2)
+    val n1 = size(col("__toks")) - 1
+    val bigrams = tokenized
+      .select(col(idCol), explode(zip_with(
+        slice(col("__toks"), lit(1), n1),
+        slice(col("__toks"), lit(2), n1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     val c2 = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
     val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-    val vs = docs.select(explode(toks).as("t"))
+    val vs = docs.select(explode(tokens(lower(col(textCol)))).as("t"))
       .agg(countDistinct(col("t")).as("vs"))
     val lp = c2.join(c1, "w1").crossJoin(broadcast(vs))
       .select(col("w1"), col("w2"),
         round(log((col("c2") + alpha) /
           (col("c1").cast("double") + col("vs") * alpha)), 6)
           .cast(DecimalType(12, 6)).as("logp"))
+    // score off the per-document bigram TYPE counts, not instances: the
+    // (id, w1, w2) -> n aggregation combines map-side, and the LM join
+    // then costs one probe per distinct (doc, bigram) — on repetitive
+    // corpora (and any natural-language Zipf tail) far fewer rows than
+    // the instance stream; Σ n·logp in DECIMAL is the same
+    // order-independent sum
+    val docBg = bigrams.groupBy(col(idCol), col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
     // measured route on the BIGRAM type count (the idfJoinVocabGated
     // discipline, keyed on the pair)
     val lpp = lp.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nTypes = lpp.count()
     val joined =
-      if (nTypes <= maxBroadcastVocab) bigrams.join(broadcast(lpp), Seq("w1", "w2"))
-      else bigrams.join(lpp, Seq("w1", "w2"))
+      if (nTypes <= maxBroadcastVocab) docBg.join(broadcast(lpp), Seq("w1", "w2"))
+      else docBg.join(lpp, Seq("w1", "w2"))
     joined
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("logp")).as("slp"))
+      .agg(sum(col("n")).as("n_bigrams"),
+        sum(col("logp") * col("n")).as("slp"))
       .select(col(idCol), col("n_bigrams"),
         round(col("slp").cast("double") / col("n_bigrams"), 4).as("mean_logp"))
   }

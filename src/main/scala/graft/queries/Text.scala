@@ -574,6 +574,19 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"))
     }),
 
+    // -- winnowing fingerprints (Schleimer et al. 2003 / MOSS): window
+    //    minima over md5 char-8-gram hashes with the rightmost-tie rule
+    //    encoded in the `hash || lpad(10^12 - pos)` composite key, so the
+    //    selection is pure MIN — no engine-specific arg-min. The oracle
+    //    recomputes the whole selection in SQL.
+    //    [[graft.operators.Winnow.winnowFingerprints]].
+    "text_winnow" -> ((s, dir) => {
+      import graft.operators.Winnow
+      Winnow.winnowFingerprints(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 6)
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
     // -- temperature-weighted source mixing over the skewed `lang` column
     //    (en is 3x fr in the corpus; alpha = 0.5 flattens the draw toward
     //    uniform). Operator semantics + the bounded driver collect and
@@ -1241,6 +1254,31 @@ object Text extends QueryPack {
         |SELECT doc_id, COUNT(*) AS n_bigrams,
         |  ROUND(CAST(SUM(logp) AS DOUBLE) / COUNT(*), 4) AS mean_logp
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // winnowing recomputed whole: k-gram md5 prefixes, the composite
+    // (hash, 10^12 - pos) tiebreak key, a leading ROWS window min per
+    // window start, distinct selections parsed back to (pos, fp)
+    "text_winnow" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t, CAST(len(t) - 8 + 1 AS BIGINT) AS m,
+        |    UNNEST(range(1, len(t) - 8 + 2)) AS p
+        |  FROM d WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, m, CAST(p AS BIGINT) AS p,
+        |    concat(substr(md5(substr(t, CAST(p AS INT), 8)), 1, 16),
+        |      lpad(CAST(999999999999 - p AS VARCHAR), 12, '0')) AS key
+        |  FROM g),
+        |w AS (SELECT doc_id, m, p,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wk
+        |  FROM h),
+        |sel AS (SELECT DISTINCT doc_id, wk FROM w
+        |  WHERE p <= GREATEST(m - 6 + 1, 1))
+        |SELECT doc_id,
+        |  CAST(999999999999 - CAST(substr(wk, 17, 12) AS BIGINT) AS BIGINT) AS pos,
+        |  substr(wk, 1, 16) AS fp
+        |FROM sel ORDER BY doc_id, pos""".stripMargin,
 
     // quota arithmetic mirrored exactly: LEAST(n, GREATEST(1,
     // ROUND(T * n^alpha / sum))) — positive-tie rounding agrees between

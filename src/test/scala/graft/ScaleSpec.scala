@@ -463,4 +463,70 @@ class ScaleSpec extends SparkSpec {
     val bound = 12.0 * math.max(t1, 0.3)
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
+
+  test("SemDeDup: removed set is exactly the planted dups, K-linear across decoupled shards") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Similarity
+    // embReplica shards preserve within-shard cosines exactly and plant a
+    // 2% near-dup population (cos ≈ 0.99 — the ONLY pairs ≥ 0.8), each
+    // preceded by its lower-id base vector. SemDeDup at tau = 0.8 must
+    // therefore remove exactly the planted vectors at every tier — the
+    // deterministic, box-speed-immune signal — with k ∝ corpus and
+    // 3-probe replication absorbing any cell-boundary split.
+    val src = "/root/testdata/sf0.1"
+    val tmp = Files.createTempDirectory("graft-semdedup-ci")
+    val (_, emb1) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/1x", 1)
+    val (_, emb5) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/5x", 5)
+    def run(df: org.apache.spark.sql.DataFrame, k: Int): (Long, Double) = {
+      val t0 = System.nanoTime()
+      val n = Similarity.semDedup(df, "vec_id", "embedding", k = k,
+          probes = 3, lloydIters = 2, seed = 42, tau = 0.8)
+        .filter(!col("kept")).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      (n, dt)
+    }
+    // planted ids sit at base + IdStride/2 within each shard's id range
+    val planted1 = emb1
+      .filter(col("vec_id") % ScaleProbe.IdStride >= ScaleProbe.IdStride / 2)
+      .count()
+    assert(planted1 > 0, "fixture must plant near-dups")
+    run(emb1, 8) // warm, unmeasured
+    val (n1, t1) = run(emb1, 8)
+    val (n5, t5) = run(emb5, 40)
+    info(f"1x: removed $n1 (planted $planted1) in $t1%.2f s; 5x: $n5 in $t5%.2f s")
+    assert(n1 == planted1, s"1x removed $n1 != planted $planted1")
+    assert(n5 == 5 * planted1, s"5x removed $n5 != ${5 * planted1}")
+    val bound = 12.0 * math.max(t1, 0.3)
+    assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
+  }
+
+  test("bigram LM: replica scores identical within a tier, output exactly K-linear") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    import graft.operators.Curation
+    // docReplica suffixes every token _rI: replica vocabularies are
+    // disjoint, so each replica's bigram/context counts equal replica 0's
+    // while the corpus-wide type count V grows K×. Every replica of a
+    // document must therefore score IDENTICALLY within a tier (same
+    // (c2, c1, V) inputs), and the output holds exactly one row per
+    // >= 2-token document — K-linear. Box-speed-immune.
+    val src = "/root/testdata/sf0.1"
+    val tmp = Files.createTempDirectory("graft-bigram-ci")
+    val (docs1, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/1x", 1)
+    val (docs5, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/5x", 5)
+    def score(df: org.apache.spark.sql.DataFrame) =
+      Curation.bigramLogProb(df, "doc_id", "text", alpha = 0.1,
+        maxBroadcastVocab = 2000000L)
+    val n1 = score(docs1).count()
+    val out5 = score(docs5)
+      .select(pmod(col("doc_id"), lit(ScaleProbe.IdStride)).as("base_id"),
+        col("n_bigrams"), col("mean_logp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out5.length == 5 * n1, s"5x rows ${out5.length} != ${5 * n1}")
+    // 5 replicas of each base doc, all with the same (n_bigrams, score)
+    val byBase = out5.groupBy(_._1)
+    assert(byBase.size == n1, s"base-doc groups ${byBase.size} != $n1")
+    assert(byBase.values.forall(g => g.length == 5 && g.distinct.length == 1),
+      "replica scores diverged within the tier")
+  }
 }
