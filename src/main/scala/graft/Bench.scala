@@ -233,13 +233,26 @@ object Bench {
       s""""contract_arms":${obj(armResults)(_.min)},""" +
       s""""arm_median":${obj(armResults)(ts => ts(ts.length / 2))},""" +
       s""""operators":${obj(opResults)(_.min)},"sf":"$sfDir"}"""
-    // the driver captures only the TAIL of long stdout lines (BENCH_r06:
-    // "parsed": null with a mid-object "tail") — so the durable artifact
-    // is a FILE, and stdout carries the same JSON for human eyes.
+    // the driver captures only the TAIL of long stdout lines (BENCH_r06,
+    // BENCH_r08: "parsed": null with a mid-object "tail") — so the durable
+    // FULL artifact is a FILE, and the very last stdout line is a compact
+    // (≤1 KB) summary that survives the driver's tail window whole: totals,
+    // per-section counts, and only the slowest 5 engine queries in the
+    // "queries" map (round-8 verdict "what's wrong" #1).
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       (full + "\n").getBytes("UTF-8"))
-    println(full)
+    val slowest5 = results.map { case (k, ts) => k -> ts.min }
+      .sortBy(-_._2).take(5)
+    val summary =
+      s"""{"metric":"total","value":$total,"unit":"sec","schema":3,""" +
+      s""""total_with_contract_arms":${total + armTotal},""" +
+      s""""n_engine":${results.size},"n_arms":${armResults.size},""" +
+      s""""n_operators":${opResults.size},"reps":$reps,""" +
+      s""""queries":${slowest5.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")},""" +
+      s""""full_map":"$out","sf":"$sfDir"}"""
+    println(summary)
     spark.stop()
   }
 }

@@ -243,8 +243,9 @@ object Layout {
     * the corpus text is never touched again) and writes fresh single-file
     * buckets; `buckets` may differ from the original, which is how the
     * index re-buckets as the corpus grows. Copy-then-swap (write `_new`
-    * tables, drop, rename) because Spark refuses to overwrite a table it
-    * is reading, and at scale the swap is the only atomic step needed. */
+    * tables, then the [[swapInNew]] two-rename swap) because Spark refuses
+    * to overwrite a table it is reading, and the two-rename order keeps
+    * the data reachable under some name at every step of the swap. */
   def minhashIndexCompact(spark: SparkSession, bands: Int, buckets: Int,
                           tableName: String = "minhash_index"): Unit = {
     import graft.operators.Dedup
@@ -264,10 +265,26 @@ object Layout {
       .write.mode("overwrite")
       .bucketBy(buckets, "bucket").sortBy("bucket")
       .format("parquet").saveAsTable(s"${tableName}_bands_new")
-    Seq("_sigs", "_bands").foreach { sfx =>
-      spark.sql(s"DROP TABLE $tableName$sfx")
-      spark.sql(s"ALTER TABLE $tableName${sfx}_new RENAME TO $tableName$sfx")
-    }
+    Seq("_sigs", "_bands").foreach(sfx => swapInNew(spark, s"$tableName$sfx"))
+  }
+
+  /** Swap `<table>_new` into place via TWO renames (old → `_old`, new →
+    * current, drop `_old`) instead of DROP-then-RENAME: a failure between
+    * a drop and the rename would leave NO current table — every
+    * subsequent probe/append breaks until a manual rebuild. With the
+    * two-rename swap the data always exists under SOME name: a crash
+    * before the second rename leaves `<table>_old` (+`<table>_new`) on
+    * disk, and recovery is `ALTER TABLE <table>_new RENAME TO <table>`
+    * (the compacted data is complete once `_new` finished writing). Any
+    * stale `_old` from a previous interrupted swap is cleared first. */
+  private def swapInNew(spark: SparkSession, table: String): Unit = {
+    // dropTable, not DROP TABLE IF EXISTS: a stale `_old` DIRECTORY from a
+    // crashed previous session may exist without a catalog entry, and the
+    // rename below would refuse to move onto it
+    dropTable(spark, s"${table}_old")
+    spark.sql(s"ALTER TABLE $table RENAME TO ${table}_old")
+    spark.sql(s"ALTER TABLE ${table}_new RENAME TO $table")
+    spark.sql(s"DROP TABLE ${table}_old")
   }
 
   /** Exact-dedup fingerprint index: one bucketed table `<name>_fps` of
@@ -396,8 +413,9 @@ object Layout {
   /** Compact a [[spanGramCensus]] after a run of appends: fold the
     * multi-row keys the LSM appends leave behind (`sum(c)` per gram —
     * the exact aggregation every probe would otherwise redo per batch)
-    * and rewrite single-file buckets. Same copy-then-swap shape as
-    * [[minhashIndexCompact]]; `buckets` may grow with the corpus. */
+    * and rewrite single-file buckets. Same crash-safe two-rename swap as
+    * [[minhashIndexCompact]] (see [[swapInNew]]); `buckets` may grow with
+    * the corpus. */
   def spanGramCensusCompact(spark: SparkSession, buckets: Int,
                             tableName: String = "span_index"): Unit = {
     dropTable(spark, s"${tableName}_grams_new")
@@ -407,8 +425,7 @@ object Layout {
       .write.mode("overwrite")
       .bucketBy(buckets, "g").sortBy("g")
       .format("parquet").saveAsTable(s"${tableName}_grams_new")
-    spark.sql(s"DROP TABLE ${tableName}_grams")
-    spark.sql(s"ALTER TABLE ${tableName}_grams_new RENAME TO ${tableName}_grams")
+    swapInNew(spark, s"${tableName}_grams")
   }
 
   def ivfPartition(spark: SparkSession, dataDir: String,

@@ -235,7 +235,13 @@ object StreamOps {
             q0.drop(textCol)
               .join(graft.operators.Dedup.dedupParagraphsAgainst(
                   q0, idCol, textCol, spark.table(s"${pt}_pkeys"), paraSep)
-                .filter(col("n_kept") > 0)
+                // gate on NON-empty-normalized survivors: empty-normalized
+                // paragraphs (pure structure) always pass the anti-join, so
+                // n_kept > 0 would admit a document whose every real
+                // paragraph was already in the index but whose text carries
+                // blank separators — whitespace-only "content"
+                .filter(length(trim(regexp_replace(col("clean_text"),
+                  "\\s+", " "))) > 0)
                 .select(col(idCol), col("clean_text").as(textCol)),
                 Seq(idCol))
               .select(q0.columns.map(col): _*)
