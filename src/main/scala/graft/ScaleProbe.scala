@@ -168,6 +168,53 @@ object ScaleProbe {
   def subdocCorpus(spark: SparkSession, n: Long, k: Int): DataFrame =
     (0 until k).map(i => subdocReplica(spark, n, i, i)).reduce(_ unionAll _)
 
+  /** Decoupled replica corpus for the WINNOW probes — the overlap
+    * detector's EXACTNESS regime needs two properties the other
+    * generators don't give at character-gram granularity:
+    *
+    *  1. NO 8-gram shared across replicas. The word-suffix salt of
+    *     [[docReplica]]/[[subdocReplica]] fails this: 8-grams fit
+    *     wholly inside long word bodies, which are replica-invariant.
+    *     Here text is 6-hex-char chunks each followed by a 2-digit
+    *     replica salt (period 8): every 8-gram contains at least one
+    *     salt character, so cross-replica grams never match.
+    *  2. NO chance shared fingerprints within a replica. Every 8-gram
+    *     contains exactly SIX doc-unique md5 hex chars (the period-8
+    *     phase arithmetic), so a cross-doc gram collision is p = 16⁻⁶
+    *     per aligned position pair — zero expected ≥ minShared pairs
+    *     even at the 100× tier, where 3-char salted WORDS (the first
+    *     cut of this generator) produced boundary pairs that flipped
+    *     the exact-K-linearity signal.
+    *
+    * Doc = 25 chunks (200 chars) of md5(id, ·) — identical per id
+    * across replicas, decoupled by the salt. Every 50th doc appends a
+    * shared 20-chunk run (160 chars): within a replica the run is
+    * byte-identical across group members, so interior window
+    * selections coincide — every group pair shares ~40 fps in every
+    * replica (hash-independent, since the shared CONTENT is identical;
+    * which fps get selected varies per replica, how many ≥ the
+    * winnowing floor never does) — while across replicas the salt
+    * decouples it. Pair count per replica = C(n/50, 2) exactly. */
+  def winnowReplica(spark: SparkSession, n: Long, saltI: Int,
+                    offsetI: Int): DataFrame = {
+    val s2 = f"${saltI % 100}%02d"
+    val filler = "array_join(transform(sequence(0, 24), " +
+      "j -> concat(substring(md5(concat('w:', cast(id as string), ':', " +
+      s"cast(floor(j / 5) as string))), (j % 5) * 6 + 1, 6), '$s2')), '')"
+    val shared = "array_join(transform(sequence(0, 19), " +
+      "j -> concat(substring(md5(concat('shared:', " +
+      s"cast(floor(j / 5) as string))), (j % 5) * 6 + 1, 6), '$s2')), '')"
+    spark.range(n).select(
+      (col("id") + lit(offsetI * IdStride)).as("doc_id"),
+      expr(s"concat($filler, " +
+        s"CASE WHEN id % 50 = 0 THEN $shared ELSE '' END)")
+        .as("text"))
+  }
+
+  /** K decoupled replicas of the winnow corpus. */
+  def winnowCorpus(spark: SparkSession, n: Long, k: Int): DataFrame =
+    (0 until k).map(i => winnowReplica(spark, n, i, i)).reduce(_ unionAll _)
+
   /** Gram length for an n-title edit-distance run: q must grow with the
     * corpus so the gram space (alphabet^q) outpaces posting-list density —
     * at FIXED q, postings densify ∝ n and candidates go ∝ n²/alphabet^q
@@ -601,6 +648,38 @@ object ScaleProbe {
           numMerges = 8, batchK = 4).count())
     }
 
+    /** Winnow overlap detection at scale, on its design-regime corpus
+      * ([[winnowCorpus]] — every 8-gram crosses a replica salt, the
+      * prefixCorpus precedent). Deterministic signals: the symmetric
+      * pair count must be EXACTLY K × the 1× count (replicas are
+      * gram-decoupled and per-replica pair sets isomorphic), and a
+      * fixed replica-0-salted batch probed against the standing
+      * fingerprint index must return the SAME pair count at every tier
+      * (it can only match replica 0's sets; the wall measures the
+      * in-place bucketed read as the index grows K×). */
+    def winnowProbe(tag: String, k: Int): Unit = {
+      import graft.operators.Winnow
+      val c = winnowCorpus(spark, 5000L, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      t(s"winnow_pairs_$tag")(
+        Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
+          minShared = 3).count())
+      val table = s"wn_scale_$tag"
+      graft.catalog.Layout.dropTable(spark, s"${table}_wfps")
+      t(s"winnow_index_$tag") {
+        graft.catalog.Layout.winnowIndex(spark, c, "doc_id", "text",
+          k = 8, w = 6, buckets = 16, maxDf = None, tableName = table)
+        spark.table(s"${table}_wfps").count()
+      }
+      c.unpersist()
+      val batch = winnowReplica(spark, 5000L, 0, 2000)
+      t(s"winnow_incr_$tag")(
+        Winnow.overlapPairsAgainst(batch, "doc_id", "text",
+          spark.table(s"${table}_wfps"), k = 8, w = 6, minShared = 3)
+          .count())
+    }
+
     def probe(tag: String, k: Int, docs: DataFrame, emb: DataFrame,
               ivfK: Int, headlineOnly: Boolean, trainFraction: Double): Unit = {
       t(s"minhash_lsh_$tag")(
@@ -747,6 +826,7 @@ object ScaleProbe {
       curationProbe("1x", 1, docs1)
       pipelineProbe("1x", 1)
       subdocProbe("1x", 1)
+      winnowProbe("1x", 1)
       lmProbe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false,
         trainFraction = 1.0)
     }
@@ -764,6 +844,7 @@ object ScaleProbe {
         curationProbe(s"${k}x", k, docsK)
         pipelineProbe(s"${k}x", k)
         subdocProbe(s"${k}x", k)
+        winnowProbe(s"${k}x", k)
         lmProbe(s"${k}x", k, docsK, embK, ivfK = 8 * k,
           headlineOnly = k >= 20,
           trainFraction = math.min(1.0, 20000.0 / nVec))

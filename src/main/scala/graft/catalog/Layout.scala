@@ -317,6 +317,85 @@ object Layout {
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_fps")
 
+  /** Standing winnow-fingerprint index — the overlap-detection sibling
+    * of [[fingerprintIndex]]: one bucketed table `<name>_wfps` of
+    * (id, fp) rows — each document's DISTINCT winnowed fingerprint set
+    * ([[graft.operators.Winnow.fingerprintSets]]), ~2/(w+1) of corpus
+    * grams × (16 B + id). A batch's incremental overlap detection
+    * ([[graft.operators.Winnow.overlapPairsAgainst]]) joins its
+    * fingerprints against this table: bucketed on `fp`, the corpus side
+    * is read in place and only the batch shuffles (LayoutSpec
+    * plan-asserts no corpus-side exchange).
+    *
+    * `maxDf` (None = keep all) drops fingerprints present in more than
+    * maxDf documents AT BUILD TIME — the boilerplate gate belongs to the
+    * index, not the probe (a probe-side census would re-aggregate the
+    * whole index per batch). k/w/maxDf are version-pinned layout
+    * metadata: probes must pass the same k/w. */
+  def winnowIndex(spark: SparkSession, docs: DataFrame,
+                  idCol: String, textCol: String, k: Int, w: Int,
+                  buckets: Int = 8, maxDf: Option[Long] = None,
+                  tableName: String = "winnow_index"): Unit =
+    dfCapped(graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w)
+        .toDF("id", "fp"), maxDf)
+      .repartition(buckets, col("fp"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(s"${tableName}_wfps")
+
+  /** Drop fingerprints whose document frequency exceeds the cap — the
+    * boilerplate gate shared by [[winnowIndex]] build and compact. The
+    * census side gets FRESH column names (the self-derived-aggregate
+    * join trap). */
+  private def dfCapped(fps: DataFrame, maxDf: Option[Long]): DataFrame =
+    maxDf match {
+      case None => fps
+      case Some(cap) =>
+        val dfs = fps.groupBy(col("fp"))
+          .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("df"))
+          .filter(col("df") <= cap)
+          .select(col("fp").as("fp_c"))
+        fps.join(dfs, col("fp") === col("fp_c")).select(col("id"), col("fp"))
+    }
+
+  /** Append a batch's fingerprint sets to a [[winnowIndex]] — the LSM
+    * write; fold in only ACCEPTED documents (the admitted-only
+    * discipline). No df cap on append (a cap needs the global census);
+    * boilerplate admitted between compactions is re-gated at
+    * [[winnowIndexCompact]]. Same self-referential-read checkpoint and
+    * refresh as [[paragraphKeyIndexAppend]]. */
+  def winnowIndexAppend(spark: SparkSession, batch: DataFrame,
+                        idCol: String, textCol: String, k: Int, w: Int,
+                        buckets: Int = 8,
+                        tableName: String = "winnow_index"): Unit = {
+    graft.operators.Winnow.fingerprintSets(batch, idCol, textCol, k, w)
+      .toDF("id", "fp")
+      .localCheckpoint(true)
+      .repartition(buckets, col("fp"))
+      .write.mode("append")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(s"${tableName}_wfps")
+    spark.catalog.refreshTable(s"${tableName}_wfps")
+  }
+
+  /** Compact a [[winnowIndex]]: re-apply the df cap over the grown index
+    * (boilerplate that accrued through appends is dropped), rewrite
+    * single-file buckets, swap in crash-safely ([[swapInNew]]).
+    * Documents whose every fingerprint is boilerplate leave the index —
+    * by the cap's own argument they were undetectable anyway. */
+  def winnowIndexCompact(spark: SparkSession, buckets: Int,
+                         maxDf: Option[Long] = None,
+                         tableName: String = "winnow_index"): Unit = {
+    dropTable(spark, s"${tableName}_wfps_new")
+    dfCapped(spark.table(s"${tableName}_wfps"), maxDf)
+      .repartition(buckets, col("fp"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "fp").sortBy("fp")
+      .format("parquet").saveAsTable(s"${tableName}_wfps_new")
+    swapInNew(spark, s"${tableName}_wfps")
+  }
+
   /** Standing PARAGRAPH-key index — the sub-document sibling of
     * [[fingerprintIndex]]: one bucketed table of distinct 16-byte md5
     * paragraph identities ([[graft.operators.Dedup.paragraphKeys]]),

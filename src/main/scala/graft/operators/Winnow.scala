@@ -67,4 +67,127 @@ object Winnow {
         substring(col("__wk"), 1, 16).as("fp"))
       .distinct()
   }
+
+  /** Distinct (id, fp) fingerprint SETS — the join currency of the
+    * overlap detector and what a standing winnow index stores
+    * (graft.catalog.Layout.winnowIndex): positions dropped, one row per
+    * (document, fingerprint), ~2/(w+1) of corpus grams × (16 B + id). */
+  def fingerprintSets(docs: DataFrame, idCol: String, textCol: String,
+                      k: Int, w: Int): DataFrame =
+    winnowFingerprints(docs, idCol, textCol, k, w)
+      .select(col(idCol), col("fp")).distinct()
+
+  /** Cross-document partial-overlap detection — the CONSUMER the
+    * fingerprints exist for (Schleimer et al. §4: index fingerprints,
+    * report documents sharing many): join fingerprint sets across
+    * documents and emit one row per unordered pair sharing at least
+    * `minShared` distinct fingerprints, with a containment-style
+    * estimate. This is the between-documents complement of
+    * [[Dedup.removeRepeatedSpans]]' within-corpus span surgery: span
+    * removal cuts text whose every gram repeats; overlapPairs NAMES the
+    * document pairs that share long substrings (the winnowing
+    * guarantee: any shared run ≥ w + k − 1 chars yields ≥ 1 shared
+    * fingerprint), without ever comparing texts pairwise.
+    *
+    * Output: (id_a, id_b, shared_fps, n_a, n_b, overlap) with
+    * id_a < id_b, `n_x` the document's fingerprint-set size, and
+    * `overlap` = shared_fps / min(n_a, n_b) rounded to 4 dp — ≈ the
+    * fraction of the smaller document's selected content contained in
+    * the other (1.0 = full containment up to selection noise).
+    *
+    * `maxDf` drops fingerprints present in more than `maxDf` documents
+    * before pair generation — the boilerplate gate. Pair work is
+    * Σ_fp df², so one template fp shared by every document costs n²
+    * alone at unbounded df; a df cap bounds per-fp work at maxDf² and
+    * is semantically the TF-IDF argument (a gram in 10⁶ documents
+    * identifies none of them). The cap also bounds the denominators:
+    * n_a/n_b count the df-capped sets, so `overlap` measures share of
+    * DISTINCTIVE content. Default = no cap (the oracle-exact setting).
+    *
+    * 100 TB shape: fingerprint sets are ~2/(w+1) of corpus grams; the
+    * df census is one partial+final count on the 16-byte fp; the pair
+    * join shuffles (fp, id) rows only (never text) and its output is
+    * df-bounded per fp; the (id_a, id_b) count is a hash agg on pair
+    * keys. No corpus text beyond the one fingerprinting pass. */
+  def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int, w: Int, minShared: Long,
+                   maxDf: Long = Long.MaxValue): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val fps = fingerprintSets(docs, idCol, textCol, k, w)
+      .select(col(idCol).as("id"), col("fp"))
+    // df census under FRESH names: joining a frame to an aggregate
+    // derived from itself resolves same-named columns to one attribute
+    // (trivially-true join) — the lookup side gets its own column names
+    val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .select(col("fp").as("fp_c"), col("df"))
+    val kept = fps.join(dfs, col("fp") === col("fp_c"))
+      .select(col("id"), col("fp"), col("df"))
+    val counts = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    // df = 1 fingerprints join nothing — prefilter them out of BOTH join
+    // sides (they are most of a clean corpus's rows)
+    val joinable = kept.filter(col("df") >= 2).select(col("id"), col("fp"))
+    joinable.toDF("id_a", "fp")
+      .join(joinable.toDF("id_b", "fp_b"),
+        col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(counts.toDF("id_a2", "n_a"), col("id_a") === col("id_a2"))
+      .join(counts.toDF("id_b2", "n_b"), col("id_b") === col("id_b2"))
+      .select(col("id_a"), col("id_b"), col("shared_fps"),
+        col("n_a"), col("n_b"),
+        round(col("shared_fps") / least(col("n_a"), col("n_b")), 4)
+          .as("overlap"))
+  }
+
+  /** Incremental overlap detection: a NEW batch against a standing
+    * corpus fingerprint relation — `corpusFps`, a 2-column
+    * (document id, fp) frame in [[fingerprintSets]]' own column order:
+    * fingerprintSets of the accepted corpus, or the bucketed
+    * `<name>_wfps` table written by graft.catalog.Layout.winnowIndex,
+    * read IN PLACE. The batch is
+    * fingerprinted (one text pass over itself only), joined against the
+    * corpus sets on the 16-byte fp, and aggregated per (batch, corpus)
+    * document pair.
+    *
+    * Output: (batch_id, corpus_id, shared_fps, n_batch, overlap) with
+    * `n_batch` the batch document's fingerprint-set size and `overlap`
+    * = shared_fps / n_batch rounded to 4 dp — the fraction of the
+    * ARRIVING document already present in that corpus document (the
+    * intake-side question; the corpus doc's set size is deliberately
+    * not recomputed — it would cost an index-wide aggregation per
+    * batch). Ids present on both sides are excluded.
+    *
+    * Equivalence (spec-asserted): with `corpusFps` =
+    * [[fingerprintSets]](history) and no df cap, the (pair, shared_fps)
+    * set equals the history×batch cross pairs of [[overlapPairs]] over
+    * history ∪ batch.
+    *
+    * 100 TB shape: with the standing table bucketed on `fp` the corpus
+    * side is read in place — only the batch's fingerprint rows shuffle
+    * (or broadcast) into the join; the per-pair count is a hash agg on
+    * batch-output-sized keys. Boilerplate control belongs to the INDEX
+    * (build/compact with a df cap — Layout.winnowIndex's maxDf), not
+    * the probe: a probe-side census would re-aggregate the whole index
+    * per batch. */
+  def overlapPairsAgainst(batch: DataFrame, idCol: String, textCol: String,
+                          corpusFps: DataFrame, k: Int, w: Int,
+                          minShared: Long): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    val batchFps = fingerprintSets(batch, idCol, textCol, k, w)
+      .select(col(idCol).as("batch_id"), col("fp"))
+    val counts = batchFps.groupBy(col("batch_id")).agg(count(lit(1)).as("n_batch"))
+    val corpus = corpusFps.select(
+      col(corpusFps.columns(0)).as("corpus_id"), col(corpusFps.columns(1)).as("c_fp"))
+    corpus
+      .join(batchFps, col("c_fp") === col("fp"))
+      .filter(col("batch_id") =!= col("corpus_id"))
+      .groupBy(col("batch_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .filter(col("shared_fps") >= minShared)
+      .join(counts.toDF("batch_id2", "n_batch"), col("batch_id") === col("batch_id2"))
+      .select(col("batch_id"), col("corpus_id"), col("shared_fps"), col("n_batch"),
+        round(col("shared_fps") / col("n_batch"), 4).as("overlap"))
+  }
 }

@@ -587,6 +587,38 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // -- the fingerprints' CONSUMER (round-8 verdict "next round" #1):
+    //    cross-document partial-overlap pairs — documents sharing >= 5
+    //    distinct winnowed fingerprints, with the containment-style
+    //    shared/min(n_a, n_b) estimate. The oracle re-derives the whole
+    //    chain: selection (the text_winnow SQL), per-doc set sizes, the
+    //    fp self-join, the HAVING gate, the 4dp ratio.
+    //    [[graft.operators.Winnow.overlapPairs]].
+    "text_winnow_pairs" -> ((s, dir) => {
+      import graft.operators.Winnow
+      Winnow.overlapPairs(Tables(s, dir, "documents"), "doc_id", "text",
+          k = 8, w = 6, minShared = 5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // -- incremental overlap: the doc_id % 3 == 0 batch probed against
+    //    the standing fingerprint sets of the % 3 != 0 history (the
+    //    dedup_minhash_incr split convention); overlap here is the
+    //    intake-side shared/n_batch — the fraction of the ARRIVING
+    //    document already present. The bucketed-table form of the same
+    //    probe is plan-asserted in LayoutSpec.
+    //    [[graft.operators.Winnow.overlapPairsAgainst]].
+    "text_winnow_pairs_incr" -> ((s, dir) => {
+      import graft.operators.Winnow
+      val docs = Tables(s, dir, "documents")
+      Winnow.overlapPairsAgainst(
+          docs.filter(col("doc_id") % 3 === 0), "doc_id", "text",
+          Winnow.fingerprintSets(
+            docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", k = 8, w = 6),
+          k = 8, w = 6, minShared = 5)
+        .orderBy(col("batch_id"), col("corpus_id"))
+    }),
+
     // -- temperature-weighted source mixing over the skewed `lang` column
     //    (en is 3x fr in the corpus; alpha = 0.5 flattens the draw toward
     //    uniform). Operator semantics + the bounded driver collect and
@@ -1279,6 +1311,70 @@ object Text extends QueryPack {
         |  CAST(999999999999 - CAST(substr(wk, 17, 12) AS BIGINT) AS BIGINT) AS pos,
         |  substr(wk, 1, 16) AS fp
         |FROM sel ORDER BY doc_id, pos""".stripMargin,
+
+    // the full overlap chain re-derived: the text_winnow selection SQL
+    // collapsed to distinct (doc, fp) sets (MATERIALIZED — three
+    // references), per-doc set sizes, the fp self-join with id_a < id_b,
+    // the >= 5 HAVING gate, the 4dp containment ratio
+    "text_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t, CAST(len(t) - 8 + 1 AS BIGINT) AS m,
+        |    UNNEST(range(1, len(t) - 8 + 2)) AS p
+        |  FROM d WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, m, CAST(p AS BIGINT) AS p,
+        |    concat(substr(md5(substr(t, CAST(p AS INT), 8)), 1, 16),
+        |      lpad(CAST(999999999999 - p AS VARCHAR), 12, '0')) AS key
+        |  FROM g),
+        |w AS (SELECT doc_id, m, p,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wk
+        |  FROM h),
+        |f AS MATERIALIZED (SELECT DISTINCT doc_id, substr(wk, 1, 16) AS fp
+        |  FROM w WHERE p <= GREATEST(m - 6 + 1, 1)),
+        |n AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    COUNT(*) AS shared_fps
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT id_a, id_b, shared_fps, na.n AS n_a, nb.n AS n_b,
+        |  ROUND(shared_fps / LEAST(na.n, nb.n), 4) AS overlap
+        |FROM pr JOIN n na ON pr.id_a = na.doc_id
+        |  JOIN n nb ON pr.id_b = nb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
+
+    // the incremental probe re-derived globally: same fingerprint sets,
+    // batch (doc_id % 3 = 0) joined against history sets, shared counts
+    // gated at >= 5, the intake-side shared/n_batch ratio
+    "text_winnow_pairs_incr" ->
+      """WITH d AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, t, CAST(len(t) - 8 + 1 AS BIGINT) AS m,
+        |    UNNEST(range(1, len(t) - 8 + 2)) AS p
+        |  FROM d WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, m, CAST(p AS BIGINT) AS p,
+        |    concat(substr(md5(substr(t, CAST(p AS INT), 8)), 1, 16),
+        |      lpad(CAST(999999999999 - p AS VARCHAR), 12, '0')) AS key
+        |  FROM g),
+        |w AS (SELECT doc_id, m, p,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wk
+        |  FROM h),
+        |f AS MATERIALIZED (SELECT DISTINCT doc_id, substr(wk, 1, 16) AS fp
+        |  FROM w WHERE p <= GREATEST(m - 6 + 1, 1)),
+        |bf AS MATERIALIZED (SELECT * FROM f WHERE doc_id % 3 = 0),
+        |n AS (SELECT doc_id, COUNT(*) AS n_batch FROM bf GROUP BY 1),
+        |pr AS (SELECT b.doc_id AS batch_id, c.doc_id AS corpus_id,
+        |    COUNT(*) AS shared_fps
+        |  FROM bf b JOIN (SELECT * FROM f WHERE doc_id % 3 <> 0) c
+        |    ON b.fp = c.fp
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT batch_id, corpus_id, shared_fps, n.n_batch,
+        |  ROUND(shared_fps / n.n_batch, 4) AS overlap
+        |FROM pr JOIN n ON pr.batch_id = n.doc_id
+        |ORDER BY batch_id, corpus_id""".stripMargin,
 
     // quota arithmetic mirrored exactly: LEAST(n, GREATEST(1,
     // ROUND(T * n^alpha / sum))) — positive-tie rounding agrees between

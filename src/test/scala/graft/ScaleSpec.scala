@@ -437,6 +437,49 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c5.unpersist() }
   }
 
+  test("winnow overlap: pair count exactly K-linear across decoupled replicas; incr answer index-size-invariant") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.Winnow
+    // the winnow corpus's short-word salting means replicas never share
+    // a character 8-gram, hence never a fingerprint (the word-suffix
+    // salt of subdocCorpus is NOT enough — 8-grams fit inside long word
+    // bodies, which are replica-invariant): the symmetric pair multiset
+    // is K isomorphic copies of the 1x one — count EXACTLY K-linear;
+    // and a fixed replica-0-salted batch probed against the growing
+    // corpus fingerprint sets can only match replica 0, so the
+    // incremental pair count is invariant in the index size.
+    // Deterministic, box-speed-immune.
+    val c1 = ScaleProbe.winnowCorpus(spark, 300L, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = ScaleProbe.winnowCorpus(spark, 300L, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame): (Long, Double) = {
+        val t0 = System.nanoTime()
+        val n = Winnow.overlapPairs(df, "doc_id", "text", k = 8, w = 6,
+          minShared = 3).count()
+        (n, (System.nanoTime() - t0) / 1e9)
+      }
+      pairs(c1) // warm, unmeasured
+      val (p1, t1) = pairs(c1)
+      val (p3, t3) = pairs(c3)
+      info(f"pairs 1x: $p1 in $t1%.2f s; 3x: $p3 in $t3%.2f s")
+      assert(p1 > 0, "no overlap pairs — the shared-sentence seeding broke")
+      assert(p3 == 3 * p1, s"pair count must be exactly 3x: $p1 -> $p3")
+      assert(t3 < 9.0 * math.max(t1, 0.3),
+        f"3x wall $t3%.1f s vs 1x $t1%.1f s — superlinear blowup")
+      val batch = ScaleProbe.winnowReplica(spark, 300L, 0, 5)
+      def incr(corpus: org.apache.spark.sql.DataFrame): Long =
+        Winnow.overlapPairsAgainst(batch, "doc_id", "text",
+          Winnow.fingerprintSets(corpus, "doc_id", "text", 8, 6),
+          k = 8, w = 6, minShared = 3).count()
+      val (i1, i3) = (incr(c1), incr(c3))
+      info(s"incr pairs vs 1x corpus: $i1; vs 3x corpus: $i3")
+      assert(i1 > 0 && i3 == i1,
+        s"incremental answer must be index-size-invariant: $i1 -> $i3")
+    } finally { c1.unpersist(); c3.unpersist() }
+  }
+
   test("BPE merge sequence is scale-invariant under exact-copy replication") {
     import graft.operators.Bpe
     // K exact copies multiply every word weight by K uniformly, so the

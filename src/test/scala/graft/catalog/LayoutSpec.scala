@@ -524,4 +524,72 @@ class LayoutSpec extends SparkSpec {
       assert(got == expect)
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
+
+  test("winnow index: incremental overlap joins the fp buckets in place") {
+    import graft.operators.Winnow
+    val dir = "/root/testdata/sf0.01"
+    val docs = graft.Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+    try {
+      Layout.winnowIndex(spark, corpus, "doc_id", "text", k = 8, w = 6,
+        buckets = 4, maxDf = None, tableName = "wn_idx")
+      assert(spark.table("wn_idx_wfps").inputFiles.length == 4)
+      // plan shape of the probe join: batch fingerprints (materialized —
+      // their own window/distinct exchanges are the batch's text pass,
+      // not the join) against the bucketed corpus sets; the ONLY
+      // exchange is the batch side hashing into the bucket layout
+      val batchFps = Winnow.fingerprintSets(batch, "doc_id", "text", 8, 6)
+        .toDF("batch_id", "fp").localCheckpoint(true)
+      val probeJoin = batchFps.join(
+        spark.table("wn_idx_wfps").select(col("id").as("corpus_id"), col("fp")),
+        Seq("fp"))
+      val plan = probeJoin.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert("Exchange".r.findAllMatchIn(plan).size == 1,
+        s"only the batch side may shuffle:\n$plan")
+      // table-read and frame variants agree (the text_winnow_pairs_incr
+      // oracle gates the frame variant globally)
+      def collectPairs(corpusFps: org.apache.spark.sql.DataFrame) =
+        Winnow.overlapPairsAgainst(batch, "doc_id", "text", corpusFps,
+            k = 8, w = 6, minShared = 5)
+          .collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+            r.getDouble(4))).toSet
+      val viaTable = collectPairs(spark.table("wn_idx_wfps"))
+      val viaFrame = collectPairs(
+        Winnow.fingerprintSets(corpus, "doc_id", "text", 8, 6))
+      assert(viaTable.nonEmpty && viaTable == viaFrame)
+      // append folds the batch in: every batch doc now fully self-matches
+      // at overlap 1.0 against its own stored set
+      Layout.winnowIndexAppend(spark, batch, "doc_id", "text", k = 8, w = 6,
+        buckets = 4, tableName = "wn_idx")
+      val self = Winnow.overlapPairsAgainst(batch, "doc_id", "text",
+          spark.table("wn_idx_wfps").filter(col("id").isin(
+            batch.select(col("doc_id")).collect().map(_.getLong(0)).take(50)
+              .map(java.lang.Long.valueOf): _*))
+            .select(col("id"), col("fp"))
+            .withColumn("id", col("id") + 1000000L), // distinct ids: self-pairs excluded otherwise
+          k = 8, w = 6, minShared = 1)
+        .filter(col("corpus_id") - 1000000L === col("batch_id"))
+        .collect()
+      assert(self.nonEmpty && self.forall(_.getDouble(4) == 1.0),
+        "appended sets must fully contain their own documents")
+      // compact with a df cap: boilerplate fps leave, buckets re-form as
+      // single files, and a re-probe only loses pairs (cap ⊆ uncapped)
+      Layout.winnowIndexCompact(spark, buckets = 4, maxDf = Some(40L),
+        tableName = "wn_idx")
+      assert(spark.table("wn_idx_wfps").inputFiles.length == 4)
+      val capped = collectPairs(spark.table("wn_idx_wfps")
+        .filter(col("id") % 3 =!= 0)) // corpus rows only (append added batch)
+      assert(capped.map(p => (p._1, p._2)).subsetOf(
+        viaTable.map(p => (p._1, p._2))),
+        "df-capped probe must be a subset of the uncapped pairs")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS wn_idx_wfps")
+    }
+  }
 }

@@ -102,4 +102,110 @@ class WinnowSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
     assert(run(docs) == run(docs.repartition(7)))
   }
+
+  /** Overlap fixture: 1-2 share a long planted run, 3 is disjoint, and
+    * every doc carries the same boilerplate banner (df = n). */
+  private def overlapDocs = {
+    val sp = spark
+    import sp.implicits._
+    val banner = "standard legal boilerplate banner attached everywhere"
+    val run = "a very long shared passage that winnowing must detect across documents"
+    Seq(
+      1L -> s"$banner apple quartz jungle $run umbra finish one",
+      2L -> s"$banner banana willow vortex $run omega shut two",
+      3L -> s"$banner cherry mystic puzzle entirely changed stuff")
+      .toDF("doc_id", "text")
+  }
+
+  test("overlapPairs names the overlapping pair; est overlap and set sizes are exact") {
+    val rows = Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(rows.contains((1L, 2L)), s"planted overlap pair missing: $rows")
+    val (shared, nA, nB, ov) = rows((1L, 2L))
+    // exact recomputation from the fingerprint sets
+    val sets = Winnow.fingerprintSets(overlapDocs, "doc_id", "text", 8, 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    assert(shared == (sets(1L) intersect sets(2L)).size)
+    assert(nA == sets(1L).size && nB == sets(2L).size)
+    assert(math.abs(ov - shared.toDouble / math.min(nA, nB)) < 1e-3)
+    // the winnowing guarantee upstream: >= w+k-1 shared run => >= 1
+    // shared fingerprint => with the banner's fps too, >= 2 and detected
+  }
+
+  test("overlapPairs maxDf gates boilerplate: banner-only pairs vanish, real overlap survives") {
+    // without a cap, the shared banner makes EVERY pair overlap
+    val uncapped = Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+        k = 8, w = 4, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"banner should connect all pairs uncapped: $uncapped")
+    // df <= 2 drops exactly the fps present in all three documents (the
+    // banner interior); expectation recomputed from the sets themselves —
+    // window-boundary selections can leave a stray df-2 fp between any
+    // pair, so the honest oracle is the df rule, not a hardcoded pair list
+    val capped = Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+        k = 8, w = 4, minShared = 1, maxDf = 2L)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val sets = Winnow.fingerprintSets(overlapDocs, "doc_id", "text", 8, 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val df3 = sets(1L) intersect sets(2L) intersect sets(3L)
+    val expect = (for {
+      (a, b) <- Seq((1L, 2L), (1L, 3L), (2L, 3L))
+      n = ((sets(a) intersect sets(b)) -- df3).size if n > 0
+    } yield (a, b) -> n.toLong).toMap
+    assert(capped == expect, s"capped=$capped expect=$expect")
+    // the planted run dominates: pair (1,2) holds nearly all surviving
+    // shared evidence
+    assert(capped((1L, 2L)) >= 5,
+      s"planted run should contribute many df-2 fps: $capped")
+  }
+
+  test("shared fingerprints confirm as exact shared substrings (precision of the evidence)") {
+    // every shared fp between a detected pair must correspond to a k-gram
+    // present VERBATIM in both normalized texts — md5-prefix collisions
+    // aside, the fingerprint evidence is exact substring evidence
+    val texts = overlapDocs.collect().map(r => r.getLong(0) ->
+      r.getString(1).toLowerCase.replaceAll("\\s+", " ").trim).toMap
+    def grams(t: String) = (0 to t.length - 8).map(i => t.substring(i, i + 8)).toSet
+    val sets = Winnow.fingerprintSets(overlapDocs, "doc_id", "text", 8, 4)
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getString(1)).toSet).toMap
+    val pairs = Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+        k = 8, w = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    for ((a, b) <- pairs) {
+      val sharedGrams = grams(texts(a)) intersect grams(texts(b))
+      val sharedFpHashes = sharedGrams.map(g => md5hex(g).take(16))
+      for (fp <- sets(a) intersect sets(b))
+        assert(sharedFpHashes.contains(fp),
+          s"fp $fp of pair ($a,$b) has no exact shared 8-gram")
+    }
+  }
+
+  test("overlapPairsAgainst equals the cross pairs of the symmetric form") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = graft.Tables(spark, dir, "documents")
+    val history = docs.filter(col("doc_id") % 3 =!= 0)
+    val batch = docs.filter(col("doc_id") % 3 === 0)
+    val incr = Winnow.overlapPairsAgainst(batch, "doc_id", "text",
+        Winnow.fingerprintSets(history, "doc_id", "text", 8, 6),
+        k = 8, w = 6, minShared = 5)
+      .collect().map(r => ((r.getLong(1), r.getLong(0)), r.getLong(2))).toSet
+    // symmetric over the union, restricted to history×batch pairs; with
+    // history ids interleaved, (id_a, id_b) may fall either way — key on
+    // (history_id, batch_id)
+    val batchIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+    val sym = Winnow.overlapPairs(docs, "doc_id", "text",
+        k = 8, w = 6, minShared = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter { case (a, b, _) => batchIds.contains(a) ^ batchIds.contains(b) }
+      .map { case (a, b, s) =>
+        (if (batchIds.contains(a)) (b, a) else (a, b), s) }.toSet
+    assert(incr.nonEmpty && incr == sym)
+  }
 }
