@@ -52,6 +52,21 @@ object Bench {
       Similarity.semDedup(Tables(s, dir, "embeddings"),
         "vec_id", "embedding",
         k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)),
+    // the incremental probe path of dedup_semdedup_incr without its exact
+    // cross-census arm: corpus cells as a frame (the steady-state cost is
+    // the probe join; the gate query exercises the partition-pruned table
+    // form)
+    "op_semdedup_incr" -> ((s, dir) => {
+      val col = org.apache.spark.sql.functions.col _
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+        k = 8, lloydIters = 2, seed = 42)
+      Similarity.semDedupAgainst(emb.filter(col("vec_id") % 10 === 0),
+        corpus.withColumn("cell", org.apache.spark.sql.functions.element_at(
+          graft.functions.ivfAssign(col("embedding"), cents, 1), 1)),
+        "vec_id", "embedding", cents, probes = 3, tau = 0.3)
+    }),
     "op_dedup_jaccard" -> ((s, dir) =>
       Dedup.jaccardPairs(Tables(s, dir, "documents"), "doc_id", "text",
         shingleN = 2, threshold = 0.2)),
@@ -154,9 +169,12 @@ object Bench {
     "sim_ann_ivf_recall",     // brute-force recall denominator
     "sim_ann_ivf_topk_check", // exact top-k census
     "sim_ann_recall",         // brute-force recall denominator
-    "dedup_semdedup")         // global keep-min-id removal-set arm (the
+    "dedup_semdedup",         // global keep-min-id removal-set arm (the
                               // O(n²) brute pair census); the operator
                               // path alone is op_semdedup
+    "dedup_semdedup_incr")    // exact batch×(corpus ∪ preceding-batch)
+                              // cross census arm (r9); operator path
+                              // alone is op_semdedup_incr
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

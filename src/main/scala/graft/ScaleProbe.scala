@@ -330,6 +330,22 @@ object ScaleProbe {
         Quantize.ivfPqTopKForVector(spark.table(table), "vec_id", "embedding",
           qv, k = 10, cents, nprobe = 3, books, shortlist = 128,
           trustCellColumn = true).count())
+      // SemDeDup incremental against the SAME cell layout (round-9): a
+      // FIXED batch of perturbed twins of replica-0 vectors (cosine
+      // ≈ 0.9999 to their corpus sources) — every batch vector has a
+      // τ = 0.8 corpus neighbor, so removed == |batch| EXACTLY at every
+      // tier; the wall measures the pruned corpus read + batch-sized
+      // verify as the layout grows K×
+      val sdBatch = Tables(spark, "/tmp/graft-scale-1x", "embeddings")
+        .filter(col("vec_id") % 25 === 0 && col("vec_id") < lit(IdStride / 2))
+        .select((col("vec_id") + lit(3000000000L)).as("vec_id"),
+          col("embedding").cast("array<double>").as("emb0"))
+        .select(col("vec_id"), expr("transform(emb0, (x, j) -> " +
+          "x + 0.002d * sin(cast(j as double)))").as("embedding"))
+      t(s"semdedup_incr_$tag")(
+        Similarity.semDedupAgainst(sdBatch, spark.table(table),
+            "vec_id", "embedding", cents, probes = 3, tau = 0.8)
+          .filter(!col("kept")).count())
     }
 
     /** The incremental-dedup story at scale: a FIXED daily batch (500
@@ -787,12 +803,16 @@ object ScaleProbe {
                 ivfK: Int, headlineOnly: Boolean,
                 trainFraction: Double): Unit = {
       import graft.operators.Curation
-      if (!headlineOnly)
-        t(s"semdedup_$tag")(
-          Similarity.semDedup(emb, "vec_id", "embedding", k = ivfK,
-            probes = 3, lloydIters = 2, seed = 42, tau = 0.8,
-            trainFraction = trainFraction)
-            .filter(!col("kept")).count())
+      // semdedup runs at EVERY tier including 100× (round-9: the r8
+      // 1×/10×-only gap): k ∝ corpus keeps Σ cell² candidate work
+      // constant-per-vector, so the verify join ships ~linear candidate
+      // embeddings — the same geometry ivf_ann pays, accepted at the
+      // 100× tier like pipeline_full's
+      t(s"semdedup_$tag")(
+        Similarity.semDedup(emb, "vec_id", "embedding", k = ivfK,
+          probes = 3, lloydIters = 2, seed = 42, tau = 0.8,
+          trainFraction = trainFraction)
+          .filter(!col("kept")).count())
       t(s"bigram_lm_$tag")(
         Curation.bigramLogProb(docs, "doc_id", "text", alpha = 0.1,
           maxBroadcastVocab = 2000000L).count())

@@ -510,9 +510,17 @@ object Layout {
   def ivfPartition(spark: SparkSession, dataDir: String,
                    centroids: Seq[Seq[Double]],
                    tableName: String = "embeddings_ivf"): Unit =
-    Tables(spark, dataDir, "embeddings")
-      .withColumn("cell",
-        element_at(graft.functions.ivfAssign(col("embedding"), centroids, 1), 1))
+    ivfPartitionOf(spark, Tables(spark, dataDir, "embeddings"), "embedding",
+      centroids, tableName)
+
+  /** [[ivfPartition]] over an arbitrary embedding frame (any subset or
+    * pre-filtered corpus — e.g. the accepted history side of an
+    * incremental split); all data columns of `df` ride into the layout. */
+  def ivfPartitionOf(spark: SparkSession, df: DataFrame, embCol: String,
+                     centroids: Seq[Seq[Double]],
+                     tableName: String = "embeddings_ivf"): Unit =
+    df.withColumn("cell",
+        element_at(graft.functions.ivfAssign(col(embCol), centroids, 1), 1))
       // cluster by the partition column before writing: without this every
       // input task writes a file into every cell directory (tasks × k
       // small files — a metadata bomb at k in the hundreds); hashed on

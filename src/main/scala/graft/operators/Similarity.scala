@@ -580,4 +580,92 @@ object Similarity {
           coalesce(!col("__rm"), lit(true)).as("kept")),
       base, materialize)
   }
+
+  /** Incremental SemDeDup: a NEW batch of vectors deduped against the
+    * cell-partitioned corpus layout written by
+    * graft.catalog.Layout.ivfPartition — the daily-batch form every other
+    * dedup family has ([[semDedup]]'s sibling, the
+    * [[ivfNearDupsAgainstLayout]] probe shape).
+    *
+    * Precedence is CORPUS-BEFORE-BATCH: the accepted corpus never loses
+    * members to an arriving batch — a batch vector is removed iff it has
+    * an exact-cosine neighbor at `tau` or above among the corpus vectors
+    * sharing a probed cell, OR a PRECEDING batch vector (under `keepBy`,
+    * [[semDedup]]'s orders) sharing a probe cell. Both rules are
+    * relational (no greedy iteration-order dependence): under the global
+    * keep-first order "all corpus, then batch by keepBy", this is exactly
+    * the [[semDedup]] rule restricted to batch rows — given the cell
+    * geometry.
+    *
+    * 100 TB shape: batch vectors assign map-side against the PINNED
+    * centroid matrix (the layout's version-pinned metadata — a re-trained
+    * matrix would scatter corpus and batch across incompatible cells);
+    * the distinct probed cells (k-bounded) are collected and pushed into
+    * the corpus scan as partition pruning — the history read opens
+    * probed/k of the corpus directories and nothing is re-assigned on the
+    * corpus side. Corpus embeddings ride the candidate join once; the
+    * intra-batch pass is batch-sized. `probes` governs recall (a corpus
+    * twin is caught iff its top-1 cell is among the batch vector's
+    * `probes` nearest); removals are a subset of the global rule at any
+    * setting. Zero-norm batch vectors have no direction and are always
+    * kept. Output: one row per batch vector — (id, cell, cent_sim, kept)
+    * with `cell` the primary assignment under the layout's matrix. */
+  def semDedupAgainst(batch: DataFrame, corpusLayout: DataFrame,
+                      idCol: String, embCol: String,
+                      centroids: Seq[Seq[Double]], probes: Int,
+                      tau: Double, keepBy: String = "id",
+                      materialize: Boolean = true): DataFrame = {
+    require(keepBy == "id" || keepBy == "centroid",
+      s"keepBy must be 'id' or 'centroid', got '$keepBy'")
+    val batchSides = batch.select(col(idCol).as("id"), col(embCol).as("emb"),
+        l2NormSq(col(embCol)).as("nsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cos = centroids.map(c =>
+      dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq")))
+    val centSim = when(col("nsq") > 0,
+      round(if (cos.size == 1) cos.head else greatest(cos: _*), 6))
+    val assigned = batchSides.select(col("id"), col("nsq"),
+      element_at(ivfAssign(col("emb"), centroids, 1), 1).as("cell"),
+      centSim.as("cent_sim"),
+      ivfAssign(col("emb"), centroids, probes).as("cells"))
+    val batchCells = assigned.filter(col("nsq") > 0)
+      .select(col("id"), col("cent_sim"), explode(col("cells")).as("cellx"))
+    // k-bounded driver collect — the price of partition pruning (the
+    // ivfNearDupsAgainstLayout contract)
+    val probed = batchCells.select(col("cellx")).distinct()
+      .collect().map(_.getInt(0)).sorted
+    val corpus = corpusLayout
+      .filter(col("cell").isin(probed.map(Integer.valueOf): _*))
+      .select(col("cell").as("cellx"), col(idCol).as("corpus_id"),
+        col(embCol).as("emb_b"), l2NormSq(col(embCol)).as("nsq_b"))
+    val crossRemoved = corpus
+      .join(batchCells.join(batchSides, "id"), Seq("cellx"))
+      .filter(col("id") =!= col("corpus_id"))
+      .dropDuplicates("id", "corpus_id")
+      .select(col("id"),
+        (dotProduct(col("emb"), col("emb_b")) /
+          (sqrt(col("nsq")) * sqrt(col("nsq_b")))).as("sim_d"))
+      .filter(col("sim_d") >= tau - 1e-4)
+      .filter(col("sim_d").cast(DecimalType(9, 4)) >= tau)
+      .select(col("id")).distinct()
+    // intra-batch keep-first: the symmetric relational rule, batch-sized
+    val a = batchCells.toDF("id_a", "cs_a", "cell_a")
+    val b = batchCells.toDF("id_b", "cs_b", "cell_b")
+    val precedes =
+      if (keepBy == "id") col("id_a") < col("id_b")
+      else col("cs_a") < col("cs_b") ||
+        (col("cs_a") === col("cs_b") && col("id_a") < col("id_b"))
+    val pairs = a.join(b, col("cell_a") === col("cell_b") && precedes)
+      .select(col("id_a"), col("id_b")).distinct()
+    val intraRemoved = verifyPairs(pairs, batchSides.filter(col("nsq") > 0)
+        .select(col("id"), col("emb"), col("nsq")), tau)
+      .select(col("id_b").as("id")).distinct()
+    val removed = crossRemoved.unionByName(intraRemoved).distinct()
+      .withColumn("__rm", lit(true))
+    materializeAndRelease(
+      assigned.join(removed, Seq("id"), "left")
+        .select(col("id"), col("cell"), col("cent_sim"),
+          coalesce(!col("__rm"), lit(true)).as("kept")),
+      batchSides, materialize)
+  }
 }

@@ -239,6 +239,55 @@ object Embeddings extends QueryPack {
           (col("n_removed") > 0).as("nonempty"))
     }),
 
+    // -- incremental SemDeDup (round-9: the daily-batch form every other
+    //    dedup family has): the vec_id % 10 == 0 batch deduped against
+    //    the cell-partitioned layout of the % 10 != 0 corpus
+    //    (Layout.ivfPartitionOf, centroids pinned), corpus-before-batch
+    //    precedence, keep-first by id within the batch. CONTRACT ARM
+    //    (sim_ann_ivf_incr shape): DuckDB recomputes the GLOBAL rule's
+    //    batch-removal count — a batch vector is removed iff some corpus
+    //    vector or some smaller batch id is a decimal-cosine >= 0.3
+    //    neighbor — and the booleans assert clustered ⊆ global plus
+    //    >= 0.9 recall. [[graft.operators.Similarity.semDedupAgainst]].
+    "dedup_semdedup_incr" -> ((s, dir) => {
+      val emb = Tables(s, dir, "embeddings")
+      val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+      val batch = emb.filter(col("vec_id") % 10 === 0)
+      val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+        k = 8, lloydIters = 2, seed = 42)
+      val table = "emb_semdedup_incr_gate"
+      // a stale managed-table dir survives the session (ScaleProbe note)
+      s.sql(s"DROP TABLE IF EXISTS $table")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/$table")
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+      graft.catalog.Layout.ivfPartitionOf(s, corpus, "embedding", cents, table)
+      // probes = 5 of 8: recall measured 0.93-1.0 across sf tiers at the
+      // gate's isotropic tau = 0.3 (the weak-pruning regime — a corpus
+      // twin is caught iff its top-1 cell is among the batch vector's
+      // probes; 3 of 8 measured 0.87, under the 0.9 contract)
+      val removed = Similarity.semDedupAgainst(batch, s.table(table),
+          "vec_id", "embedding", cents, probes = 5, tau = 0.3)
+        .filter(!col("kept")).select(col("id")).localCheckpoint()
+      // exact global-rule arm, same sequential-fold + decimal semantics
+      val globalRemoved = batch
+        .select(col("vec_id").as("b_id"), col("embedding").as("emb_a"))
+        .crossJoin(emb.select(col("vec_id").as("a_id"),
+          col("embedding").as("emb_b")))
+        .filter(col("a_id") % 10 =!= 0 || col("a_id") < col("b_id"))
+        .filter(cosineSim(col("emb_a"), col("emb_b"))
+          .cast(DecimalType(9, 4)) >= 0.3)
+        .select(col("b_id").as("id")).distinct().localCheckpoint()
+      globalRemoved.agg(count(lit(1)).as("n_true"))
+        .crossJoin(removed.except(globalRemoved).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(col("n_true"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_removed") >= col("n_true") * 0.9).as("recall_ok"),
+          (col("n_removed") > 0).as("nonempty"))
+    }),
+
     // -- IVF top-k search for one query vector (vec 0): probe the 3
     //    nearest of 8 cells with 2-way corpus assignment (IVF replication
     //    — boundary neighbors are indexed under both nearby cells), rank
@@ -528,6 +577,22 @@ object Embeddings extends QueryPack {
       """SELECT count(*) AS n_corpus, TRUE AS n_results_ok,
         |  TRUE AS overlap_ok, TRUE AS sims_exact_ok
         |FROM embeddings""".stripMargin,
+
+    // the incremental global rule recomputed exactly: a batch
+    // (vec_id % 10 = 0) vector is removed iff SOME corpus vector or some
+    // smaller batch id is a decimal-cosine >= 0.3 neighbor — corpus
+    // precedes batch, keep-first by id within the batch
+    "dedup_semdedup_incr" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT count(DISTINCT b.vec_id) AS n_true, TRUE AS subset_ok,
+        |  TRUE AS recall_ok, TRUE AS nonempty
+        |FROM e b JOIN e a
+        |  ON b.vec_id % 10 = 0 AND (a.vec_id % 10 <> 0 OR a.vec_id < b.vec_id)
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
 
     // global keep-min-id removal count recomputed exactly: a vector is
     // removed under the unclustered rule iff SOME lower id is an exact

@@ -542,6 +542,41 @@ class ScaleSpec extends SparkSpec {
     assert(n5 == 5 * planted1, s"5x removed $n5 != ${5 * planted1}")
     val bound = 12.0 * math.max(t1, 0.3)
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
+    // incremental arm (semDedupAgainst): a FIXED batch of perturbed
+    // replica-0 twins (cosine ≈ 0.9999 to their corpus sources) probed
+    // against each tier's cell frame. It can only match replica 0, so
+    // the removal count must stay ~complete at BOTH corpus sizes — the
+    // recall floor is 95%, not exact equality, because each tier trains
+    // its own k ∝ corpus matrix and a source on a probe-rank cell
+    // boundary could fall outside the batch's probes under one geometry
+    // (the probes-governed recall of the operator scaladoc; measured
+    // COMPLETE — 80/80 — at both tiers here and at 1×/2× in ScaleProbe).
+    import org.apache.spark.sql.functions.{element_at, expr, lit}
+    import graft.functions.ivfAssign
+    val sdBatch = emb1
+      .filter(col("vec_id") % 25 === 0 &&
+        col("vec_id") < lit(ScaleProbe.IdStride / 2))
+      .select((col("vec_id") + lit(3000000000L)).as("vec_id"),
+        col("embedding").cast("array<double>").as("emb0"))
+      .select(col("vec_id"), expr("transform(emb0, (x, j) -> " +
+        "x + 0.002d * sin(cast(j as double)))").as("embedding"))
+    val bSize = sdBatch.count()
+    def incr(emb: org.apache.spark.sql.DataFrame, k: Int): Long = {
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = k, lloydIters = 2, seed = 42)
+      val cells = emb.withColumn("cell", element_at(
+        ivfAssign(col("embedding").cast("array<double>"), cents, 1), 1))
+      val n = Similarity.semDedupAgainst(sdBatch, cells, "vec_id",
+          "embedding", cents, probes = 3, tau = 0.8)
+        .filter(!col("kept")).count()
+      spark.catalog.clearCache(); n
+    }
+    val (i1, i5) = (incr(emb1, 8), incr(emb5, 40))
+    info(s"incr removed vs 1x corpus: $i1/$bSize; vs 5x: $i5/$bSize")
+    Seq(("1x", i1), ("5x", i5)).foreach { case (tag, n) =>
+      assert(n >= (bSize * 95 + 99) / 100 && n <= bSize,
+        s"$tag incremental removal $n outside [0.95*$bSize, $bSize]")
+    }
   }
 
   test("bigram LM: replica scores identical within a tier, output exactly K-linear") {

@@ -491,6 +491,72 @@ class LayoutSpec extends SparkSpec {
     } finally spark.sql("DROP TABLE IF EXISTS embeddings_ivf")
   }
 
+  test("semDedupAgainst prunes the corpus layout and removes planted twins") {
+    import graft.operators.Similarity
+    val dir = "/root/testdata/sf0.01"
+    val emb = graft.Tables(spark, dir, "embeddings")
+    val corpus = emb.filter(col("vec_id") % 10 =!= 0)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      k = 8, lloydIters = 2, seed = 42)
+    // batch, three groups: corpus twins (cosine-1.0 source IN the layout,
+    // identical cell — removed by the CROSS rule at any probes); fresh
+    // copies of vec_id % 10 == 0 vectors, which are NOT in the corpus and
+    // have no natural >= 0.8 neighbor (kept — they are each
+    // neighborhood's first batch member); and second copies of the same
+    // under higher ids (removed by the INTRA keep-first rule only —
+    // their sole >= 0.8 precedent is the smaller-id batch copy)
+    val twins = corpus.filter(col("vec_id") % 40 === 1)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    val excluded = emb.filter(col("vec_id") % 10 === 0 && col("vec_id") < 400)
+    val first = excluded
+      .select((col("vec_id") + 2000000L).as("vec_id"), col("embedding"))
+    val second = excluded
+      .select((col("vec_id") + 3000000L).as("vec_id"), col("embedding"))
+    val batch = twins.unionAll(first).unionAll(second)
+    try {
+      Layout.ivfPartitionOf(spark, corpus, "embedding", cents, "emb_sd_ivf")
+      val out = Similarity.semDedupAgainst(batch, spark.table("emb_sd_ivf"),
+        "vec_id", "embedding", cents, probes = 2, tau = 0.8,
+        materialize = false)
+      val rows = out.collect().map(r => (r.getLong(0), r.getBoolean(3)))
+      spark.catalog.clearCache() // materialize=false leaves batchSides cached
+      assert(rows.length == batch.count())
+      val kept = rows.filter(_._2).map(_._1).toSet
+      val removed = rows.filterNot(_._2).map(_._1).toSet
+      assert(removed.forall(id => id < 2000000L || id >= 3000000L) &&
+        rows.count(r => r._1 < 2000000L) == removed.count(_ < 2000000L),
+        s"corpus twins must all be removed: $removed")
+      assert(kept == rows.map(_._1).filter(id =>
+        id >= 2000000L && id < 3000000L).toSet,
+        "exactly the first batch copies survive (corpus precedence + intra keep-first)")
+      // the corpus read is partition pruning on the batch's probed cells
+      def allScans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = {
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case o => o.children
+        }
+        (p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+          case _ => Nil
+        }) ++ kids.flatMap(allScans)
+      }
+      val scan = allScans(out.queryExecution.executedPlan)
+        .find(_.relation.location.rootPaths.exists(_.toString.contains("emb_sd_ivf")))
+        .getOrElse(fail("expected a pruned scan of emb_sd_ivf"))
+      assert(scan.partitionFilters.exists(_.references.exists(_.name == "cell")),
+        "corpus scan must filter the partition column")
+      val batchCellCount = batch
+        .select(explode(graft.functions.ivfAssign(col("embedding"), cents, 2)).as("cell"))
+        .distinct().count()
+      assert(scan.selectedPartitions.partitionCount == batchCellCount,
+        s"expected $batchCellCount pruned partitions, got ${scan.selectedPartitions.partitionCount}")
+    } finally spark.sql("DROP TABLE IF EXISTS emb_sd_ivf")
+  }
+
   test("topKForVectorIvf against the cell-partitioned layout prunes to nprobe partitions") {
     import graft.operators.Similarity
     val dir = "/root/testdata/sf0.01"

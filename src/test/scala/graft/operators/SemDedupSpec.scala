@@ -57,6 +57,43 @@ class SemDedupSpec extends SparkSpec {
       s"cells should align with clusters: ${removed.size}/${truth.size}")
   }
 
+  test("semDedupAgainst equals the global corpus-before-batch rule on cluster-aligned cells") {
+    import graft.functions.ivfAssign
+    val corpus = clustered.filter(col("vec_id") % 2 === 0)
+    val batch = clustered.filter(col("vec_id") % 2 =!= 0)
+    val cents = Similarity.trainIvfCentroids(corpus, "vec_id", "embedding",
+      k = 3, lloydIters = 3, seed = 42)
+    val corpusCells = corpus.withColumn("cell",
+      element_at(ivfAssign(col("embedding"), cents, 1), 1))
+    val out = Similarity.semDedupAgainst(batch, corpusCells,
+        "vec_id", "embedding", cents, probes = 1, tau = 0.8)
+      .collect()
+    assert(out.length == 30, "one output row per batch vector")
+    val removed = out.filter(!_.getBoolean(3)).map(_.getLong(0)).toSet
+    // driver-exact global rule: batch b removed iff some a with (a is
+    // corpus OR a is a smaller batch id), a != b, decimal cosine >= tau.
+    // Note the ids interleave — corpus-before-batch is NOT keep-min-id,
+    // which is exactly what this pins: an even id LARGER than b still
+    // precedes b (it is corpus), while an odd id smaller than b precedes
+    // only as a batch member.
+    val rows = clustered.collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toArray)
+    def cosDec(va: Array[Double], vb: Array[Double]): BigDecimal = {
+      val dot = va.zip(vb).map { case (x, y) => x * y }.sum
+      val na = math.sqrt(va.map(x => x * x).sum)
+      val nb = math.sqrt(vb.map(x => x * x).sum)
+      BigDecimal(dot / (na * nb)).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = (for {
+      (ib, vb) <- rows if ib % 2 != 0
+      if rows.exists { case (ia, va) =>
+        ia != ib && (ia % 2 == 0 || ia < ib) && cosDec(va, vb) >= 0.8 }
+    } yield ib).toSet
+    assert(expected.nonEmpty, "fixture must create batch removals")
+    assert(removed == expected,
+      s"aligned cells should reproduce the global rule exactly: " +
+        s"${removed.size}/${expected.size}")
+  }
+
   test("semDedup keepBy=centroid is keep-first under the (cent_sim, id) order within cells") {
     val out = Similarity.semDedup(clustered, "vec_id", "embedding",
         k = 3, probes = 1, lloydIters = 3, seed = 42, tau = 0.8,
