@@ -98,6 +98,11 @@ object Bench {
     // index dedup) — the full Dolma/Lee-et-al. intake order
     "op_pipeline_full" -> ((s, dir) =>
       PipelineHarness.runOnFull(s, dir, materialize = true)),
+    // the full chain PLUS the round-9 trainer tail (trained-BPE token
+    // counts → token-budget mix → 512-token sequence packing) — the
+    // complete intake-to-training-layout cost
+    "op_pipeline_pack" -> ((s, dir) =>
+      PipelineHarness.runOnPack(s, dir, materialize = true)),
     // sequential vs batched BPE merge selection over the corpus vocab:
     // identical 24-merge output here (weight gaps keep created pairs
     // from overtaking), but the batched route runs ~batchK× fewer

@@ -132,7 +132,9 @@ object PipelineHarness {
   def run(spark: SparkSession, corpus: DataFrame, indexTable: String,
           targetTotal: Long = 1000L,
           materialize: Boolean = true,
-          subDocStages: Boolean = false): DataFrame =
+          subDocStages: Boolean = false,
+          trainerTail: Boolean = false,
+          tailBpeMerges: Option[Int] = Some(12)): DataFrame =
     Curation.pipeline(spark, corpus, "doc_id", "text", "lang",
       targetTotal = targetTotal, alpha = 0.5, minLineDocs = 50,
       paragraphDedup = subDocStages,
@@ -142,6 +144,15 @@ object PipelineHarness {
       shardSeed = "ep0", qualityFilter = Some(c4OnlyFilter),
       shingleN = 2, numHashes = 32, bands = 8, buckets = 8,
       estThreshold = 0.3, appendToIndex = false,
+      // trainer tail (round-9): token-budget mix (~60 tokens/doc keeps
+      // the draw comparable to the doc-count target) + 512-token packing;
+      // tailBpeMerges = None counts whitespace tokens instead of
+      // trained-BPE pieces (the ScaleProbe exactness tiers use that —
+      // replica-salted vocabularies make cross-tier BPE counts
+      // incomparable, while whitespace counts are replica-invariant)
+      tokenBudget = if (trainerTail) Some(targetTotal * 60L) else None,
+      packSeqLen = if (trainerTail) Some(512) else None,
+      bpeMerges = if (trainerTail) tailBpeMerges else None,
       materialize = materialize)
 
   /** One-call form for Bench/Plans: seeded 1x corpus from `dir`, index
@@ -166,5 +177,20 @@ object PipelineHarness {
     val table = "pipeline_mh_idx"
     ensureIndex(spark, c, table)
     run(spark, c, table, materialize = materialize, subDocStages = true)
+  }
+
+  /** [[runOnFull]] plus the round-9 trainer tail: trained-BPE token
+    * counting (12 merges on the accepted corpus), token-budget
+    * temperature mix and 512-token sequence packing — the complete
+    * intake chain quality gate → sub-document dedup → index dedup →
+    * decontamination → BPE count → token mix → pack in ONE job. Output
+    * rows are sequence fragments, not documents. */
+  def runOnPack(spark: SparkSession, dir: String,
+                materialize: Boolean): DataFrame = {
+    val c = corpus(spark, dir)
+    val table = "pipeline_mh_idx"
+    ensureIndex(spark, c, table)
+    run(spark, c, table, materialize = materialize, subDocStages = true,
+      trainerTail = true)
   }
 }

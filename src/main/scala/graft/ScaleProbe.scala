@@ -611,6 +611,18 @@ object ScaleProbe {
       t(s"pipeline_full_$tag")(
         PipelineHarness.run(spark, c, table, targetTotal = 1000L,
           subDocStages = true).count())
+      // ...and with the round-9 trainer tail on: whitespace token counts
+      // (tailBpeMerges = None — replica-salted vocabularies make
+      // cross-tier BPE counts incomparable, and the BPE cost curve has
+      // its own bpe_train_* tiers), token-budget mix, 512-token packing.
+      // Counts are replica-invariant, so the per-source token budgets
+      // repeat at every tier and the packed-sequence count stays ~flat
+      // (±1 boundary fragment — the drawn token mass overshoots the
+      // budget by at most one document).
+      t(s"pipeline_pack_$tag")(
+        PipelineHarness.run(spark, c, table, targetTotal = 1000L,
+          subDocStages = true, trainerTail = true, tailBpeMerges = None)
+          .count())
     }
 
     /** Sub-document granularity operators (round 7) on the window-

@@ -134,6 +134,57 @@ object Layout {
     spark.catalog.tableExists(s"${tableName}_sigs") &&
       spark.catalog.tableExists(s"${tableName}_bands")
 
+  /** Replay ledger for the LSM appends (round-9: the streaming loop's
+    * foreachBatch replays a batch after failure, and an un-guarded
+    * re-append would fold the same rows twice). One empty marker
+    * directory per applied (table, tag) under
+    * `<warehouse>/<table>_applied/`; an append guarded by a tag SKIPS
+    * when its marker exists. The marker is written AFTER the append
+    * commits, so the residual window is a crash between the append's
+    * job commit and the marker write — a replay then re-appends once.
+    * That window is why the ledger is only used for the tables whose
+    * PROBES are duplicate-absorbing (signature/key/fingerprint tables:
+    * distinct-pair and anti-join semantics — duplicates cost bytes,
+    * never answers); the span census, where duplicates change counts,
+    * gets exact source-keyed folds instead ([[spanGramCensusAppend]]). */
+  private def markerPath(spark: SparkSession, table: String,
+                         tag: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${table}_applied/$tag")
+
+  /** True iff batch `tag` was already folded into `table`. */
+  def appendApplied(spark: SparkSession, table: String, tag: String): Boolean = {
+    val p = markerPath(spark, table, tag)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def markApplied(spark: SparkSession, table: String, tag: String): Unit = {
+    val p = markerPath(spark, table, tag)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(p)
+  }
+
+  /** Run `append` once per (table, tag): skip when the ledger already
+    * has the tag, mark after the append commits. tag = None runs
+    * unguarded (non-replaying callers). */
+  private def idempotently(spark: SparkSession, table: String,
+                           tag: Option[String])(append: => Unit): Unit =
+    tag match {
+      case Some(t) if appendApplied(spark, table, t) => ()
+      case _ =>
+        append
+        tag.foreach(t => markApplied(spark, table, t))
+    }
+
+  /** Clear a table's replay ledger — every (re)build path must call
+    * this: the ledger is per table INCARNATION (stale markers on a
+    * rebuilt table would silently skip its first appends). */
+  private def clearLedger(spark: SparkSession, table: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${table}_applied")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Drop a managed table AND its warehouse directory. The catalog is
     * session-scoped but the warehouse directory is not — a previous
     * session's files under the managed-table LOCATION survive and make a
@@ -145,6 +196,11 @@ object Layout {
       spark.conf.get("spark.sql.warehouse.dir") + s"/$table")
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
+    // the replay ledger is PER TABLE INCARNATION: a rebuilt table with
+    // stale markers would silently skip its first appends
+    val ledger = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${table}_applied")
+    if (fs.exists(ledger)) fs.delete(ledger, true)
   }
 
   /** [[dropTable]] for both tables of a [[minhashBandIndex]] (previously
@@ -158,6 +214,7 @@ object Layout {
                        buckets: Int = 8, tableName: String = "minhash_index"): Unit = {
     import graft.operators.Dedup
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
+    clearLedger(spark, tableName) // fresh incarnation, fresh replay ledger
     Dedup.minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
       .repartition(buckets, col("id"))
       .write.mode("overwrite")
@@ -187,25 +244,32 @@ object Layout {
   def minhashIndexAppend(spark: SparkSession, batch: DataFrame,
                          idCol: String, textCol: String,
                          shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
-                         buckets: Int = 8, tableName: String = "minhash_index"): Unit = {
+                         buckets: Int = 8, tableName: String = "minhash_index",
+                         batchTag: Option[String] = None): Unit = {
     import graft.operators.Dedup
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val sigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleN, numHashes)
-      .localCheckpoint(eager = true) // one text pass feeds both appends
-    sigs.repartition(buckets, col("id"))
-      .write.mode("append")
-      .bucketBy(buckets, "id").sortBy("id")
-      .format("parquet").saveAsTable(s"${tableName}_sigs")
-    Dedup.bandedSignatures(sigs, bands, numHashes / bands)
-      .repartition(buckets, col("bucket"))
-      .write.mode("append")
-      .bucketBy(buckets, "bucket").sortBy("bucket")
-      .format("parquet").saveAsTable(s"${tableName}_bands")
-    // a reader that already resolved these tables holds a cached relation
-    // with the PRE-append file listing (the streaming loop probes and
-    // appends in alternation, so this is the common case, not the edge)
-    spark.catalog.refreshTable(s"${tableName}_sigs")
-    spark.catalog.refreshTable(s"${tableName}_bands")
+    // batchTag: replay-idempotency ledger (one tag guards BOTH tables —
+    // they fold together). The residual marker window costs duplicate
+    // rows only: the probe dedups sig rows per id and distincts pairs,
+    // so a replayed fold never changes answers.
+    idempotently(spark, tableName, batchTag) {
+      val sigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleN, numHashes)
+        .localCheckpoint(eager = true) // one text pass feeds both appends
+      sigs.repartition(buckets, col("id"))
+        .write.mode("append")
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${tableName}_sigs")
+      Dedup.bandedSignatures(sigs, bands, numHashes / bands)
+        .repartition(buckets, col("bucket"))
+        .write.mode("append")
+        .bucketBy(buckets, "bucket").sortBy("bucket")
+        .format("parquet").saveAsTable(s"${tableName}_bands")
+      // a reader that already resolved these tables holds a cached relation
+      // with the PRE-append file listing (the streaming loop probes and
+      // appends in alternation, so this is the common case, not the edge)
+      spark.catalog.refreshTable(s"${tableName}_sigs")
+      spark.catalog.refreshTable(s"${tableName}_bands")
+    }
   }
 
   /** Re-attach a [[minhashBandIndex]] written by an EARLIER session — the
@@ -297,25 +361,34 @@ object Layout {
   def fingerprintIndex(spark: SparkSession, docs: DataFrame,
                        idCol: String, textCol: String,
                        buckets: Int = 8,
-                       tableName: String = "fp_index"): Unit =
+                       tableName: String = "fp_index"): Unit = {
+    clearLedger(spark, s"${tableName}_fps") // fresh incarnation
     graft.operators.Dedup.fingerprints(docs, idCol, textCol)
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_fps")
+  }
 
   /** Append a batch's fingerprints to a [[fingerprintIndex]] — the LSM
-    * write of the exact tier; same bucket-spec preservation and
-    * compaction story as [[minhashIndexAppend]]. */
+    * write of the exact tier; same bucket-spec preservation, compaction
+    * story and replay ledger as [[minhashIndexAppend]] (the marker
+    * window duplicates (fp, id) rows, which duplicate probe pairs — a
+    * replay-exposed caller should dedup pairs or dedup the table at
+    * compact). */
   def fingerprintIndexAppend(spark: SparkSession, batch: DataFrame,
                              idCol: String, textCol: String,
                              buckets: Int = 8,
-                             tableName: String = "fp_index"): Unit =
-    graft.operators.Dedup.fingerprints(batch, idCol, textCol)
-      .repartition(buckets, col("fp"))
-      .write.mode("append")
-      .bucketBy(buckets, "fp").sortBy("fp")
-      .format("parquet").saveAsTable(s"${tableName}_fps")
+                             tableName: String = "fp_index",
+                             batchTag: Option[String] = None): Unit =
+    idempotently(spark, s"${tableName}_fps", batchTag) {
+      graft.operators.Dedup.fingerprints(batch, idCol, textCol)
+        .repartition(buckets, col("fp"))
+        .write.mode("append")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .format("parquet").saveAsTable(s"${tableName}_fps")
+      spark.catalog.refreshTable(s"${tableName}_fps")
+    }
 
   /** Standing winnow-fingerprint index — the overlap-detection sibling
     * of [[fingerprintIndex]]: one bucketed table `<name>_wfps` of
@@ -335,13 +408,15 @@ object Layout {
   def winnowIndex(spark: SparkSession, docs: DataFrame,
                   idCol: String, textCol: String, k: Int, w: Int,
                   buckets: Int = 8, maxDf: Option[Long] = None,
-                  tableName: String = "winnow_index"): Unit =
+                  tableName: String = "winnow_index"): Unit = {
+    clearLedger(spark, s"${tableName}_wfps") // fresh incarnation
     dfCapped(graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w)
         .toDF("id", "fp"), maxDf)
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_wfps")
+  }
 
   /** Drop fingerprints whose document frequency exceeds the cap — the
     * boilerplate gate shared by [[winnowIndex]] build and compact. The
@@ -368,16 +443,21 @@ object Layout {
   def winnowIndexAppend(spark: SparkSession, batch: DataFrame,
                         idCol: String, textCol: String, k: Int, w: Int,
                         buckets: Int = 8,
-                        tableName: String = "winnow_index"): Unit = {
-    graft.operators.Winnow.fingerprintSets(batch, idCol, textCol, k, w)
-      .toDF("id", "fp")
-      .localCheckpoint(true)
-      .repartition(buckets, col("fp"))
-      .write.mode("append")
-      .bucketBy(buckets, "fp").sortBy("fp")
-      .format("parquet").saveAsTable(s"${tableName}_wfps")
-    spark.catalog.refreshTable(s"${tableName}_wfps")
-  }
+                        tableName: String = "winnow_index",
+                        batchTag: Option[String] = None): Unit =
+    // batchTag: replay ledger; the marker window costs duplicate (id, fp)
+    // rows only — the probe dedups the corpus side per (id, fp)
+    // bucket-locally, so answers never change
+    idempotently(spark, s"${tableName}_wfps", batchTag) {
+      graft.operators.Winnow.fingerprintSets(batch, idCol, textCol, k, w)
+        .toDF("id", "fp")
+        .localCheckpoint(true)
+        .repartition(buckets, col("fp"))
+        .write.mode("append")
+        .bucketBy(buckets, "fp").sortBy("fp")
+        .format("parquet").saveAsTable(s"${tableName}_wfps")
+      spark.catalog.refreshTable(s"${tableName}_wfps")
+    }
 
   /** Compact a [[winnowIndex]]: re-apply the df cap over the grown index
     * (boilerplate that accrued through appends is dropped), rewrite
@@ -407,12 +487,14 @@ object Layout {
   def paragraphKeyIndex(spark: SparkSession, docs: DataFrame,
                         textCol: String, sep: String = "\n\n",
                         buckets: Int = 8,
-                        tableName: String = "para_index"): Unit =
+                        tableName: String = "para_index"): Unit = {
+    clearLedger(spark, s"${tableName}_pkeys") // fresh incarnation
     graft.operators.Dedup.paragraphKeys(docs, textCol, sep)
       .repartition(buckets, col("pkey"))
       .write.mode("overwrite")
       .bucketBy(buckets, "pkey").sortBy("pkey")
       .format("parquet").saveAsTable(s"${tableName}_pkeys")
+  }
 
   /** Append a batch's KEPT paragraph keys to a [[paragraphKeyIndex]] —
     * the LSM write; fold in only what the curation accepted so a later
@@ -432,15 +514,19 @@ object Layout {
   def paragraphKeyIndexAppend(spark: SparkSession, batch: DataFrame,
                               textCol: String, sep: String = "\n\n",
                               buckets: Int = 8,
-                              tableName: String = "para_index"): Unit = {
-    graft.operators.Dedup.paragraphKeys(batch, textCol, sep)
-      .localCheckpoint(true)
-      .repartition(buckets, col("pkey"))
-      .write.mode("append")
-      .bucketBy(buckets, "pkey").sortBy("pkey")
-      .format("parquet").saveAsTable(s"${tableName}_pkeys")
-    spark.catalog.refreshTable(s"${tableName}_pkeys")
-  }
+                              tableName: String = "para_index",
+                              batchTag: Option[String] = None): Unit =
+    // batchTag: replay ledger; the marker window costs duplicate keys
+    // only — the probe is an anti-join, so answers never change
+    idempotently(spark, s"${tableName}_pkeys", batchTag) {
+      graft.operators.Dedup.paragraphKeys(batch, textCol, sep)
+        .localCheckpoint(true)
+        .repartition(buckets, col("pkey"))
+        .write.mode("append")
+        .bucketBy(buckets, "pkey").sortBy("pkey")
+        .format("parquet").saveAsTable(s"${tableName}_pkeys")
+      spark.catalog.refreshTable(s"${tableName}_pkeys")
+    }
 
   /** Standing GRAM census — the span-removal sibling of
     * [[paragraphKeyIndex]]: one bucketed table of (g, c) rows — the
@@ -461,6 +547,7 @@ object Layout {
                      buckets: Int = 8,
                      tableName: String = "span_index"): Unit =
     graft.operators.Dedup.gramCensus(docs, textCol, gramLen)
+      .withColumn("src", org.apache.spark.sql.functions.lit("base"))
       .repartition(buckets, col("g"))
       .write.mode("overwrite")
       .bucketBy(buckets, "g").sortBy("g")
@@ -468,19 +555,34 @@ object Layout {
 
   /** Append a batch's gram counts to a [[spanGramCensus]] — the LSM
     * write; fold in the batch's ACCEPTED (cleaned) text so later
-    * batches count this one's grams too. Appends add one (g, c) row per
-    * batch-distinct gram; probes fold multi-row keys with a
-    * bucket-local sum, and compaction is a rebuild via
-    * [[spanGramCensus]] over the accepted corpus. Eagerly checkpointed
-    * before the write — the batch frame is typically the OUTPUT of
+    * batches count this one's grams too. Appends add one (g, c, src)
+    * row per batch-distinct gram; probes fold multi-row keys with a
+    * bucket-local TWO-LEVEL aggregation (max per (g, src), then sum —
+    * Dedup.removeRepeatedSpansAgainst), and compaction bakes that fold
+    * ([[spanGramCensusCompact]]).
+    *
+    * `srcTag` must uniquely identify the batch (the streaming loop
+    * passes `b<batchId>`): a foreachBatch REPLAY re-appends the same
+    * (g, c, src) rows and the probe's max-per-(g, src) collapses them —
+    * counts can never double, standing singletons never turn into
+    * duplicates, so replays are EXACTLY answer-idempotent with no
+    * marker race at all (duplicates cost bytes until compact). Two
+    * DIFFERENT batches must never share a tag — their counts would
+    * collapse instead of summing. Compaction folds all sources into
+    * `base`, so compact only batches past the replay horizon (a replay
+    * of a compacted batch would re-add its counts under its tag).
+    * Eagerly checkpointed before the write — the batch frame is
+    * typically the OUTPUT of
     * `removeRepeatedSpansAgainst(spark.table(...))`, i.e. a lazy plan
     * reading the very table being appended to (the
     * [[paragraphKeyIndexAppend]] self-reference hazard). */
   def spanGramCensusAppend(spark: SparkSession, batch: DataFrame,
                            textCol: String, gramLen: Int,
+                           srcTag: String,
                            buckets: Int = 8,
                            tableName: String = "span_index"): Unit = {
     graft.operators.Dedup.gramCensus(batch, textCol, gramLen)
+      .withColumn("src", org.apache.spark.sql.functions.lit(srcTag))
       .localCheckpoint(true)
       .repartition(buckets, col("g"))
       .write.mode("append")
@@ -497,9 +599,15 @@ object Layout {
     * the corpus. */
   def spanGramCensusCompact(spark: SparkSession, buckets: Int,
                             tableName: String = "span_index"): Unit = {
+    import org.apache.spark.sql.functions.{lit, max, sum}
     dropTable(spark, s"${tableName}_grams_new")
     spark.table(s"${tableName}_grams")
-      .groupBy(col("g")).agg(org.apache.spark.sql.functions.sum(col("c")).as("c"))
+      // the probe's own two-level fold: dedup replayed source rows per
+      // (g, src), THEN sum across sources — compaction bakes exactly the
+      // counts every probe would compute
+      .groupBy(col("g"), col("src")).agg(max(col("c")).as("c"))
+      .groupBy(col("g")).agg(sum(col("c")).as("c"))
+      .withColumn("src", lit("base"))
       .repartition(buckets, col("g"))
       .write.mode("overwrite")
       .bucketBy(buckets, "g").sortBy("g")

@@ -220,9 +220,26 @@ object Curation {
     *     text_decontaminate discipline), with
     *     the exact shuffle semi-join as the at-scale fallback;
     *  5. temperature mixing ([[Sampling.temperatureMix]] — quotas attach
-    *     chain- or join-routed by source cardinality);
+    *     chain- or join-routed by source cardinality); with `tokenBudget`
+    *     set, the TOKEN-BUDGET form instead
+    *     ([[Sampling.temperatureMixTokens]] — the trainer's actual
+    *     contract: per-source budgets in tokens, not documents), over
+    *     per-document token counts from stage 4b;
+    *  4b. OPTIONAL trainer-tail token counting (runs when `tokenBudget`
+    *     or `packSeqLen` is set): per-document `n_tokens` — whitespace
+    *     tokens by default, or TRAINED-BPE piece counts when
+    *     `bpeMerges` is set ([[Bpe.train]] on the ACCEPTED corpus's
+    *     word frequencies, [[Bpe.encodeVocab]] over the distinct vocab,
+    *     per-word piece counts joined back through the measured
+    *     vocab-gated route and summed per document — the corpus is
+    *     never re-tokenized per merge);
     *  6. deterministic shard shuffle ([[Sampling.shardShuffle]]) — the
-    *     output carries (shard, pos) training order.
+    *     output carries (shard, pos) training order; with `packSeqLen`
+    *     set, [[Packing.packSequences]] instead: the mixed draw is
+    *     concatenated in that same shard order and cut into fixed
+    *     `packSeqLen`-token training sequences (output rows become
+    *     sequence fragments — the trainer's physical layout, closing
+    *     the chain quality gate → dedup → mix → pack in ONE job).
     *
     * Caching discipline — what a 100 TB run actually has to get right
     * across stage BOUNDARIES even when each stage is clean alone:
@@ -265,6 +282,10 @@ object Curation {
                buckets: Int = 8, estThreshold: Double = 0.3,
                appendToIndex: Boolean = false,
                maxBroadcastShingles: Long = 1L << 20,
+               tokenBudget: Option[Long] = None,
+               packSeqLen: Option[Int] = None,
+               bpeMerges: Option[Int] = None,
+               maxBroadcastVocab: Long = 1L << 20,
                materialize: Boolean = true): DataFrame = {
     require(!appendToIndex || indexTable.nonEmpty,
       "appendToIndex requires an indexTable")
@@ -272,6 +293,11 @@ object Curation {
       "appendToIndex requires materialize=true: the survivors are computed " +
         "by reading the index tables and must be checkpointed before the " +
         "append grows them")
+    require(bpeMerges.isEmpty || materialize,
+      "bpeMerges requires materialize=true: BPE training is a driver loop " +
+        "of Spark jobs, not a lazy plan")
+    require(bpeMerges.isEmpty || tokenBudget.nonEmpty || packSeqLen.nonEmpty,
+      "bpeMerges without tokenBudget/packSeqLen counts tokens nothing consumes")
     val cols = docs.columns.map(col)
     val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
     val q = gate(docs).select(cols: _*)
@@ -358,9 +384,50 @@ object Curation {
     if (appendToIndex)
       graft.catalog.Layout.minhashIndexAppend(spark, accepted.select(cols: _*),
         idCol, textCol, shingleN, numHashes, bands, buckets, indexTable.get)
-    val out = Sampling.shardShuffle(
-      Sampling.temperatureMix(accepted, idCol, srcCol, alpha, targetTotal),
-      idCol, shardSeed)
+    // trainer tail (round-9): token counting → token-budget mix → packing.
+    // Token counts ride the accepted frame as `n_tokens`; with bpeMerges
+    // the count is trained-BPE pieces — train on the accepted corpus's
+    // word frequencies (driver loop of k-bounded jobs), encode the
+    // DISTINCT vocab once, and join per-word piece counts back through
+    // the measured vocab-gated route (broadcast under maxBroadcastVocab,
+    // word-keyed shuffle join past it — the bigramLogProb discipline).
+    val withTokens: DataFrame =
+      if (tokenBudget.isEmpty && packSeqLen.isEmpty) accepted
+      else bpeMerges match {
+        case None =>
+          accepted.withColumn("n_tokens",
+            size(tokens(lower(col(textCol)))).cast("long"))
+        case Some(m) =>
+          val words = Bpe.wordCounts(accepted, textCol)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val merges = Bpe.collectMerges(
+            Bpe.train(words, "word", "weight", numMerges = m,
+              minPairCount = 1L))
+          val pieces = Bpe.encodeVocab(words.select(col("word")), "word",
+              merges)
+            .select(col("word").as("__w"), size(col("pieces")).cast("long").as("__np"))
+          val vocabSize = words.count()
+          words.unpersist()
+          val piecesRouted =
+            if (vocabSize <= maxBroadcastVocab) broadcast(pieces) else pieces
+          val perDoc = accepted
+            .select(col(idCol), explode(tokens(lower(col(textCol)))).as("__w"))
+            .join(piecesRouted, Seq("__w"))
+            .groupBy(col(idCol)).agg(sum(col("__np")).as("n_tokens"))
+          accepted.join(perDoc, Seq(idCol), "left")
+            .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+      }
+    val mixed = tokenBudget match {
+      case Some(t) => Sampling.temperatureMixTokens(withTokens, idCol, srcCol,
+        "n_tokens", alpha, t)
+      case None => Sampling.temperatureMix(withTokens, idCol, srcCol, alpha,
+        targetTotal)
+    }
+    val out = packSeqLen match {
+      case Some(l) => Packing.packSequences(mixed, idCol, "n_tokens", l,
+        shardSeed)
+      case None => Sampling.shardShuffle(mixed, idCol, shardSeed)
+    }
     if (materialize) {
       val mat = out.localCheckpoint(true)
       cleaned.unpersist()

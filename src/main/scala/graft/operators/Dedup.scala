@@ -224,7 +224,13 @@ object Dedup {
       .distinct()
     val out = pairs
       .join(batchSigs.toDF("batch_id", "sig_a"), "batch_id")
-      .join(corpusSigs.toDF("corpus_id", "sig_b"), "corpus_id")
+      // per-id dedup: an LSM index may carry duplicate sig rows (the
+      // replay-ledger marker window, Layout.minhashIndexAppend) — any
+      // copy verifies identically, and without the dedup each duplicate
+      // would emit a duplicate output pair. Bucket-local on the id-
+      // bucketed _sigs layout.
+      .join(corpusSigs.toDF("corpus_id", "sig_b")
+        .dropDuplicates("corpus_id"), "corpus_id")
       .select(col("batch_id"), col("corpus_id"),
         (size(filter(zip_with(col("sig_a"), col("sig_b"), (x, y) => x === y), b => b))
           .cast("double") / size(col("sig_a"))).as("est_jaccard"))
@@ -1333,11 +1339,24 @@ object Dedup {
       g => unhex(md5(g)))
     val batchCounts = posting.groupBy(col("g")).agg(count(lit(1)).as("cb"))
     // appends may add several rows per key — fold them; on the bucketed
-    // layout this aggregation is exchange-free (bucket-local)
-    val standing = corpusGrams.select(
-        col(corpusGrams.columns(0)).as("g"),
-        col(corpusGrams.columns(1)).cast("long").as("cs"))
-      .groupBy(col("g")).agg(sum(col("cs")).as("cs"))
+    // layout these aggregations are exchange-free (bucket-local: the g
+    // hash distribution satisfies both the (g, src) and the g grouping).
+    // A census with a third (source-tag) column gets the TWO-LEVEL fold:
+    // max per (g, src) collapses a replayed batch's identical rows (the
+    // exact replay idempotency of Layout.spanGramCensusAppend — counts
+    // would otherwise double and turn standing singletons into
+    // duplicates), then sum across sources.
+    val standing = {
+      val named = corpusGrams.select(
+        Seq(col(corpusGrams.columns(0)).as("g"),
+          col(corpusGrams.columns(1)).cast("long").as("cs")) ++
+          (if (corpusGrams.columns.length >= 3)
+            Seq(col(corpusGrams.columns(2)).as("csrc")) else Nil): _*)
+      (if (corpusGrams.columns.length >= 3)
+        named.groupBy(col("g"), col("csrc")).agg(max(col("cs")).as("cs"))
+      else named)
+        .groupBy(col("g")).agg(sum(col("cs")).as("cs"))
+    }
     val dupKeys = batchCounts.join(standing, Seq("g"), "left")
       .filter(col("cb") + coalesce(col("cs"), lit(0L)) > 1)
       .select(col("g"))

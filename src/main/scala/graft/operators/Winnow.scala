@@ -179,7 +179,12 @@ object Winnow {
       .select(col(idCol).as("batch_id"), col("fp"))
     val counts = batchFps.groupBy(col("batch_id")).agg(count(lit(1)).as("n_batch"))
     val corpus = corpusFps.select(
-      col(corpusFps.columns(0)).as("corpus_id"), col(corpusFps.columns(1)).as("c_fp"))
+        col(corpusFps.columns(0)).as("corpus_id"), col(corpusFps.columns(1)).as("c_fp"))
+      // per-(id, fp) dedup: an LSM index may carry duplicate rows (the
+      // replay-ledger marker window, Layout.winnowIndexAppend), and a
+      // duplicate would inflate shared_fps counts. Bucket-local on the
+      // fp-bucketed layout (fp ∈ the grouping keys).
+      .dropDuplicates("corpus_id", "c_fp")
     corpus
       .join(batchFps, col("c_fp") === col("fp"))
       .filter(col("batch_id") =!= col("corpus_id"))

@@ -247,6 +247,42 @@ object Text extends QueryPack {
         .orderBy(col("q_decile"))
     }),
 
+    // -- the composed TRAINER TAIL (round-9): quality gate → exact
+    //    keep-first dedup → per-doc token counts → token-budget
+    //    temperature mix → 512-token sequence packing, every stage
+    //    SQL-expressible so DuckDB re-derives the ENTIRE chain — the
+    //    pipeline_curate head composed with the text_mix_tokens
+    //    selection and the text_pack_sequences layout over the mixed
+    //    draw. The one-job operator composition itself (including the
+    //    non-SQL index-dedup and BPE-count stages) is spec-gated
+    //    composed == hand-chained in CurationSpec.
+    //    [[graft.operators.Curation.pipeline]] (tokenBudget/packSeqLen).
+    "pipeline_pack" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.operators.{Packing, Sampling}
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val toks = tokens(lower(col("text")))
+      val nTok = size(toks).cast("long")
+      val alphaRatio =
+        length(regexp_replace(col("text"), "[^A-Za-z]", "")).cast("double") /
+          length(col("text")).cast("double")
+      val stopRatio = stopCount(toks, enStops).cast("double") / nTok.cast("double")
+      val scored = base
+        .select(col("doc_id"), col("lang"), col("text"), nTok.as("n_tokens"),
+          (alphaRatio * 0.5 + stopRatio * 0.5).as("q"))
+        .filter(col("q") >= 0.3)
+      val w = Window.partitionBy(md5(normText(col("text")))).orderBy(col("doc_id"))
+      val surv = scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+      val drawn = Sampling.temperatureMixTokens(surv, "doc_id", "lang",
+        "n_tokens", alpha = 0.5, targetTokens = 60000)
+      Packing.packSequences(drawn, "doc_id", "n_tokens",
+          seqLen = 512, seed = "ep0")
+        .orderBy(col("seq_id"), col("seq_off"))
+    }),
+
     // -- TF-IDF document-term scoring: per-(doc,term) tf, corpus df, score
     //    = tf * (N+1)/(df+1) — a SMOOTHED RATIONAL idf, not ln((N+1)/(df+1)).
     //    Deliberate: both engines evaluate rational arithmetic bit-exactly,
@@ -991,6 +1027,54 @@ object Text extends QueryPack {
         |SELECT CAST(FLOOR(q * 10) AS BIGINT) AS q_decile,
         |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
         |FROM d WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the trainer tail re-derived whole: the pipeline_curate quality/
+    // dedup head, the text_mix_tokens budget selection over the
+    // survivors, the text_pack_sequences layout over the drawn set
+    "pipeline_pack" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |s AS (SELECT doc_id, lang, text, CAST(len(toks) AS BIGINT) AS n,
+        |    (CAST(LENGTH(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.5 +
+        |    (CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE) / len(toks)) * 0.5 AS q
+        |  FROM t),
+        |f AS (SELECT doc_id, lang, text, n FROM s WHERE q >= 0.3),
+        |d AS (SELECT doc_id, lang, n,
+        |    row_number() OVER (PARTITION BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) ORDER BY doc_id) AS rn
+        |  FROM f),
+        |surv AS (SELECT doc_id, lang, n FROM d WHERE rn = 1),
+        |c AS (SELECT lang, SUM(n) AS tt FROM surv GROUP BY 1),
+        |wq AS (SELECT lang, tt, POW(tt, 0.5) AS a FROM c),
+        |q2 AS (SELECT lang, LEAST(tt, GREATEST(1,
+        |    CAST(ROUND(60000 * a / (SELECT SUM(a) FROM wq)) AS BIGINT))) AS qq FROM wq),
+        |r AS (SELECT doc_id, lang, n,
+        |    CAST(SUM(n) OVER (PARTITION BY lang
+        |      ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) - n AS bef
+        |  FROM surv),
+        |drawn AS (SELECT r.doc_id, r.n FROM r JOIN q2 USING (lang)
+        |  WHERE r.bef < q2.qq),
+        |h AS (SELECT doc_id, n,
+        |    md5('ep0:' || CAST(doc_id AS VARCHAR)) AS hv FROM drawn),
+        |sh AS (SELECT doc_id, n, substr(hv, 1, 2) AS shard,
+        |  CAST(row_number() OVER (PARTITION BY substr(hv, 1, 2)
+        |    ORDER BY hv, doc_id) AS BIGINT) AS pos,
+        |  SUM(n) OVER (PARTITION BY substr(hv, 1, 2)
+        |    ORDER BY hv, doc_id) AS cum FROM h),
+        |tt2 AS (SELECT shard, SUM(n) AS t FROM sh GROUP BY shard),
+        |b AS (SELECT shard, CAST(COALESCE(SUM(t) OVER (ORDER BY shard
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS base
+        |  FROM tt2),
+        |g AS (SELECT sh.doc_id, sh.shard, sh.pos, sh.n,
+        |    CAST(b.base + sh.cum - sh.n AS BIGINT) AS s
+        |  FROM sh JOIN b USING (shard) WHERE sh.n > 0),
+        |fr AS (SELECT doc_id, shard, pos, n, s,
+        |    UNNEST(range(s // 512, (s + n - 1) // 512 + 1)) AS seq_id FROM g)
+        |SELECT doc_id, shard, pos, CAST(seq_id AS BIGINT) AS seq_id,
+        |  CAST(GREATEST(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_off,
+        |  CAST(GREATEST(s, seq_id * 512) - s AS BIGINT) AS frag_start,
+        |  CAST(LEAST(s + n, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512) AS BIGINT) AS frag_len
+        |FROM fr ORDER BY seq_id, seq_off""".stripMargin,
 
     "text_decontaminate" ->
       """WITH toks AS (SELECT doc_id,

@@ -113,10 +113,13 @@ object StreamOps {
     * corpus is never re-shingled and never shuffled
     * (Dedup.minHashNearDupsAgainstIndex; plan asserted in LayoutSpec).
     *
-    * Exactly-once note: foreachBatch replays a batch after failure, so at
-    * production scale both sinks must be idempotent per batchId — write
-    * pairs to batchId-keyed paths and make the index append a MERGE on
-    * id (or dedup ids at read). Index params are layout metadata and
+    * Exactly-once note: foreachBatch replays a batch after failure; the
+    * index append IS replay-idempotent (batchId ledger,
+    * Layout.minhashIndexAppend) and a replayed fold can never change
+    * probe answers (duplicate rows are absorbed by the probe's
+    * per-id sig dedup + distinct pairs). The `onPairs` sink is the
+    * caller's: write pairs to batchId-keyed paths for end-to-end
+    * exactly-once. Index params are layout metadata and
     * must match the values the index was created with. */
   def dedupStreamAgainstIndex(docs: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
@@ -134,7 +137,8 @@ object StreamOps {
           batch, spark, tableName, idCol, textCol, shingleN, numHashes,
           bands, estThreshold), id)
         graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
-          shingleN, numHashes, bands, buckets, tableName)
+          shingleN, numHashes, bands, buckets, tableName,
+          batchTag = Some(s"b$id"))
       } finally batch.unpersist()
     }
 
@@ -206,8 +210,19 @@ object StreamOps {
     * (self-referential table read — the same reason the gate queries
     * checkpoint their pair sets). The paragraph-stage output is
     * checkpointed for the same reason — it reads the `_pkeys` table the
-    * loop later appends to. Same idempotency note as
-    * [[dedupStreamAgainstIndex]] for batch replays. */
+    * loop later appends to.
+    *
+    * Replay idempotency (round-9, was a documented gap): all three index
+    * folds are guarded per batchId — the paragraph-key and minhash
+    * appends skip behind the batch ledger (Layout ledger markers; the
+    * marker crash window can only duplicate rows, which those probes'
+    * anti-join/distinct semantics absorb), and the span census append is
+    * EXACTLY idempotent via its per-batch source tag (the probe folds
+    * max-per-(g, src) before summing, so a replayed batch can never turn
+    * standing singletons into duplicates). Re-delivering a batch leaves
+    * every standing table's effective content and all later answers
+    * unchanged (golden-tested in IncrementalDedupSpec). The `onBatch`
+    * sink remains the caller's to key by batchId. */
   def curateStreamAgainstIndex(docs: DataFrame,
                                spark: org.apache.spark.sql.SparkSession,
                                tableName: String, idCol: String, textCol: String,
@@ -278,14 +293,20 @@ object StreamOps {
             "left_anti")
           .localCheckpoint(true)
         onBatch(kept, pairs, id)
+        // all three folds are replay-idempotent per batchId (round-9):
+        // the paragraph/minhash appends skip behind the batch ledger
+        // (their probes absorb the marker crash window's duplicates),
+        // and the span census folds exactly via its per-batch source tag
         paraIndexTable.foreach(pt =>
           graft.catalog.Layout.paragraphKeyIndexAppend(spark, kept, textCol,
-            paraSep, paraBuckets, pt))
+            paraSep, paraBuckets, pt, batchTag = Some(s"b$id")))
         spanCensusTable.foreach(st =>
           graft.catalog.Layout.spanGramCensusAppend(spark, kept, textCol,
-            spanGramLen, spanBuckets, st))
+            spanGramLen, srcTag = s"b$id", buckets = spanBuckets,
+            tableName = st))
         graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
-          shingleN, numHashes, bands, buckets, tableName)
+          shingleN, numHashes, bands, buckets, tableName,
+          batchTag = Some(s"b$id"))
       } finally q0.unpersist()
     }
 }

@@ -314,6 +314,45 @@ class ScaleSpec extends SparkSpec {
       s"scale-invariant quotas must repeat the draw (±#langs): $drawn1 -> $drawn5")
   }
 
+  test("composed pipeline WITH the trainer tail: packed-sequence count ~flat across tiers") {
+    // round-9: the chain ending in token-budget mix + 512-token packing
+    // (PipelineHarness.run(trainerTail = true, tailBpeMerges = None —
+    // whitespace counts are replica-invariant, so the per-source token
+    // budgets repeat at every tier; BPE's own scale curve is the
+    // bpe_train_* gate). The packed-sequence count is ceil(drawn token
+    // mass / 512): the budget-boundary document differs per tier, so
+    // the signal is near-flat with a small absolute slack, not exact.
+    // Sub-document stages OFF: the span stage's adversarial regime on
+    // this corpus empties most accepted texts, the token budget then
+    // never engages (drawn = population, everything fits one sequence)
+    // and the flat signal would pass vacuously.
+    val src = "/root/testdata/sf0.1"
+    def run(k: Int): (Long, Long, Double) = {
+      val c = PipelineHarness.corpus(spark, src, k)
+      val table = s"pipe_pack_gate_${k}x"
+      PipelineHarness.ensureIndex(spark, c, table)
+      val t0 = System.nanoTime()
+      val out = PipelineHarness.run(spark, c, table, targetTotal = 40L,
+        trainerTail = true, tailBpeMerges = None)
+        .persist()
+      val frags = out.count()
+      val seqs = out.select(org.apache.spark.sql.functions.col("seq_id"))
+        .distinct().count()
+      out.unpersist()
+      spark.catalog.clearCache()
+      (frags, seqs, (System.nanoTime() - t0) / 1e9)
+    }
+    val (frags1, seqs1, t1) = run(1)
+    val (frags5, seqs5, t5) = run(5)
+    info(f"1x: fragments=$frags1 sequences=$seqs1 $t1%.2f s; 5x: fragments=$frags5 sequences=$seqs5 $t5%.2f s")
+    assert(seqs1 >= 3, s"the token budget must ENGAGE (multi-sequence layout), got $seqs1")
+    val slack = math.max(3L, seqs1 / 5)
+    assert(math.abs(seqs5 - seqs1) <= slack,
+      s"token budgets repeat across tiers, so sequences must stay ~flat (±$slack): $seqs1 -> $seqs5")
+    val bound = 12.0 * math.max(t1, 0.3)
+    assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
+  }
+
   test("incremental span removal: fully-admitted batch answer is exact at every census size") {
     import org.apache.spark.sql.functions.{col, length, sum}
     import graft.operators.Dedup

@@ -205,7 +205,7 @@ class LayoutSpec extends SparkSpec {
       // against the self-referential append
       Layout.spanGramCensusAppend(spark,
         viaTable.select(col("clean_text").as("text")), "text",
-        gramLen = 20, buckets = 4, "span_idx")
+        gramLen = 20, srcTag = "b1", buckets = 4, tableName = "span_idx")
       // a later copy of batch1's admitted unique text is now a repeat;
       // fresh text still is not
       val batch2 = Seq(20L -> uniqueB1,

@@ -175,6 +175,74 @@ class CurationSpec extends SparkSpec {
     assert(got.size == 200, "no document should vanish in this corpus")
   }
 
+  test("pipeline's trainer tail equals its hand-composed chain (BPE counts -> token mix -> pack)") {
+    import graft.PipelineHarness
+    import graft.functions.tokens
+    import graft.operators.{Bpe, Packing, Sampling}
+    val sf = "/root/testdata/sf0.001"
+    val corpus = PipelineHarness.corpus(spark, sf)
+    val table = "cur_pack_spec_idx"
+    PipelineHarness.ensureIndex(spark, corpus, table)
+    val out = PipelineHarness.run(spark, corpus, table, targetTotal = 30L,
+      materialize = true, trainerTail = true)
+    // the tail rewrites the output shape: sequence fragments, not docs
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "shard", "pos", "seq_id", "seq_off", "frag_start", "frag_len"))
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got.nonEmpty, "trainer tail must pack a nonempty draw")
+
+    // hand chain: the accepted set (same stages as the composed test),
+    // then BPE-piece counts -> token-budget mix -> packing
+    val cols = corpus.columns.map(col)
+    val q = PipelineHarness.c4OnlyFilter(corpus).select(cols: _*)
+    val cleaned = q.drop("text").join(
+        Curation.removeBoilerplateLines(q, "doc_id", "text", 50)
+          .filter(col("n_kept") >= 1)
+          .select(col("doc_id"), col("clean_text").as("text")), Seq("doc_id"))
+      .select(cols: _*)
+    val idxSurv = Dedup.curateBatchAgainstIndex(cleaned, spark, table,
+      "doc_id", "text", 2, 32, 8, 8, 0.3, appendSurvivors = false)
+    val intra = Dedup.minHashNearDups(idxSurv, "doc_id", "text", 2, 32, 8, 0.3)
+    val kept = idxSurv.join(intra.select(col("id_b").as("doc_id")).distinct(),
+      Seq("doc_id"), "left_anti")
+    val contaminated = kept.select(col("doc_id"),
+        explode(graft.functions.wordShingles(tokens(col("text")), 3)).as("s"))
+      .join(PipelineHarness.evalShingles(corpus), "s")
+      .select(col("doc_id")).distinct()
+    val accepted = kept.join(contaminated, Seq("doc_id"), "left_anti")
+      .localCheckpoint(true)
+    val words = Bpe.wordCounts(accepted, "text")
+    val merges = Bpe.collectMerges(
+      Bpe.train(words, "word", "weight", numMerges = 12, minPairCount = 1L))
+    assert(merges.size == 12, s"BPE training must complete: ${merges.size}")
+    val pieces = Bpe.encodeVocab(words.select(col("word")), "word", merges)
+      .select(col("word").as("__w"), size(col("pieces")).cast("long").as("__np"))
+    val perDoc = accepted
+      .select(col("doc_id"), explode(tokens(lower(col("text")))).as("__w"))
+      .join(pieces, Seq("__w"))
+      .groupBy(col("doc_id")).agg(sum(col("__np")).as("n_tokens"))
+    val withTok = accepted.join(perDoc, Seq("doc_id"), "left")
+      .withColumn("n_tokens", coalesce(col("n_tokens"), lit(0L)))
+    val mixed = Sampling.temperatureMixTokens(withTok, "doc_id", "lang",
+      "n_tokens", alpha = 0.5, targetTokens = 30L * 60L)
+    val manual = Packing.packSequences(mixed, "doc_id", "n_tokens",
+        seqLen = 512, seed = "ep0")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSet
+    assert(got == manual, "trainer tail must equal its hand-composed chain")
+
+    // the BPE counter actually fired: pieces-per-doc differ from the
+    // whitespace token counts (12 merges fuse the most frequent pairs,
+    // so piece counts exceed word counts for multi-char words)
+    val ws = accepted
+      .select(col("doc_id"), size(tokens(lower(col("text")))).cast("long").as("nw"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bp = perDoc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(bp.exists { case (id, n) => ws(id) != n },
+      "BPE piece counts should differ from whitespace counts")
+  }
+
   test("bigramLogProb matches a naive add-alpha bigram LM; short docs absent") {
     val d = docs(
       (1L, "the cat sat on the mat"),
