@@ -152,7 +152,19 @@ object Bpe {
     * degenerating to [[train]]'s exact sequence. Selection is greedy
     * over the (weight DESC, pair ASC) order, so output stays
     * deterministic and partition-invariant. Candidates come from a
-    * `limit(4·batchK)` TakeOrdered — still a k-bounded driver action. */
+    * `limit(4·batchK)` TakeOrdered — still a k-bounded driver action.
+    *
+    * Divergence bound (measured, SubDocSpec "created-pair overtaking"):
+    * on a fixture engineered so merge 1's created pair outranks the
+    * batch's second pick, exactly that one table row diverges, and the
+    * merge SETS re-converge one scan later — the approximation is an
+    * ordering window of width < batchK, not a lost merge. Guidance:
+    * overtaking needs a created pair's count to beat a same-scan
+    * candidate, i.e. adjacent ranks closer than the created pair's
+    * mass; pick batchK well under the corpus's typical same-weight run
+    * length (8 is conservative for Zipfian word frequencies), and use
+    * batchK = 1 where exact reference parity matters more than the
+    * ~batchK× scan saving. */
   def trainBatched(words: DataFrame, wordCol: String, weightCol: String,
                    numMerges: Int, batchK: Int = 8, minPairCount: Long = 2L,
                    checkpointEvery: Int = 8): DataFrame = {
@@ -177,8 +189,19 @@ object Bpe {
         .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
         .takeWhile(_._3 >= minPairCount) // sorted DESC: the rest is smaller
         .foreach { case (a, b, w) =>
-          if (selected.size < want && !used(a) && !used(b)) {
-            selected += ((a, b, w)); used += a; used += b
+          // non-interaction = no shared symbol AND no candidate whose
+          // component equals another pick's merged OUTPUT (a+b rides in
+          // `used`): a batch holding both (a, b) and (a+b, c) would let
+          // the chained fold also merge a+b occurrences the second
+          // pick's census never counted — order-dependence the
+          // "censuses invariant under each other" claim forbids. (A
+          // reachability argument says such a candidate pair cannot
+          // co-occur in one census — the adjacency that would feed
+          // (a+b, c) is always consumed by whichever earlier merge
+          // created the a+b symbol — but the guard makes the invariance
+          // LOCAL instead of resting on that argument.)
+          if (selected.size < want && !used(a) && !used(b) && !used(a + b)) {
+            selected += ((a, b, w)); used += a; used += b; used += a + b
           }
         }
       if (selected.isEmpty) done = true

@@ -344,6 +344,44 @@ class SubDocSpec extends SparkSpec {
     assert(got === Seq((1, "a", "b", 105L), (2, "b", "c", 90L)))
   }
 
+  test("trainBatched: created-pair overtaking — the documented divergence appears and is bounded") {
+    val sp = spark
+    import sp.implicits._
+    def table(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy(col("rank")).collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+    // engineered so the pair CREATED by merge 1 outranks the batch's
+    // second pick: (a,b) = 190 dominates; after it merges, (ab,c) = 90
+    // exists and sequential train ranks it above (x,y) = 80 — but a
+    // batchK = 2 scan cannot see (ab,c) (it does not exist in the
+    // pre-scan census) and takes (x,y) instead. This is the standard
+    // parallel-BPE approximation the scaladoc documents; the divergence
+    // is exactly one table row here, and batchK = 1 stays exact.
+    val words = Seq("ab" -> 100L, "abc" -> 90L, "xy" -> 80L)
+      .toDF("word", "weight")
+    val seq2 = table(Bpe.train(words, "word", "weight", numMerges = 2,
+      minPairCount = 1L))
+    val bat2 = table(Bpe.trainBatched(words, "word", "weight", numMerges = 2,
+      batchK = 2, minPairCount = 1L))
+    assert(seq2 === Seq((1, "a", "b", 190L), (2, "ab", "c", 90L)),
+      s"sequential must rank the created pair second: $seq2")
+    assert(bat2 === Seq((1, "a", "b", 190L), (2, "x", "y", 80L)),
+      s"the batch must miss the created pair: $bat2")
+    assert(seq2.head == bat2.head && seq2(1) != bat2(1),
+      "divergence is exactly the created-pair rank (1 of 2 rows)")
+    // batchK = 1 re-censuses between merges and stays exact
+    assert(table(Bpe.trainBatched(words, "word", "weight", numMerges = 2,
+      batchK = 1, minPairCount = 1L)) === seq2)
+    // at numMerges = 3 both tables CONVERGE again (the batched run's
+    // next scan sees (ab,c)): same merge SET, different ranks — the
+    // divergence is an ordering window of width < batchK, not a loss
+    val seq3 = table(Bpe.train(words, "word", "weight", numMerges = 3,
+      minPairCount = 1L)).map(t => (t._2, t._3)).toSet
+    val bat3 = table(Bpe.trainBatched(words, "word", "weight", numMerges = 3,
+      batchK = 2, minPairCount = 1L)).map(t => (t._2, t._3)).toSet
+    assert(seq3 === bat3, s"merge SETS must converge at +1 scan: $seq3 vs $bat3")
+  }
+
   test("train is invariant to input partitioning (argmax ties break by value, not order)") {
     val sp = spark
     import sp.implicits._
