@@ -828,6 +828,22 @@ object ScaleProbe {
       t(s"bigram_lm_$tag")(
         Curation.bigramLogProb(docs, "doc_id", "text", alpha = 0.1,
           maxBroadcastVocab = 2000000L).count())
+      // DSIR (round-9): target = a fixed replica-0-salted slice, raw =
+      // the K× corpus. Cost shape is two B-bounded feature censuses +
+      // one map-side scoring scan + TakeOrdered (no corpus shuffle), so
+      // wall should stay ~corpus-linear; the rows signal counts how
+      // many selected docs come from replica 0 — the target's
+      // vocabulary — which must stay ≈ targetCount at every tier (the
+      // other replicas' salted features only ever DILUTE p_raw).
+      t(s"dsir_$tag") {
+        import graft.operators.Sampling
+        val tgt = Tables(spark, src, "documents")
+          .filter(col("doc_id") % 50 === 0)
+        val tgtSalted = docReplica(tgt, 0)
+        Sampling.dsirSelect(docs, "doc_id", "text", tgtSalted, "text",
+            numBuckets = 8192, targetCount = 300)
+          .filter(col("doc_id") < IdStride).count()
+      }
     }
     val onlyLm = probeOnly.contains("lm")
     if (onlyLm) {

@@ -406,6 +406,119 @@ object Sampling {
     * permutation for the next epoch. Hex-string shard labels keep the
     * whole contract portable to any engine with md5+substr (same
     * reasoning as [[stableSample]]'s lexicographic buckets). */
+  /** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * select raw-corpus documents whose hashed n-gram feature
+    * distribution looks like a TARGET set (the domain the model should
+    * learn), by importance weight under two bag-of-features LMs.
+    *
+    *  1. features = word unigrams ++ space-joined bigrams of the
+    *     lowercased text (the paper's hashed n-gram features), hashed
+    *     into `numBuckets` buckets via the ENGINE-PORTABLE
+    *     md5-hex-prefix integer (conv(md5[0,8), 16) % B — DuckDB
+    *     reproduces it as CAST('0x' || substr(md5, 1, 8) AS BIGINT));
+    *  2. two bucket censuses (raw and target), Laplace-smoothed into
+    *     log-ratios r_b = ln p_target(b) − ln p_raw(b), QUANTIZED to
+    *     integer MICROS on the driver — integer sums are exact and
+    *     order-free, so per-document scores are bit-identical across
+    *     engines regardless of fold order (the DECIMAL-pre-sum policy,
+    *     in Long form);
+    *  3. per-document importance = Σ r_micro[bucket(f)] over the
+    *     document's feature OCCURRENCES — a map-side fold over a
+    *     once-bound feature array (the bigram lambda-binding lesson)
+    *     with the B-entry micro table riding the plan as a literal
+    *     (version-pinned metadata, the centroid-matrix discipline);
+    *  4. selection to `targetCount`:
+    *     - mode "topk": highest importance wins (ties → lower id) —
+    *       the paper's no-noise heuristic arm, fully oracle-exact;
+    *     - mode "gumbel": importance resampling proper — the
+    *       Gumbel-top-k trick makes weighted sampling WITHOUT
+    *       replacement a plain top-k on score + Gumbel noise, and the
+    *       noise is seeded md5 (u = (md5-12-hex + 0.5)/16¹², g =
+    *       −ln(−ln u), micro-quantized), so the draw is deterministic,
+    *       engine-portable and auditable — no per-partition RNG.
+    *
+    * 100 TB shape: two feature censuses (partial+final agg on B keys),
+    * ONE B-bounded driver collect, then a single map-side scoring scan
+    * feeding TakeOrderedAndProject — the corpus never shuffles. B is
+    * the paper's 10⁴-ish bucket count: require it driver-collectable.
+    *
+    * Output: the selected rows as (idCol, score_micro [, key_micro])
+    * with score_micro the importance in micros (key_micro = score +
+    * Gumbel noise for mode "gumbel" — the actual selection key).
+    * Reference analog: none — training-data north-star surface. */
+  def dsirSelect(raw: DataFrame, idCol: String, textCol: String,
+                 target: DataFrame, targetTextCol: String,
+                 numBuckets: Int, targetCount: Long,
+                 alpha: Double = 1.0,
+                 mode: String = "topk", seed: String = "dsir0"): DataFrame = {
+    require(mode == "topk" || mode == "gumbel",
+      s"mode must be 'topk' or 'gumbel', got '$mode'")
+    require(numBuckets >= 2 && numBuckets <= (1 << 20),
+      s"numBuckets $numBuckets outside [2, 2^20] (driver-collected table)")
+    require(targetCount >= 1, s"targetCount must be >= 1, got $targetCount")
+    import graft.functions.tokens
+    // all unigram + bigram OCCURRENCES (not wordShingles' distinct set —
+    // DSIR's bag-of-features LMs count occurrences); the token array is
+    // bound ONCE behind a projection and the bigrams are a zip_with over
+    // two slices of the bound column (the bigramLogProb discipline)
+    def withFeatures(df: DataFrame, textC: String, keep: Seq[Column]): DataFrame = {
+      // greatest(…, 0): sub-2-token docs slice an EMPTY bigram list
+      // instead of erroring on a negative slice length
+      val n1 = greatest(size(col("__toks")) - 1, lit(0))
+      df.select(keep :+ tokens(lower(col(textC))).as("__toks"): _*)
+        .select(keep :+ concat(col("__toks"),
+          zip_with(slice(col("__toks"), lit(1), n1),
+            slice(col("__toks"), lit(2), n1),
+            (a, b) => concat_ws(" ", a, b))).as("__fs"): _*)
+    }
+    def bucketOf(f: Column): Column =
+      conv(substring(md5(f), 1, 8), 16, 10).cast("long") % numBuckets
+    def census(df: DataFrame, textC: String): Array[Long] = {
+      val rows = withFeatures(df, textC, Nil)
+        .select(explode(col("__fs")).as("__f"))
+        .groupBy(bucketOf(col("__f")).as("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .collect()
+      val arr = new Array[Long](numBuckets)
+      rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
+      arr
+    }
+    val rawCounts = census(raw, textCol)
+    val tgtCounts = census(target, targetTextCol)
+    val rawTotal = rawCounts.sum.toDouble
+    val tgtTotal = tgtCounts.sum.toDouble
+    // log-ratio per bucket in integer micros; Laplace smoothing keeps
+    // unseen buckets finite on both sides
+    val rMicro: Seq[Long] = (0 until numBuckets).map { b =>
+      val lt = math.log((tgtCounts(b) + alpha) / (tgtTotal + alpha * numBuckets))
+      val lr = math.log((rawCounts(b) + alpha) / (rawTotal + alpha * numBuckets))
+      math.round((lt - lr) * 1e6)
+    }
+    val rArr = typedLit(rMicro)
+    // features bound ONCE per row; the fold adds Longs — exact, order-free
+    val scored = withFeatures(raw, textCol, Seq(col(idCol)))
+      .select(col(idCol),
+        aggregate(col("__fs"), lit(0L),
+          (acc, f) => acc + element_at(rArr, bucketOf(f).cast("int") + 1))
+          .as("score_micro"))
+    if (mode == "topk")
+      scored.orderBy(col("score_micro").desc, col(idCol))
+        .limit(targetCount.toInt)
+    else {
+      // Gumbel-top-k: u strictly inside (0,1) from 12 seeded md5 hex
+      // chars; g = -ln(-ln u) in micros rides the integer key
+      val u = (conv(substring(md5(concat(lit(seed), lit(":"),
+          col(idCol).cast("string"))), 1, 12), 16, 10).cast("double") + 0.5) /
+        lit(math.pow(16.0, 12))
+      scored
+        .withColumn("key_micro",
+          col("score_micro") + round(-log(-log(u)) * 1e6).cast("long"))
+        .orderBy(col("key_micro").desc, col(idCol))
+        .limit(targetCount.toInt)
+    }
+  }
+
   def shardShuffle(df: DataFrame, idCol: String, seed: String): DataFrame = {
     val h = md5(concat(lit(seed), lit(":"), col(idCol).cast("string")))
     import org.apache.spark.sql.expressions.Window

@@ -730,6 +730,39 @@ object Text extends QueryPack {
         .orderBy(col("seq_id"), col("seq_off"))
     }),
 
+    // -- DSIR importance selection (Xie et al. 2023), no-noise top-k arm:
+    //    hashed unigram+bigram features (portable md5-prefix buckets),
+    //    Laplace-smoothed target/raw log-ratios in integer MICROS (exact
+    //    order-free sums), highest-importance 200 of the raw corpus
+    //    against the doc_id % 50 == 0 target set. The oracle re-derives
+    //    the WHOLE chain: features, buckets, censuses, micro ratios
+    //    (floor(x+0.5) — the Math.round convention), per-doc sums with
+    //    zero-feature docs at 0, the (score DESC, id) selection.
+    //    [[graft.operators.Sampling.dsirSelect]].
+    "text_dsir_topk" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables(s, dir, "documents")
+      Sampling.dsirSelect(docs.filter(col("doc_id") % 50 =!= 0), "doc_id",
+          "text", docs.filter(col("doc_id") % 50 === 0), "text",
+          numBuckets = 4096, targetCount = 200)
+        .orderBy(col("doc_id"))
+    }),
+
+    // -- DSIR proper (importance RESAMPLING): the Gumbel-top-k draw —
+    //    score + seeded-md5 Gumbel noise (u = (12-hex + 0.5)/16^12,
+    //    g = -ln(-ln u) in micros) makes weighted sampling without
+    //    replacement a deterministic top-k, recomputed whole by the
+    //    oracle. [[graft.operators.Sampling.dsirSelect]] (mode=gumbel).
+    "text_dsir_gumbel" -> ((s, dir) => {
+      import graft.operators.Sampling
+      val docs = Tables(s, dir, "documents")
+      Sampling.dsirSelect(docs.filter(col("doc_id") % 50 =!= 0), "doc_id",
+          "text", docs.filter(col("doc_id") % 50 === 0), "text",
+          numBuckets = 4096, targetCount = 200, mode = "gumbel",
+          seed = "ep0")
+        .orderBy(col("doc_id"))
+    }),
+
     // -- quality-aware canonical selection: within each connected near-dup
     //    group (the exact ngram-jaccard pairs), keep the member with the
     //    highest alpha-ratio quality score (min id tiebreak) — the
@@ -1601,6 +1634,73 @@ object Text extends QueryPack {
         |  CAST(GREATEST(s, seq_id * 512) - s AS BIGINT) AS frag_start,
         |  CAST(LEAST(s + n, (seq_id + 1) * 512) - GREATEST(s, seq_id * 512) AS BIGINT) AS frag_len
         |FROM f ORDER BY seq_id, seq_off""".stripMargin,
+
+    // DSIR recomputed whole: unigram+bigram features, md5-prefix buckets,
+    // both censuses, Laplace micro log-ratios under the floor(x+0.5)
+    // Math.round convention, exact integer per-doc sums (zero-feature
+    // docs score 0), the (score DESC, id) top-200
+    "text_dsir_topk" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |fe AS (SELECT doc_id, UNNEST(toks ||
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS f
+        |  FROM tk),
+        |fb AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b FROM fe),
+        |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM fb WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM fb WHERE doc_id % 50 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) FROM rb) AS rt,
+        |               (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) FROM tb) AS tt),
+        |bs AS (SELECT CAST(UNNEST(range(4096)) AS BIGINT) AS b),
+        |r AS (SELECT bs.b, CAST(FLOOR(
+        |    (ln((COALESCE(tb.c, 0) + 1.0) / (tot.tt + 4096.0)) -
+        |     ln((COALESCE(rb.c, 0) + 1.0) / (tot.rt + 4096.0))) * 1e6 + 0.5) AS BIGINT) AS rm
+        |  FROM bs LEFT JOIN rb ON bs.b = rb.b LEFT JOIN tb ON bs.b = tb.b, tot),
+        |sc AS (SELECT fb.doc_id, CAST(SUM(r.rm) AS BIGINT) AS score_micro
+        |  FROM fb JOIN r ON fb.b = r.b WHERE fb.doc_id % 50 <> 0 GROUP BY 1),
+        |scall AS (SELECT d.doc_id, COALESCE(sc.score_micro, 0) AS score_micro
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |sel AS (SELECT * FROM scall ORDER BY score_micro DESC, doc_id LIMIT 200)
+        |SELECT doc_id, score_micro FROM sel ORDER BY doc_id""".stripMargin,
+
+    // the Gumbel-top-k draw recomputed whole: same score chain, noise
+    // key = score + floor-rounded micros of -ln(-ln u) with u from the
+    // seeded md5 12-hex prefix (Spark round() and DuckDB ROUND share
+    // half-away-from-zero here)
+    "text_dsir_gumbel" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks
+        |  FROM documents),
+        |fe AS (SELECT doc_id, UNNEST(toks ||
+        |    CASE WHEN len(toks) >= 2
+        |         THEN list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END) AS f
+        |  FROM tk),
+        |fb AS (SELECT doc_id, CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 4096 AS b FROM fe),
+        |rb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM fb WHERE doc_id % 50 <> 0 GROUP BY 1),
+        |tb AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS c FROM fb WHERE doc_id % 50 = 0 GROUP BY 1),
+        |tot AS (SELECT (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) FROM rb) AS rt,
+        |               (SELECT CAST(COALESCE(SUM(c), 0) AS DOUBLE) FROM tb) AS tt),
+        |bs AS (SELECT CAST(UNNEST(range(4096)) AS BIGINT) AS b),
+        |r AS (SELECT bs.b, CAST(FLOOR(
+        |    (ln((COALESCE(tb.c, 0) + 1.0) / (tot.tt + 4096.0)) -
+        |     ln((COALESCE(rb.c, 0) + 1.0) / (tot.rt + 4096.0))) * 1e6 + 0.5) AS BIGINT) AS rm
+        |  FROM bs LEFT JOIN rb ON bs.b = rb.b LEFT JOIN tb ON bs.b = tb.b, tot),
+        |sc AS (SELECT fb.doc_id, CAST(SUM(r.rm) AS BIGINT) AS score_micro
+        |  FROM fb JOIN r ON fb.b = r.b WHERE fb.doc_id % 50 <> 0 GROUP BY 1),
+        |scall AS (SELECT d.doc_id, COALESCE(sc.score_micro, 0) AS score_micro
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |  LEFT JOIN sc ON d.doc_id = sc.doc_id),
+        |keyed AS (SELECT doc_id, score_micro,
+        |    score_micro + CAST(ROUND(-ln(-ln(
+        |      (CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 0.5)
+        |        / 281474976710656.0)) * 1e6) AS BIGINT) AS key_micro
+        |  FROM scall),
+        |sel AS (SELECT * FROM keyed ORDER BY key_micro DESC, doc_id LIMIT 200)
+        |SELECT doc_id, score_micro, key_micro FROM sel ORDER BY doc_id""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp

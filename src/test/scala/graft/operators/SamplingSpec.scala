@@ -320,6 +320,82 @@ class SamplingSpec extends SparkSpec {
     assert(gotJoin === got)
   }
 
+  test("dsirSelect matches a naive reimplementation; target-like docs outrank; gumbel is the score+noise top-k") {
+    val sp = spark
+    import sp.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val B = 64
+    // raw corpus: half "sports"-flavored (target-like), half "finance";
+    // target set is pure sports vocabulary
+    def sports(i: Long) = s"game score team win match goal play $i"
+    def finance(i: Long) = s"stock bond yield market price rate fund $i"
+    val raw = ((0L until 20L).map(i => i -> sports(i)) ++
+      (100L until 120L).map(i => i -> finance(i))).toDF("doc_id", "text")
+    val target = (0L until 10L).map(i => i -> s"team game win goal ${i + 500}")
+      .toDF("doc_id", "text")
+
+    // naive single-node recomputation
+    def feats(t: String): Seq[String] = {
+      val u = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      u ++ u.zip(u.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def bucket(f: String): Int =
+      (java.lang.Long.parseLong(md5hex(f).take(8), 16) % B).toInt
+    val rawRows = raw.collect().map(r => r.getLong(0) -> r.getString(1))
+    val tgtRows = target.collect().map(_.getString(1))
+    val rc = new Array[Long](B); val tc = new Array[Long](B)
+    rawRows.foreach(d => feats(d._2).foreach(f => rc(bucket(f)) += 1))
+    tgtRows.foreach(t => feats(t).foreach(f => tc(bucket(f)) += 1))
+    val (rt, tt) = (rc.sum.toDouble, tc.sum.toDouble)
+    val rm = (0 until B).map(b => math.round((math.log((tc(b) + 1.0) / (tt + B)) -
+      math.log((rc(b) + 1.0) / (rt + B))) * 1e6))
+    val naiveScores = rawRows.map { case (id, t) =>
+      id -> feats(t).map(f => rm(bucket(f))).sum }.toMap
+    val naiveTop = naiveScores.toSeq.sortBy { case (id, s) => (-s, id) }
+      .take(15).toMap
+
+    val got = Sampling.dsirSelect(raw, "doc_id", "text", target, "text",
+        numBuckets = B, targetCount = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == naiveTop, s"got $got\nexpect $naiveTop")
+    // semantics: the draw is dominated by the target-like half
+    assert(got.keySet.count(_ < 100L) >= 12,
+      s"sports docs must dominate the selection: ${got.keySet}")
+    // partition invariance
+    val repart = Sampling.dsirSelect(raw.repartition(7), "doc_id", "text",
+        target.repartition(3), "text", numBuckets = B, targetCount = 15)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(repart == got)
+
+    // gumbel: key = score + seeded noise, selection = top-k on the key,
+    // deterministic, and every key's noise component matches the naive
+    // seeded-md5 Gumbel in micros
+    val g1 = Sampling.dsirSelect(raw, "doc_id", "text", target, "text",
+        numBuckets = B, targetCount = 15, mode = "gumbel", seed = "s1")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def gumbelMicro(seed: String, id: Long): Long = {
+      val u = (java.lang.Long.parseLong(
+        md5hex(s"$seed:$id").take(12), 16) + 0.5) / math.pow(16.0, 12)
+      BigDecimal(-math.log(-math.log(u)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    g1.foreach { case (id, s, k) =>
+      assert(s == naiveScores(id), s"doc $id score $s != naive ${naiveScores(id)}")
+      assert(k == s + gumbelMicro("s1", id), s"doc $id noise key mismatch")
+    }
+    val naiveG1 = naiveScores.toSeq
+      .map { case (id, s) => (id, s + gumbelMicro("s1", id)) }
+      .sortBy { case (id, k) => (-k, id) }.take(15).map(_._1).toSet
+    assert(g1.map(_._1).toSet == naiveG1)
+    // a different seed draws a different set (same scores)
+    val g2 = Sampling.dsirSelect(raw, "doc_id", "text", target, "text",
+        numBuckets = B, targetCount = 15, mode = "gumbel", seed = "s2")
+      .collect().map(_.getLong(0)).toSet
+    assert(g2 != g1.map(_._1).toSet, "different seeds should draw different sets")
+  }
+
   test("shardShuffle is a stable permutation: 256 shards, dense positions, seed-dependent") {
     val sp = spark
     import sp.implicits._
