@@ -250,6 +250,7 @@ object ScaleProbe {
     val probeOnly = sys.env.get("SPARK_GRAFT_PROBE_ONLY")
     val onlyIncr = probeOnly.contains("incr")
     val onlyBloom = probeOnly.contains("bloom")
+    val onlyWinnow = probeOnly.contains("winnow")
     val src = "/root/testdata/sf0.1"
     val spark = GraftSession.local("scale-probe")
 
@@ -260,6 +261,12 @@ object ScaleProbe {
       val n = body
       println(f"SCALE $name rows=$n ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
+      // eager localCheckpoint blocks (MEMORY_AND_DISK) release only after
+      // their frames are COLLECTED BY GC — across ~200 tiers in one JVM
+      // the dead blocks otherwise accumulate until the 100x sorts hit
+      // no-space-left-on-device (the Bench r5 lesson, bitten again at
+      // the r9 100x winnow sort)
+      System.gc()
     }
 
     // 1× corpus through the same transform + parquet round trip
@@ -856,6 +863,11 @@ object ScaleProbe {
           headlineOnly = k >= 20,
           trainFraction = math.min(1.0, 20000.0 / nVec))
       }
+      spark.stop(); return
+    }
+    if (onlyWinnow) {
+      winnowProbe("1x", 1)
+      ks.foreach(k => winnowProbe(s"${k}x", k))
       spark.stop(); return
     }
     val onlyLayout = probeOnly.contains("layout")
