@@ -581,6 +581,75 @@ object Similarity {
       base, materialize)
   }
 
+  /** [[semDedup]] with PER-CELL LOCAL verification — the shuffle-feasible
+    * form of the symmetric pass at 100 TB geometry. The candidate-join
+    * formulation ships TWO embeddings per candidate pair: with k ∝ corpus
+    * the pair count grows linearly but the payload constant is brutal
+    * (~1 KB/pair ⇒ ~230 GB of shuffle at the 234M-pair 100× probe
+    * geometry — measured to exceed a 74 GB-free box in SCALE.md r9).
+    * Here each vector ships ONCE per probed cell (O(N·probes) rows,
+    * ~0.5 KB each ≈ 0.3 GB at the same geometry), cells gather with
+    * collect_list, and the pairwise decimal-gated cosine runs INSIDE
+    * each cell group as nested array HOFs (exists/filter over the
+    * gathered structs with the codegen'd fold dot product) — pure
+    * Catalyst expressions, no UDF, no driver loop.
+    *
+    * Semantics are EXACTLY [[semDedup]]'s relational keep-first
+    * (spec-asserted equal on clustered and isotropic fixtures): removed
+    * iff a preceding same-cell neighbor reaches `tau` under the same
+    * DECIMAL(9,4) gate. Trade-offs vs the join form: a cell's group must
+    * fit an executor (~cell_size × dim×8 B — size k to the corpus, the
+    * standing contract), and a hot cell is ONE task computing its n²
+    * (AQE cannot split a group; the join form can skew-split but pays
+    * the pair payload). Zero-norm vectors join no group and are kept. */
+  def semDedupLocal(df: DataFrame, idCol: String, embCol: String,
+                    k: Int, probes: Int, lloydIters: Int, seed: Long,
+                    tau: Double, keepBy: String = "id",
+                    trainFraction: Double = 1.0,
+                    materialize: Boolean = true): DataFrame = {
+    require(keepBy == "id" || keepBy == "centroid",
+      s"keepBy must be 'id' or 'centroid', got '$keepBy'")
+    val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed,
+      trainFraction)
+    val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
+        l2NormSq(col(embCol)).as("nsq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cos = cents.map(c => dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq")))
+    val centSim = when(col("nsq") > 0,
+      round(if (cos.size == 1) cos.head else greatest(cos: _*), 6))
+    val assigned = base.select(col("id"), col("emb"), col("nsq"),
+      element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
+      centSim.as("cent_sim"),
+      ivfAssign(col("emb"), cents, probes).as("cells"))
+    // one row per (vector, probed cell): the WHOLE shuffled payload
+    val members = assigned.filter(col("nsq") > 0)
+      .select(explode(col("cells")).as("cellx"),
+        struct(col("id"), col("cent_sim").as("cs"),
+          col("emb").cast("array<double>").as("emb"), col("nsq")).as("m"))
+    def precedes(a: Column, b: Column): Column =
+      if (keepBy == "id") a.getField("id") < b.getField("id")
+      else a.getField("cs") < b.getField("cs") ||
+        (a.getField("cs") === b.getField("cs") &&
+          a.getField("id") < b.getField("id"))
+    def decCos(a: Column, b: Column): Column =
+      (dotProduct(a.getField("emb"), b.getField("emb")) /
+        (sqrt(a.getField("nsq")) * sqrt(b.getField("nsq"))))
+        .cast(DecimalType(9, 4))
+    val removed = members
+      .groupBy(col("cellx"))
+      .agg(collect_list(col("m")).as("grp"))
+      .select(explode(filter(col("grp"), x =>
+        exists(col("grp"), y => precedes(y, x) && decCos(y, x) >= tau)))
+        .as("r"))
+      .select(col("r.id").as("id")).distinct()
+      .withColumn("__rm", lit(true))
+    materializeAndRelease(
+      assigned.join(removed, Seq("id"), "left")
+        .select(col("id"), col("cell"), col("cent_sim"),
+          coalesce(!col("__rm"), lit(true)).as("kept")),
+      base, materialize)
+  }
+
   /** Incremental SemDeDup: a NEW batch of vectors deduped against the
     * cell-partitioned corpus layout written by
     * graft.catalog.Layout.ivfPartition — the daily-batch form every other

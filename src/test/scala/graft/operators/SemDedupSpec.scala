@@ -152,6 +152,31 @@ class SemDedupSpec extends SparkSpec {
       s"vertex recall ${removed.size}/${truth.size}")
   }
 
+  test("semDedupLocal equals semDedup on clustered and isotropic data, both keep orders") {
+    // the per-cell local-verification form must be answer-identical to
+    // the candidate-join form — same cells, same relational keep-first,
+    // same decimal gate — on cluster-aligned cells AND on isotropic
+    // noise (sf0.001 embeddings at the weak-pruning tau), with boundary
+    // replication (probes > 1) exercised on both
+    def run(df: DataFrame, k: Int, probes: Int, tau: Double, keepBy: String) = {
+      def snap(out: org.apache.spark.sql.DataFrame) =
+        out.collect().map(r => (r.getLong(0), r.getInt(1),
+          Option(r.get(2)).map(_.toString), r.getBoolean(3))).toSet
+      val a = snap(Similarity.semDedup(df, "vec_id", "embedding", k, probes,
+        lloydIters = 2, seed = 42, tau = tau, keepBy = keepBy))
+      val b = snap(Similarity.semDedupLocal(df, "vec_id", "embedding", k, probes,
+        lloydIters = 2, seed = 42, tau = tau, keepBy = keepBy))
+      assert(a == b, s"local != join form (k=$k probes=$probes keepBy=$keepBy): " +
+        s"only-join=${(a -- b).take(5)} only-local=${(b -- a).take(5)}")
+      assert(a.exists(!_._4), "fixture must remove something")
+    }
+    run(clustered, k = 3, probes = 1, tau = 0.8, keepBy = "id")
+    run(clustered, k = 3, probes = 2, tau = 0.8, keepBy = "centroid")
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    run(emb, k = 8, probes = 3, tau = 0.3, keepBy = "id")
+  }
+
   test("semDedup is deterministic and partition-invariant; zero vectors are kept") {
     val sp = spark
     import sp.implicits._
