@@ -52,6 +52,12 @@ object Bench {
       Similarity.semDedup(Tables(s, dir, "embeddings"),
         "vec_id", "embedding",
         k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)),
+    // the per-cell local-verification path of dedup_semdedup_local
+    // without its brute census arm
+    "op_semdedup_local" -> ((s, dir) =>
+      Similarity.semDedupLocal(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)),
     // the incremental probe path of dedup_semdedup_incr without its exact
     // cross-census arm: corpus cells as a frame (the steady-state cost is
     // the probe join; the gate query exercises the partition-pruned table
@@ -177,9 +183,12 @@ object Bench {
     "dedup_semdedup",         // global keep-min-id removal-set arm (the
                               // O(n²) brute pair census); the operator
                               // path alone is op_semdedup
-    "dedup_semdedup_incr")    // exact batch×(corpus ∪ preceding-batch)
+    "dedup_semdedup_incr",    // exact batch×(corpus ∪ preceding-batch)
                               // cross census arm (r9); operator path
                               // alone is op_semdedup_incr
+    "dedup_semdedup_local")   // same global brute census arm as
+                              // dedup_semdedup (r9); operator path
+                              // alone is op_semdedup_local
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -239,6 +239,28 @@ object Embeddings extends QueryPack {
           (col("n_removed") > 0).as("nonempty"))
     }),
 
+    // -- the per-cell LOCAL verification form (round-9): identical
+    //    contract to dedup_semdedup — clustered removals ⊆ the global
+    //    keep-min-id rule, >= 0.9 vertex recall — computed by the
+    //    shuffle-feasible in-group pairwise pass instead of the
+    //    candidate join. [[graft.operators.Similarity.semDedupLocal]].
+    "dedup_semdedup_local" -> ((s, dir) => {
+      val globalRemoved = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_b")).distinct().localCheckpoint()
+      val removed = Similarity.semDedupLocal(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)
+        .filter(!col("kept"))
+        .select(col("id").as("id_b")).localCheckpoint()
+      globalRemoved.agg(count(lit(1)).as("n_true"))
+        .crossJoin(removed.except(globalRemoved).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(col("n_true"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_removed") >= col("n_true") * 0.9).as("recall_ok"),
+          (col("n_removed") > 0).as("nonempty"))
+    }),
+
     // -- incremental SemDeDup (round-9: the daily-batch form every other
     //    dedup family has): the vec_id % 10 == 0 batch deduped against
     //    the cell-partitioned layout of the % 10 != 0 corpus
@@ -577,6 +599,19 @@ object Embeddings extends QueryPack {
       """SELECT count(*) AS n_corpus, TRUE AS n_results_ok,
         |  TRUE AS overlap_ok, TRUE AS sims_exact_ok
         |FROM embeddings""".stripMargin,
+
+    // same global-rule anchor as dedup_semdedup — the local form shares
+    // the exact contract, only the physical verification differs
+    "dedup_semdedup_local" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT count(DISTINCT b.vec_id) AS n_true, TRUE AS subset_ok,
+        |  TRUE AS recall_ok, TRUE AS nonempty
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
 
     // the incremental global rule recomputed exactly: a batch
     // (vec_id % 10 = 0) vector is removed iff SOME corpus vector or some
