@@ -11,6 +11,14 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The driver parses the bench/verify process's LAST stdout line as JSON.
+// Two sbt behaviors break that: the "[success] Total time" banner printed
+// after the run, and the "[info] " prefix the logger adds to forked-process
+// stdout. Disable both so graft.Bench's compact summary println is the
+// genuine final, prefix-free stdout line (BENCH_r07..r09 "parsed": null).
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -58,6 +58,14 @@ object Bench {
       Similarity.semDedupLocal(Tables(s, dir, "embeddings"),
         "vec_id", "embedding",
         k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3)),
+    // the chunk-pair gather path of dedup_semdedup_chunked without its
+    // brute census arm: the hot-cell mitigation's steady-state overhead
+    // vs op_semdedup_local is the 2·chunks member-copy factor
+    "op_semdedup_chunked" -> ((s, dir) =>
+      Similarity.semDedupLocal(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding",
+        k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3,
+        chunks = 3)),
     // the incremental probe path of dedup_semdedup_incr without its exact
     // cross-census arm: corpus cells as a frame (the steady-state cost is
     // the probe join; the gate query exercises the partition-pruned table
@@ -186,9 +194,12 @@ object Bench {
     "dedup_semdedup_incr",    // exact batch×(corpus ∪ preceding-batch)
                               // cross census arm (r9); operator path
                               // alone is op_semdedup_incr
-    "dedup_semdedup_local")   // same global brute census arm as
+    "dedup_semdedup_local",   // same global brute census arm as
                               // dedup_semdedup (r9); operator path
                               // alone is op_semdedup_local
+    "dedup_semdedup_chunked") // same arm again for the chunk-pair
+                              // gather (r10); operator path alone is
+                              // op_semdedup_chunked
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

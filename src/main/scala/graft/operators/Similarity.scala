@@ -599,16 +599,42 @@ object Similarity {
     * iff a preceding same-cell neighbor reaches `tau` under the same
     * DECIMAL(9,4) gate. Trade-offs vs the join form: a cell's group must
     * fit an executor (~cell_size × dim×8 B — size k to the corpus, the
-    * standing contract), and a hot cell is ONE task computing its n²
-    * (AQE cannot split a group; the join form can skew-split but pays
-    * the pair payload). Zero-norm vectors join no group and are kept. */
+    * standing contract), and with `chunks` = 1 a hot cell is ONE task
+    * computing its n² (AQE cannot split a group; the join form can
+    * skew-split but pays the pair payload). Zero-norm vectors join no
+    * group and are kept.
+    *
+    * `chunks` ≥ 2 is the HOT-CELL mitigation (round-10): cell members are
+    * hash-split into `chunks` buckets by id and the gather runs per CHUNK
+    * PAIR instead of per cell — group key (cell, witnessChunk,
+    * targetChunk), each member shipping once as a removal target into its
+    * own chunk's `chunks` pair-groups and once as a witness into the
+    * other side's. A mega-cell of n rows becomes chunks² independent
+    * tasks of ≤ (n/chunks)² comparisons over ≤ 2n/chunks gathered rows —
+    * task COUNT absorbs the skew, peak per-task memory and wall drop by
+    * chunks (ScaleProbe semdedup_hotcell tier). Same keep-first rule: x
+    * is removed iff ANY chunk-pair group holds a preceding witness at
+    * `tau`, and every (witness, target) chunk combination meets in
+    * exactly one group, so the union over groups is exactly the per-cell
+    * predicate (spec-asserted equal to chunks = 1 on both fixtures, both
+    * keep orders). Payload cost: 2·chunks copies per (vector, probed
+    * cell) vs 1 — still O(N) against the join form's O(pairs).
+    *
+    * `maxCellRows` > 0 arms an upfront guard (one cheap count over the
+    * already-built member rows): if any probed cell exceeds it, fail fast
+    * with the offending cell, its size, and the remedies — rather than an
+    * opaque executor OOM mid-gather (the documented contract made
+    * checkable). */
   def semDedupLocal(df: DataFrame, idCol: String, embCol: String,
                     k: Int, probes: Int, lloydIters: Int, seed: Long,
                     tau: Double, keepBy: String = "id",
                     trainFraction: Double = 1.0,
-                    materialize: Boolean = true): DataFrame = {
+                    materialize: Boolean = true,
+                    chunks: Int = 1,
+                    maxCellRows: Long = 0L): DataFrame = {
     require(keepBy == "id" || keepBy == "centroid",
       s"keepBy must be 'id' or 'centroid', got '$keepBy'")
+    require(chunks >= 1, s"chunks must be >= 1, got $chunks")
     val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters, seed,
       trainFraction)
     val base = df.select(col(idCol).as("id"), col(embCol).as("emb"),
@@ -635,12 +661,52 @@ object Similarity {
       (dotProduct(a.getField("emb"), b.getField("emb")) /
         (sqrt(a.getField("nsq")) * sqrt(b.getField("nsq"))))
         .cast(DecimalType(9, 4))
-    val removed = members
-      .groupBy(col("cellx"))
-      .agg(collect_list(col("m")).as("grp"))
-      .select(explode(filter(col("grp"), x =>
-        exists(col("grp"), y => precedes(y, x) && decCos(y, x) >= tau)))
-        .as("r"))
+    if (maxCellRows > 0) {
+      // one cheap count over (cell, id) rows — no embeddings shuffled
+      val hot = members.groupBy(col("cellx")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxCellRows)
+        .orderBy(col("n").desc).limit(1).collect()
+      if (hot.nonEmpty) {
+        base.unpersist()
+        throw new IllegalStateException(
+          s"semDedupLocal: cell ${hot.head.getInt(0)} holds " +
+          s"${hot.head.getLong(1)} members (> maxCellRows=$maxCellRows). " +
+          "A gathered cell group must fit one executor. Remedies: raise " +
+          "`chunks` (chunk-pair gather bounds each task to " +
+          "(cell/chunks)^2 work), raise `k` so cells shrink, or use the " +
+          "candidate-join form semDedup (AQE skew-splits, higher payload).")
+      }
+    }
+    val removedRows =
+      if (chunks == 1)
+        members.groupBy(col("cellx"))
+          .agg(collect_list(col("m")).as("grp"))
+          .select(explode(filter(col("grp"), x =>
+            exists(col("grp"), y => precedes(y, x) && decCos(y, x) >= tau)))
+            .as("r"))
+      else {
+        // chunk-pair gather: member m with hash chunk h enters group
+        // (cell, cw, h) as a TARGET for every witness chunk cw, and group
+        // (cell, h, ct) as a WITNESS for every target chunk ct. Each
+        // (witness, target) combination meets in exactly one group;
+        // precedes() is strict, so the self-pair in (h, h) never fires.
+        val tagged = members.withColumn("ch",
+          pmod(xxhash64(col("m.id")), lit(chunks)).cast("int"))
+        val all = explode(sequence(lit(0), lit(chunks - 1)))
+        val targets = tagged.select(col("cellx"), all.as("cw"),
+          col("ch").as("ct"), col("m"), lit(true).as("is_t"))
+        val witnesses = tagged.select(col("cellx"), col("ch").as("cw"),
+          all.as("ct"), col("m"), lit(false).as("is_t"))
+        targets.unionByName(witnesses)
+          .groupBy(col("cellx"), col("cw"), col("ct"))
+          // collect_list drops the nulls the `when` leaves on the other role
+          .agg(collect_list(when(col("is_t"), col("m"))).as("ts"),
+            collect_list(when(!col("is_t"), col("m"))).as("ws"))
+          .select(explode(filter(col("ts"), x =>
+            exists(col("ws"), y => precedes(y, x) && decCos(y, x) >= tau)))
+            .as("r"))
+      }
+    val removed = removedRows
       .select(col("r.id").as("id")).distinct()
       .withColumn("__rm", lit(true))
     materializeAndRelease(

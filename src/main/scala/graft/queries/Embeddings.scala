@@ -261,6 +261,32 @@ object Embeddings extends QueryPack {
           (col("n_removed") > 0).as("nonempty"))
     }),
 
+    // -- the chunk-pair gather form (round-10 hot-cell mitigation):
+    //    identical contract to dedup_semdedup_local, computed with cell
+    //    members hash-split into 3 chunks and gathered per chunk PAIR —
+    //    a mega-cell becomes chunks² bounded tasks instead of one n²
+    //    task. Spec-asserted answer-identical to the whole-cell gather
+    //    (SemDedupSpec); this row pins the subset/recall contract
+    //    against DuckDB's exact global rule.
+    //    [[graft.operators.Similarity.semDedupLocal]] (chunks = 3).
+    "dedup_semdedup_chunked" -> ((s, dir) => {
+      val globalRemoved = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_b")).distinct().localCheckpoint()
+      val removed = Similarity.semDedupLocal(Tables(s, dir, "embeddings"),
+          "vec_id", "embedding",
+          k = 8, probes = 3, lloydIters = 3, seed = 42, tau = 0.3,
+          chunks = 3)
+        .filter(!col("kept"))
+        .select(col("id").as("id_b")).localCheckpoint()
+      globalRemoved.agg(count(lit(1)).as("n_true"))
+        .crossJoin(removed.except(globalRemoved).agg(count(lit(1)).as("n_extra")))
+        .crossJoin(removed.agg(count(lit(1)).as("n_removed")))
+        .select(col("n_true"),
+          (col("n_extra") === 0).as("subset_ok"),
+          (col("n_removed") >= col("n_true") * 0.9).as("recall_ok"),
+          (col("n_removed") > 0).as("nonempty"))
+    }),
+
     // -- incremental SemDeDup (round-9: the daily-batch form every other
     //    dedup family has): the vec_id % 10 == 0 batch deduped against
     //    the cell-partitioned layout of the % 10 != 0 corpus
@@ -603,6 +629,19 @@ object Embeddings extends QueryPack {
     // same global-rule anchor as dedup_semdedup — the local form shares
     // the exact contract, only the physical verification differs
     "dedup_semdedup_local" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings)
+        |SELECT count(DISTINCT b.vec_id) AS n_true, TRUE AS subset_ok,
+        |  TRUE AS recall_ok, TRUE AS nonempty
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |       / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3""".stripMargin,
+
+    // same anchor again for the chunk-pair gather arm: the physical
+    // split changes nothing about the relational rule
+    "dedup_semdedup_chunked" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq

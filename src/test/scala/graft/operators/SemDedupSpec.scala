@@ -177,6 +177,53 @@ class SemDedupSpec extends SparkSpec {
     run(emb, k = 8, probes = 3, tau = 0.3, keepBy = "id")
   }
 
+  test("semDedupLocal chunked (chunks >= 2) equals the unchunked per-cell gather") {
+    // the chunk-pair gather must be answer-identical to the whole-cell
+    // gather (and hence to semDedup): every (witness, target) chunk
+    // combination meets in exactly one group, so the union of group
+    // predicates is the per-cell predicate — on cluster-aligned cells,
+    // isotropic noise, both keep orders, chunks both < and > cell size
+    def run(df: DataFrame, k: Int, probes: Int, tau: Double,
+            keepBy: String, chunks: Int) = {
+      def snap(out: DataFrame) =
+        out.collect().map(r => (r.getLong(0), r.getInt(1),
+          Option(r.get(2)).map(_.toString), r.getBoolean(3))).toSet
+      val whole = snap(Similarity.semDedupLocal(df, "vec_id", "embedding",
+        k, probes, lloydIters = 2, seed = 42, tau = tau, keepBy = keepBy))
+      val chunked = snap(Similarity.semDedupLocal(df, "vec_id", "embedding",
+        k, probes, lloydIters = 2, seed = 42, tau = tau, keepBy = keepBy,
+        chunks = chunks))
+      assert(whole == chunked,
+        s"chunked != whole (k=$k probes=$probes keepBy=$keepBy chunks=$chunks): " +
+          s"only-whole=${(whole -- chunked).take(5)} " +
+          s"only-chunked=${(chunked -- whole).take(5)}")
+      assert(whole.exists(!_._4), "fixture must remove something")
+    }
+    run(clustered, k = 3, probes = 1, tau = 0.8, keepBy = "id", chunks = 3)
+    run(clustered, k = 3, probes = 2, tau = 0.8, keepBy = "centroid", chunks = 4)
+    // chunks larger than any cell: most pair-groups hold one side only
+    run(clustered, k = 3, probes = 1, tau = 0.8, keepBy = "id", chunks = 64)
+    val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    run(emb, k = 8, probes = 3, tau = 0.3, keepBy = "id", chunks = 3)
+  }
+
+  test("semDedupLocal maxCellRows guard fails actionably on a hot cell") {
+    // every clustered fixture cell holds 20 members (probes = 1), so a
+    // cap of 10 must trip and name the remedy; a cap of 64 must pass
+    val e = intercept[IllegalStateException] {
+      Similarity.semDedupLocal(clustered, "vec_id", "embedding",
+        k = 3, probes = 1, lloydIters = 3, seed = 42, tau = 0.8,
+        maxCellRows = 10)
+    }
+    assert(e.getMessage.contains("maxCellRows=10"))
+    assert(e.getMessage.contains("chunks"), "message must name the remedy")
+    val ok = Similarity.semDedupLocal(clustered, "vec_id", "embedding",
+      k = 3, probes = 1, lloydIters = 3, seed = 42, tau = 0.8,
+      maxCellRows = 64)
+    assert(ok.count() == 60)
+  }
+
   test("semDedup is deterministic and partition-invariant; zero vectors are kept") {
     val sp = spark
     import sp.implicits._
