@@ -185,6 +185,67 @@ object Layout {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Per-batch durable OUTPUT snapshots for the streaming loops
+    * (round-10, ADVICE r9 medium): a foreachBatch body that probes
+    * standing tables and then folds the batch INTO them is not
+    * replay-safe on its own — a crash after the folds but before the
+    * micro-batch commit replays the batch against tables that already
+    * contain its own contribution, so the probes strip the batch's own
+    * content and the replay delivers EMPTY output downstream (documents
+    * in the indexes but never delivered). The loop therefore snapshots
+    * its decided output (kept/pairs) keyed by (tableName, batchTag)
+    * BEFORE any fold; on replay the committed snapshot is delivered
+    * verbatim and the (ledger-guarded / fold-exact) appends re-run from
+    * it. The `_committed` marker is written after every frame commits,
+    * so a partial snapshot is recomputed, never served.
+    *
+    * Snapshots are per table INCARNATION like the ledger — rebuild and
+    * drop paths clear them ([[minhashBandIndex]], [[dropMinhashIndex]]):
+    * a fresh index with a fresh stream checkpoint restarts batch ids at
+    * 0, and a stale snapshot would serve the previous incarnation's
+    * output. One directory per batch; callers may prune old tags (they
+    * are only read when that exact batch replays). */
+  private def batchOutDir(spark: SparkSession, tableName: String,
+                          tag: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${tableName}_batchout/$tag")
+
+  /** True iff batch `tag`'s output snapshot committed in full. */
+  def batchOutputCommitted(spark: SparkSession, tableName: String,
+                           tag: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      batchOutDir(spark, tableName, tag), "_committed")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Write the batch's decided output frames, then the commit marker.
+    * Overwrite semantics per frame: a replay of a half-written snapshot
+    * recomputes and overwrites cleanly. */
+  def batchOutputWrite(spark: SparkSession, tableName: String, tag: String,
+                       frames: Seq[(String, DataFrame)]): Unit = {
+    val dir = batchOutDir(spark, tableName, tag)
+    frames.foreach { case (name, df) =>
+      df.write.mode("overwrite")
+        .parquet(new org.apache.hadoop.fs.Path(dir, name).toString)
+    }
+    val marker = new org.apache.hadoop.fs.Path(dir, "_committed")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(marker)
+  }
+
+  /** Read one frame of a committed batch-output snapshot. */
+  def batchOutputRead(spark: SparkSession, tableName: String, tag: String,
+                      name: String): DataFrame =
+    spark.read.parquet(
+      new org.apache.hadoop.fs.Path(batchOutDir(spark, tableName, tag), name).toString)
+
+  /** Delete every batch-output snapshot of a table incarnation. */
+  def clearBatchOutputs(spark: SparkSession, tableName: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${tableName}_batchout")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
   /** Drop a managed table AND its warehouse directory. The catalog is
     * session-scoped but the warehouse directory is not — a previous
     * session's files under the managed-table LOCATION survive and make a
@@ -204,9 +265,18 @@ object Layout {
   }
 
   /** [[dropTable]] for both tables of a [[minhashBandIndex]] (previously
-    * copy-pasted in three probe/harness sites). */
-  def dropMinhashIndex(spark: SparkSession, tableName: String): Unit =
+    * copy-pasted in three probe/harness sites). Also clears the minhash
+    * replay ledger — it is keyed on the BASE name (one tag guards both
+    * tables), which dropTable's per-table cleanup misses (ADVICE r9: a
+    * rebuild through here without minhashBandIndex inherited stale
+    * markers and silently skipped the new incarnation's first tagged
+    * appends) — and the per-batch output snapshots, stale for the same
+    * incarnation reason. */
+  def dropMinhashIndex(spark: SparkSession, tableName: String): Unit = {
     Seq("_sigs", "_bands").foreach(sfx => dropTable(spark, s"$tableName$sfx"))
+    clearLedger(spark, tableName)
+    clearBatchOutputs(spark, tableName)
+  }
 
   def minhashBandIndex(spark: SparkSession, docs: DataFrame,
                        idCol: String, textCol: String,
@@ -215,6 +285,7 @@ object Layout {
     import graft.operators.Dedup
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     clearLedger(spark, tableName) // fresh incarnation, fresh replay ledger
+    clearBatchOutputs(spark, tableName) // and fresh per-batch output snapshots
     Dedup.minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
       .repartition(buckets, col("id"))
       .write.mode("overwrite")

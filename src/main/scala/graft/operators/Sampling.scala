@@ -457,6 +457,12 @@ object Sampling {
     require(numBuckets >= 2 && numBuckets <= (1 << 20),
       s"numBuckets $numBuckets outside [2, 2^20] (driver-collected table)")
     require(targetCount >= 1, s"targetCount must be >= 1, got $targetCount")
+    // limit()/TakeOrdered take an Int: a larger target would silently
+    // truncate (2^32+100 -> 100). A >2B-row SELECTION wants a fraction-
+    // or threshold-based cut, not a global top-k.
+    require(targetCount <= Int.MaxValue,
+      s"targetCount must be <= ${Int.MaxValue} (limit/TakeOrdered bound); " +
+        s"got $targetCount — select by score threshold instead at that scale")
     import graft.functions.tokens
     // all unigram + bigram OCCURRENCES (not wordShingles' distinct set —
     // DSIR's bag-of-features LMs count occurrences); the token array is

@@ -115,10 +115,14 @@ object StreamOps {
     *
     * Exactly-once note: foreachBatch replays a batch after failure; the
     * index append IS replay-idempotent (batchId ledger,
-    * Layout.minhashIndexAppend) and a replayed fold can never change
-    * probe answers (duplicate rows are absorbed by the probe's
-    * per-id sig dedup + distinct pairs). The `onPairs` sink is the
-    * caller's: write pairs to batchId-keyed paths for end-to-end
+    * Layout.minhashIndexAppend), and the batch's PAIR OUTPUT is decided
+    * once and snapshotted (Layout.batchOutputWrite, keyed by batchId)
+    * BEFORE the fold — a replay that finds the committed snapshot
+    * delivers it verbatim instead of re-probing an index that already
+    * contains the batch's own signatures (which would surface intra-
+    * batch pairs the original run correctly excluded — ADVICE r9). The
+    * `onPairs` sink thus receives identical frames on every delivery of
+    * a batch; keying its own writes by batchId completes end-to-end
     * exactly-once. Index params are layout metadata and
     * must match the values the index was created with. */
   def dedupStreamAgainstIndex(docs: DataFrame,
@@ -129,18 +133,48 @@ object StreamOps {
                               estThreshold: Double = 0.3)
                              (onPairs: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      dedupBatchAgainstIndex(batch, id, spark, tableName, idCol, textCol,
+        shingleN, numHashes, bands, buckets, estThreshold)(onPairs)
+    }
+
+  /** One micro-batch of [[dedupStreamAgainstIndex]] — package-visible so
+    * the replay goldens can deliver the SAME (batch, id) twice, exactly
+    * what foreachBatch does after a crash between the fold and the
+    * micro-batch commit. */
+  private[graft] def dedupBatchAgainstIndex(batch: DataFrame, id: Long,
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
+      estThreshold: Double)(onPairs: (DataFrame, Long) => Unit): Unit = {
+    import graft.catalog.Layout
+    val tag = s"b$id"
+    if (Layout.batchOutputCommitted(spark, tableName, tag)) {
+      // REPLAY after the output was decided: the standing index may
+      // already hold this batch's signatures, so deliver the snapshot
+      // and re-run the (ledger-guarded) fold from the original batch
+      onPairs(Layout.batchOutputRead(spark, tableName, tag, "pairs"), id)
+      graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
+        shingleN, numHashes, bands, buckets, tableName,
+        batchTag = Some(tag))
+    } else {
       batch.persist()
       try {
         // dedup BEFORE append: a batch must not collide with itself here
         // (run minHashNearDups on the batch for intra-batch pairs)
-        onPairs(graft.operators.Dedup.minHashNearDupsAgainstIndex(
+        val pairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
           batch, spark, tableName, idCol, textCol, shingleN, numHashes,
-          bands, estThreshold), id)
+          bands, estThreshold)
+        // snapshot decides-then-folds: the write materializes the pair
+        // set against the PRE-append index; the fold below can no
+        // longer change what any delivery of this batch observes
+        Layout.batchOutputWrite(spark, tableName, tag, Seq("pairs" -> pairs))
+        onPairs(Layout.batchOutputRead(spark, tableName, tag, "pairs"), id)
         graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
-          batchTag = Some(s"b$id"))
+          batchTag = Some(tag))
       } finally batch.unpersist()
     }
+  }
 
   /** The full streaming CURATION loop: per micro-batch, (1) quality-gate
     * the batch with any per-row filter (e.g. `Curation.withGopherMetrics`
@@ -221,8 +255,20 @@ object StreamOps {
     * max-per-(g, src) before summing, so a replayed batch can never turn
     * standing singletons into duplicates). Re-delivering a batch leaves
     * every standing table's effective content and all later answers
-    * unchanged (golden-tested in IncrementalDedupSpec). The `onBatch`
-    * sink remains the caller's to key by batchId. */
+    * unchanged (golden-tested in IncrementalDedupSpec).
+    *
+    * Replay DELIVERY (round-10, ADVICE r9 medium): idempotent folds alone
+    * do not make the replayed batch's own OUTPUT right — a crash after
+    * the folds but before the micro-batch commit replays the batch
+    * against standing tables that already contain its own keys, so the
+    * paragraph/span probes would strip the batch's own admitted content
+    * and `onBatch` would receive EMPTY kept (documents in the indexes but
+    * never delivered — and a batchId-keyed sink would overwrite the good
+    * output with nothing). The loop therefore snapshots the decided
+    * (kept, pairs) under (tableName, batchId) BEFORE any fold
+    * (Layout.batchOutputWrite); a replay that finds the committed
+    * snapshot delivers it verbatim and re-runs only the idempotent folds
+    * from it. Every delivery of a batch observes identical frames. */
   def curateStreamAgainstIndex(docs: DataFrame,
                                spark: org.apache.spark.sql.SparkSession,
                                tableName: String, idCol: String, textCol: String,
@@ -238,6 +284,49 @@ object StreamOps {
                               (qualityFilter: DataFrame => DataFrame)
                               (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
+      curateBatchAgainstIndex(batch, id, spark, tableName, idCol, textCol,
+        shingleN, numHashes, bands, buckets, estThreshold,
+        paraIndexTable, paraSep, paraBuckets,
+        spanCensusTable, spanGramLen, spanBuckets)(qualityFilter)(onBatch)
+    }
+
+  /** One micro-batch of [[curateStreamAgainstIndex]] — package-visible so
+    * the replay goldens can deliver the SAME (batch, id) twice, exactly
+    * what foreachBatch does after a crash between the folds and the
+    * micro-batch commit (the ADVICE r9 scenario this loop's snapshot
+    * discipline exists for). */
+  private[graft] def curateBatchAgainstIndex(batch: DataFrame, id: Long,
+      spark: org.apache.spark.sql.SparkSession,
+      tableName: String, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
+      estThreshold: Double,
+      paraIndexTable: Option[String], paraSep: String, paraBuckets: Int,
+      spanCensusTable: Option[String], spanGramLen: Int, spanBuckets: Int)
+      (qualityFilter: DataFrame => DataFrame)
+      (onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
+      import graft.catalog.Layout
+      val tag = s"b$id"
+      if (Layout.batchOutputCommitted(spark, tableName, tag)) {
+        // REPLAY after the output was decided: the standing tables may
+        // already hold this batch's contribution — live probes would
+        // strip the batch's own content. Deliver the snapshot verbatim
+        // and re-run the idempotent folds from the snapshotted kept set
+        // (ledger-guarded appends skip where they already applied; the
+        // census re-fold is absorbed by its max-per-(g, src) probe).
+        val kept = Layout.batchOutputRead(spark, tableName, tag, "kept")
+        val pairs = Layout.batchOutputRead(spark, tableName, tag, "pairs")
+        onBatch(kept, pairs, id)
+        paraIndexTable.foreach(pt =>
+          Layout.paragraphKeyIndexAppend(spark, kept, textCol,
+            paraSep, paraBuckets, pt, batchTag = Some(tag)))
+        spanCensusTable.foreach(st =>
+          Layout.spanGramCensusAppend(spark, kept, textCol,
+            spanGramLen, srcTag = tag, buckets = spanBuckets,
+            tableName = st))
+        Layout.minhashIndexAppend(spark, kept, idCol, textCol,
+          shingleN, numHashes, bands, buckets, tableName,
+          batchTag = Some(tag))
+      } else {
       val q0 = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
       try {
         // sub-document stages: strip already-admitted paragraphs, then
@@ -292,6 +381,10 @@ object StreamOps {
             intraPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
             "left_anti")
           .localCheckpoint(true)
+        // snapshot the decided output BEFORE any fold: once the folds
+        // run, live probes can no longer reproduce this batch's answer
+        Layout.batchOutputWrite(spark, tableName, tag,
+          Seq("kept" -> kept, "pairs" -> pairs))
         onBatch(kept, pairs, id)
         // all three folds are replay-idempotent per batchId (round-9):
         // the paragraph/minhash appends skip behind the batch ledger
@@ -299,14 +392,15 @@ object StreamOps {
         // and the span census folds exactly via its per-batch source tag
         paraIndexTable.foreach(pt =>
           graft.catalog.Layout.paragraphKeyIndexAppend(spark, kept, textCol,
-            paraSep, paraBuckets, pt, batchTag = Some(s"b$id")))
+            paraSep, paraBuckets, pt, batchTag = Some(tag)))
         spanCensusTable.foreach(st =>
           graft.catalog.Layout.spanGramCensusAppend(spark, kept, textCol,
-            spanGramLen, srcTag = s"b$id", buckets = spanBuckets,
+            spanGramLen, srcTag = tag, buckets = spanBuckets,
             tableName = st))
         graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
-          batchTag = Some(s"b$id"))
+          batchTag = Some(tag))
       } finally q0.unpersist()
-    }
+      }
+  }
 }

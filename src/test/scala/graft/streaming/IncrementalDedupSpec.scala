@@ -468,6 +468,102 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("replayed batch DELIVERY is identical: the snapshot serves the decided output after folds") {
+    // round-10 (ADVICE r9 medium): idempotent folds keep standing STATE
+    // right, but a replay after the folds (crash before the micro-batch
+    // commit) re-probes tables that already hold the batch's own keys —
+    // without the output snapshot, the paragraph/span probes strip the
+    // batch's own admitted content and onBatch receives EMPTY kept. The
+    // loop bodies are delivered the same (batch, id) twice, exactly what
+    // foreachBatch does on replay, and every delivery must observe
+    // identical frames.
+    val sp = spark
+    import sp.implicits._
+    def para(i: Int): String = (0 until 8).map(j => s"d${i}_$j").mkString(" ")
+    val corpus = Seq(0L -> para(0), 1L -> para(1)).toDF("doc_id", "text")
+    val table = "mh_redeliver_idx"
+    val paraTable = "para_redeliver_idx"
+    def dropAll(): Unit = {
+      Layout.dropMinhashIndex(sp, table)
+      Layout.dropTable(sp, s"${paraTable}_pkeys")
+    }
+    dropAll()
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 4, table)
+      Layout.paragraphKeyIndex(sp, corpus, "text", buckets = 4,
+        tableName = paraTable)
+      // batch (paragraph stage on; the span census state is covered by
+      // the round-9 fold golden — this test targets DELIVERY): a
+      // corpus-paragraph + novel doc (stripped), a pure novel doc, a
+      // NEAR-dup of a corpus doc (distinct paragraph key, so it reaches
+      // the minhash stage), a quality reject
+      val nearDup1 = ((0 until 7).map(j => s"d1_$j") :+ "changed").mkString(" ")
+      val batch = Seq(
+        10L -> s"${para(0)}\n\n${para(5)}",
+        11L -> para(6),
+        12L -> nearDup1,
+        13L -> s"junk ${para(7)}").toDF("doc_id", "text")
+      val keptSeen = mutable.Buffer[Map[Long, String]]()
+      val pairsSeen = mutable.Buffer[Set[(Long, Long)]]()
+      def deliver(): Unit =
+        StreamOps.curateBatchAgainstIndex(batch, 3L, sp, table,
+          "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+          buckets = 4, estThreshold = 0.5,
+          Some(paraTable), "\n\n", 4, None, 20, 4) { df =>
+          df.filter(!col("text").contains("junk"))
+        } { (k, p, _) =>
+          keptSeen += k.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+          pairsSeen += p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      deliver() // original run: probes decide, snapshot commits, folds run
+      assert(keptSeen(0).keySet == Set(10L, 11L), s"kept ${keptSeen(0)}")
+      assert(keptSeen(0)(10L) == para(5), "corpus paragraph stripped")
+      assert(pairsSeen(0) == Set((12L, 1L)))
+      val sigCount = sp.table(s"${table}_sigs").count()
+      deliver() // REPLAY: folds already applied — the pre-fix probes
+                // would strip docs 10/11 against their own keys here
+      assert(keptSeen(1) == keptSeen(0),
+        s"replay delivered different kept: ${keptSeen(1)} vs ${keptSeen(0)}")
+      assert(pairsSeen(1) == pairsSeen(0), "replay delivered different pairs")
+      assert(sp.table(s"${table}_sigs").count() == sigCount,
+        "replay must not re-fold (ledger)")
+      // a later batch still answers as if the batch folded exactly once
+      val probe = Seq(20L -> para(5), 21L -> para(6), 22L -> para(9))
+        .toDF("doc_id", "text")
+      val later = Dedup.minHashNearDupsAgainstIndex(probe, sp, table,
+          "doc_id", "text", shingleN = 2, numHashes = 128, bands = 32,
+          estThreshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // para(5) was admitted as doc 10's cleaned text; para(6) as doc 11
+      assert(later == Set((20L, 10L), (21L, 11L)), s"later probe $later")
+
+      // the simple dedup loop: replay must deliver identical pairs, and
+      // must NOT surface intra-batch pairs from the batch's own folded
+      // signatures (both near-dup copies are in the index on replay)
+      val dTable = "mh_redeliver_dedup_idx"
+      Layout.dropMinhashIndex(sp, dTable)
+      try {
+        Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+          shingleN = 2, numHashes = 128, bands = 32, buckets = 4, dTable)
+        val dBatch = Seq(30L -> para(8), 31L -> para(8), 32L -> para(0))
+          .toDF("doc_id", "text") // 30/31: intra-batch twins, 32: corpus dup
+        val dPairs = mutable.Buffer[Set[(Long, Long)]]()
+        def dDeliver(): Unit =
+          StreamOps.dedupBatchAgainstIndex(dBatch, 5L, sp, dTable,
+            "doc_id", "text", 2, 128, 32, 4, 0.5) { (p, _) =>
+            dPairs += p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+          }
+        dDeliver()
+        assert(dPairs(0) == Set((32L, 0L)),
+          s"index pairs only (intra-batch excluded by contract): ${dPairs(0)}")
+        dDeliver() // replay: 30/31 are now both in the index — the
+                   // pre-fix probe would emit (30,31)/(31,30) here
+        assert(dPairs(1) == dPairs(0), s"replay pairs drifted: ${dPairs(1)}")
+      } finally Layout.dropMinhashIndex(sp, dTable)
+    } finally dropAll()
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
