@@ -698,8 +698,10 @@ object ScaleProbe {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
       t(s"winnow_pairs_$tag")(
+        // uncapped pin: the tier measures the raw Σ df² pair geometry
+        // (the auto default would cap it and flatten the curve)
         Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
-          minShared = 3).count())
+          minShared = 3, maxDf = Long.MaxValue).count())
       val table = s"wn_scale_$tag"
       graft.catalog.Layout.dropTable(spark, s"${table}_wfps")
       t(s"winnow_index_$tag") {

@@ -164,6 +164,51 @@ class WinnowSpec extends SparkSpec {
       s"planted run should contribute many df-2 fps: $capped")
   }
 
+  test("auto maxDf routing: floor keeps a clean corpus uncapped, quantile excises extreme boilerplate") {
+    val sp = spark
+    import sp.implicits._
+    def snap(out: org.apache.spark.sql.DataFrame) =
+      out.collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // 1. small/clean regime: every df here is far under the 64 floor, so
+    //    the AUTO default must equal the explicit uncapped call exactly
+    val auto = snap(Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+      k = 8, w = 4, minShared = 1))
+    val uncapped = snap(Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = Long.MaxValue))
+    assert(auto == uncapped,
+      s"floor must keep a small corpus uncapped: $auto vs $uncapped")
+    // 2. boilerplate regime: 40 docs share one banner (df = 40 fps, the
+    //    extreme tail of the df histogram) on top of unique content;
+    //    docs 0 and 1 additionally share a genuine long run (df = 2).
+    //    With quantile 0.9 and floor 2, the derived cap is 2: banner
+    //    evidence vanishes, the genuine pair survives — and the auto
+    //    answer equals the explicitly capped one
+    val banner = "standard legal boilerplate banner attached everywhere in this corpus"
+    val run = "a very long shared passage that the detector must still find afterwards"
+    val rng = new scala.util.Random(11)
+    def noise(i: Int) = (0 until 12).map(_ => f"u${i}%02d${rng.nextInt(99999)}%05d").mkString(" ")
+    val docs = (0 until 40).map { i =>
+      val extra = if (i <= 1) s" $run" else ""
+      i.toLong -> s"$banner ${noise(i)}$extra"
+    }.toDF("doc_id", "text")
+    val autoB = snap(Winnow.overlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = Winnow.AutoMaxDf,
+      autoDfQuantile = 0.9, autoDfFloor = 2L))
+    val cappedB = snap(Winnow.overlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = 2L))
+    assert(autoB == cappedB,
+      s"derived cap must route to the df<=2 answer: ${autoB.keySet} vs ${cappedB.keySet}")
+    assert(autoB.contains((0L, 1L)), s"genuine pair lost: ${autoB.keySet}")
+    // uncapped, the banner connects everything — the quadratic regime
+    // the default now avoids
+    val uncappedB = snap(Winnow.overlapPairs(docs, "doc_id", "text",
+      k = 8, w = 4, minShared = 1, maxDf = Long.MaxValue))
+    assert(uncappedB.size == 40 * 39 / 2, s"banner connects all: ${uncappedB.size}")
+    assert(autoB.size < uncappedB.size / 10,
+      s"cap must excise the banner pairs: ${autoB.size} of ${uncappedB.size}")
+  }
+
   test("shared fingerprints confirm as exact shared substrings (precision of the evidence)") {
     // every shared fp between a detected pair must correspond to a k-gram
     // present VERBATIM in both normalized texts — md5-prefix collisions
@@ -201,7 +246,7 @@ class WinnowSpec extends SparkSpec {
     // (history_id, batch_id)
     val batchIds = batch.select(col("doc_id")).collect().map(_.getLong(0)).toSet
     val sym = Winnow.overlapPairs(docs, "doc_id", "text",
-        k = 8, w = 6, minShared = 5)
+        k = 8, w = 6, minShared = 5, maxDf = Long.MaxValue)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
       .filter { case (a, b, _) => batchIds.contains(a) ^ batchIds.contains(b) }
       .map { case (a, b, s) =>
