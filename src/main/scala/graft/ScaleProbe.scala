@@ -215,6 +215,63 @@ object ScaleProbe {
   def winnowCorpus(spark: SparkSession, n: Long, k: Int): DataFrame =
     (0 until k).map(i => winnowReplica(spark, n, i, i)).reduce(_ unionAll _)
 
+  /** Embedding corpus with ONE planted mega-cell (round-10 hot-cell
+    * tier): even ids form a tight direction cluster around the all-ones
+    * vector — one k-means cell swallows half the corpus — with noise
+    * sized so pairwise cosines sit ~0.68, BELOW the 0.8 tau. That is the
+    * adversarial shape for the gathered per-cell pass: a cell of
+    * almost-duplicates where the exists() scan cannot short-circuit (in
+    * an all-dups cell every member finds a preceding neighbor in O(1);
+    * here most members scan the whole group), so the whole-cell gather
+    * pays its full n²·dim in ONE task. Odd ids are isotropic. Fully
+    * distributed and hash-deterministic (uniform coordinates from md5
+    * slices — direction isotropy is all the cell geometry needs). */
+  def hotCellCorpus(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+    val noise = s"transform(sequence(0, ${dim - 1}), j -> " +
+      "(cast(conv(substring(md5(concat('h:', cast(id as string), ':', " +
+      "cast(j as string))), 1, 6), 16, 10) as double) / 8388608.0) - 1.0)"
+    spark.range(n).select(col("id").as("vec_id"),
+      expr(s"CASE WHEN id % 2 = 0 THEN transform($noise, x -> 1.0 + 1.2 * x) " +
+        s"ELSE $noise END").as("embedding"))
+  }
+
+  /** Decoupled replica of the REALISTIC-ENTROPY sub-document corpus
+    * (round-10, VERDICT r9 next #5): every bench/probe fixture for the
+    * token-indexed detectors is either the low-entropy sf corpus (tiny
+    * vocabulary — nearly every 20-gram repeats, the adversarial regime)
+    * or the 25–33% dup-fraction subdoc corpus. This one is the
+    * PRODUCTION shape: 60 md5-unique tokens per document (vocabulary ∝
+    * corpus, zero cross-document grams from the filler) with a 2% dup
+    * fraction — every 50th document appends one shared 20-token passage.
+    * The span/winnow cost constants measured here are what a user sees
+    * on real web text; the adversarial constants stay recorded next to
+    * them (subdocProbe / the sf0.1 bench). Same salt/offset decoupling
+    * discipline as [[subdocReplica]]. */
+  def entropyReplica(spark: SparkSession, n: Long, saltI: Int,
+                     offsetI: Int): DataFrame = {
+    // the replica salt lives in the md5 SEED, not as a literal suffix:
+    // a literal suffix hands every boundary-crossing 8-gram a shared
+    // low-entropy core (grams containing only the suffix + 3 hex chars
+    // collide in a 16^3 space, and grams missing the salt digits leak
+    // across replicas — measured 84x pair inflation before this fix);
+    // seeded 10-hex-char tokens keep every gram in a >= 16^7 space and
+    // make replicas fully gram-disjoint
+    val filler = "array_join(transform(sequence(0, 59), " +
+      s"j -> substring(md5(concat('t:$saltI:', cast(id as string), ':', " +
+      "cast(j as string))), 1, 10)), ' ')"
+    val passage = "array_join(transform(sequence(0, 19), " +
+      s"j -> substring(md5(concat('p:$saltI:', cast(j as string))), 1, 10)), ' ')"
+    spark.range(n).select(
+      (col("id") + lit(offsetI * IdStride)).as("doc_id"),
+      expr(s"concat($filler, " +
+        s"CASE WHEN id % 50 = 0 THEN concat(' ', $passage) ELSE '' END)")
+        .as("text"))
+  }
+
+  /** K decoupled replicas of the realistic-entropy corpus. */
+  def entropyCorpus(spark: SparkSession, n: Long, k: Int): DataFrame =
+    (0 until k).map(i => entropyReplica(spark, n, i, i)).reduce(_ unionAll _)
+
   /** Gram length for an n-title edit-distance run: q must grow with the
     * corpus so the gram space (alphabet^q) outpaces posting-list density —
     * at FIXED q, postings densify ∝ n and candidates go ∝ n²/alphabet^q
@@ -692,6 +749,53 @@ object ScaleProbe {
       * fingerprint index must return the SAME pair count at every tier
       * (it can only match replica 0's sets; the wall measures the
       * in-place bucketed read as the index grows K×). */
+    /** Hot-cell skew (round-10): one planted mega-cell holding half the
+      * corpus at near-threshold cosines ([[hotCellCorpus]] — the regime
+      * where the per-cell exists() scan cannot short-circuit). The
+      * whole-cell gather computes that cell's n² in ONE task; the
+      * chunk-pair gather (chunks = 16) splits it into 256 bounded tasks
+      * — task COUNT absorbs the skew, wall drops toward the core count.
+      * The rows signal (removed count) must be identical between the
+      * two forms at every tier (the SemDedupSpec equality, measured at
+      * scale). */
+    def hotcellProbe(tag: String, n: Long): Unit = {
+      val emb = hotCellCorpus(spark, n, 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      emb.count()
+      val tf = math.min(1.0, 20000.0 / n)
+      t(s"semdedup_hot_whole_$tag")(
+        Similarity.semDedupLocal(emb, "vec_id", "embedding", k = 16,
+          probes = 1, lloydIters = 2, seed = 42, tau = 0.8,
+          trainFraction = tf)
+          .filter(!col("kept")).count())
+      t(s"semdedup_hot_chunk_$tag")(
+        Similarity.semDedupLocal(emb, "vec_id", "embedding", k = 16,
+          probes = 1, lloydIters = 2, seed = 42, tau = 0.8,
+          trainFraction = tf, chunks = 16)
+          .filter(!col("kept")).count())
+      emb.unpersist()
+    }
+
+    /** Realistic-entropy span/winnow constants (round-10): the
+      * [[entropyCorpus]] production regime — vocabulary ∝ corpus, 2%
+      * planted dup fraction — next to the adversarial constants
+      * (subdocProbe's 25–33% fixture, the low-entropy sf0.1 bench).
+      * Deterministic signals: span removals = passage chars × (n/50 − 1)
+      * per replica (K-linear); winnow pairs = C(n/50, 2) × K exactly
+      * (replicas gram-decoupled). */
+    def entropyProbe(tag: String, k: Int): Unit = {
+      val c = entropyCorpus(spark, 5000L, k)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      t(s"entropy_span_$tag")(
+        Dedup.removeRepeatedSpans(c, "doc_id", "text", gramLen = 20)
+          .agg(sum(col("n_removed"))).head().getLong(0))
+      t(s"entropy_winnow_pairs_$tag")(
+        graft.operators.Winnow.overlapPairs(c, "doc_id", "text",
+          k = 8, w = 6, minShared = 3, maxDf = Long.MaxValue).count())
+      c.unpersist()
+    }
+
     def winnowProbe(tag: String, k: Int): Unit = {
       import graft.operators.Winnow
       val c = winnowCorpus(spark, 5000L, k)
@@ -904,6 +1008,16 @@ object ScaleProbe {
       ks.foreach(k => winnowProbe(s"${k}x", k))
       spark.stop(); return
     }
+    if (probeOnly.contains("hotcell")) {
+      Seq("4k" -> 4000L, "20k" -> 20000L, "60k" -> 60000L)
+        .foreach { case (tag, n) => hotcellProbe(tag, n) }
+      spark.stop(); return
+    }
+    if (probeOnly.contains("entropy")) {
+      entropyProbe("1x", 1)
+      ks.foreach(k => entropyProbe(s"${k}x", k))
+      spark.stop(); return
+    }
     val onlyLayout = probeOnly.contains("layout")
     if (onlyLayout) {
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
@@ -921,6 +1035,8 @@ object ScaleProbe {
       pipelineProbe("1x", 1)
       subdocProbe("1x", 1)
       winnowProbe("1x", 1)
+      entropyProbe("1x", 1)
+      hotcellProbe("4k", 4000L)
       lmProbe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false,
         trainFraction = 1.0)
     }
@@ -939,6 +1055,10 @@ object ScaleProbe {
         pipelineProbe(s"${k}x", k)
         subdocProbe(s"${k}x", k)
         winnowProbe(s"${k}x", k)
+        entropyProbe(s"${k}x", k)
+        // hot-cell tiers are corpus-independent (own generator): run the
+        // 20k/60k mega-cells alongside the 10x corpus tier only
+        if (k == ks.min) { hotcellProbe("20k", 20000L); hotcellProbe("60k", 60000L) }
         lmProbe(s"${k}x", k, docsK, embK, ivfK = 8 * k,
           headlineOnly = k >= 20,
           trainFraction = math.min(1.0, 20000.0 / nVec))

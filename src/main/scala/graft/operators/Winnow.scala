@@ -192,7 +192,15 @@ object Winnow {
           .filter(col("df") <= col("__cap")).drop("__cap")
       }
     val dfs = dfsCapped.select(col("fp").as("fp_c"), col("df"))
-    val kept = fps.join(dfs, col("fp") === col("fp_c"))
+    // the census and per-doc-count relations are CORPUS-SIZED (one row
+    // per distinct fp / per document) but Catalyst estimates them from
+    // post-aggregate child stats, which can read laughably small on
+    // generator- or expression-derived inputs — a static broadcast pick
+    // then collects gigabytes to the driver (measured: the 100× entropy
+    // tier died at spark.driver.maxResultSize broadcasting the ~92M-row
+    // df census). Pin both joins to sort-merge; the fp key is already
+    // the shuffle key downstream.
+    val kept = fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
       .select(col("id"), col("fp"), col("df"))
     val counts = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // df = 1 fingerprints join nothing — prefilter them out of BOTH join
@@ -204,8 +212,8 @@ object Winnow {
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-      .join(counts.toDF("id_a2", "n_a"), col("id_a") === col("id_a2"))
-      .join(counts.toDF("id_b2", "n_b"), col("id_b") === col("id_b2"))
+      .join(counts.toDF("id_a2", "n_a").hint("merge"), col("id_a") === col("id_a2"))
+      .join(counts.toDF("id_b2", "n_b").hint("merge"), col("id_b") === col("id_b2"))
       .select(col("id_a"), col("id_b"), col("shared_fps"),
         col("n_a"), col("n_b"),
         round(col("shared_fps") / least(col("n_a"), col("n_b")), 4)

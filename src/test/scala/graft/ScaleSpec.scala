@@ -519,6 +519,79 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c3.unpersist() }
   }
 
+  test("hot-cell chunked gather: removal set identical to the whole-cell form on a planted mega-cell") {
+    import org.apache.spark.sql.functions.{col, count, element_at, lit}
+    import graft.operators.Similarity
+    // round-10 (VERDICT r9 next #2): the fixture plants HALF the corpus
+    // in one direction cluster — one k-means cell swallows it — at
+    // near-threshold cosines (the regime where the per-cell exists()
+    // scan cannot short-circuit). The chunk-pair gather must return the
+    // EXACT same removal set while computing the mega-cell as chunks^2
+    // bounded tasks instead of one n^2 task (wall evidence: SCALE.md
+    // semdedup_hot_* — 79 s -> 22 s at the 60k tier). Deterministic,
+    // box-speed-immune: set equality + the fixture's premise (the hot
+    // cell really is a mega-cell).
+    val emb = ScaleProbe.hotCellCorpus(spark, 2000L, 64)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      emb.count()
+      def removed(chunks: Int): Set[Long] =
+        Similarity.semDedupLocal(emb, "vec_id", "embedding", k = 16,
+          probes = 1, lloydIters = 2, seed = 42, tau = 0.8,
+          trainFraction = 1.0, chunks = chunks)
+          .filter(!col("kept")).collect().map(_.getLong(0)).toSet
+      val whole = removed(1)
+      val chunked = removed(8)
+      assert(whole.nonEmpty, "fixture must remove something")
+      assert(whole == chunked,
+        s"chunked removal set drifted: only-whole=${(whole -- chunked).take(5)} " +
+          s"only-chunked=${(chunked -- whole).take(5)}")
+      // fixture premise: one cell holds >= 40% of the corpus
+      val cents = Similarity.trainIvfCentroids(emb, "vec_id", "embedding",
+        k = 16, lloydIters = 2, seed = 42)
+      val biggest = emb.select(element_at(
+          graft.functions.ivfAssign(col("embedding"), cents, 1), 1).as("cell"))
+        .groupBy(col("cell")).agg(count(lit(1)).as("n"))
+        .agg(org.apache.spark.sql.functions.max(col("n"))).head().getLong(0)
+      assert(biggest >= 800, s"mega-cell premise broken: biggest cell $biggest of 2000")
+    } finally emb.unpersist()
+  }
+
+  test("realistic-entropy corpus: span removals and winnow pairs exactly K-linear at a 2% dup fraction") {
+    import org.apache.spark.sql.functions.{col, sum}
+    import graft.operators.{Dedup, Winnow}
+    // round-10 (VERDICT r9 next #5): the production-regime generator —
+    // vocabulary ∝ corpus (seeded 10-hex-char tokens, salt in the md5
+    // seed so replicas share no gram), 2% planted dup fraction. The
+    // deterministic signals: winnow pairs = C(n/50, 2) per replica
+    // EXACTLY (the only shared grams are the planted passage), K-linear
+    // across replicas; span removals K-linear to within 1% (each
+    // replica's seeded md5 stream carries its own few accidental
+    // window collisions — measured ±10 chars on ~6.6k — so per-replica
+    // sums are near-identical constants, not byte-equal).
+    // Wall constants live in SCALE.md entropy_*.
+    val c1 = ScaleProbe.entropyCorpus(spark, 500L, 1)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = ScaleProbe.entropyCorpus(spark, 500L, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def spans(df: org.apache.spark.sql.DataFrame): Long =
+        Dedup.removeRepeatedSpans(df, "doc_id", "text", gramLen = 20)
+          .agg(sum(col("n_removed"))).head().getLong(0)
+      def pairs(df: org.apache.spark.sql.DataFrame): Long =
+        Winnow.overlapPairs(df, "doc_id", "text", k = 8, w = 6,
+          minShared = 3, maxDf = Long.MaxValue).count()
+      val (s1, s3) = (spans(c1), spans(c3))
+      val (p1, p3) = (pairs(c1), pairs(c3))
+      info(s"span removed chars 1x: $s1, 3x: $s3; winnow pairs 1x: $p1, 3x: $p3")
+      assert(p1 == 45L, s"pairs must be C(10, 2) exactly (10 planted docs): $p1")
+      assert(p3 == 3 * p1, s"winnow pairs must be exactly 3x: $p1 -> $p3")
+      assert(s1 > 0, "span fixture must remove the planted passage")
+      assert(math.abs(s3 - 3 * s1) <= (3 * s1) / 100,
+        s"span removals must be 3x within 1%: $s1 -> $s3")
+    } finally { c1.unpersist(); c3.unpersist() }
+  }
+
   test("BPE merge sequence is scale-invariant under exact-copy replication") {
     import graft.operators.Bpe
     // K exact copies multiply every word weight by K uniformly, so the
