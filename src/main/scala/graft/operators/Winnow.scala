@@ -60,6 +60,15 @@ object Winnow {
     * from the corpus's own df distribution (the safe-by-default route). */
   val AutoMaxDf: Long = -1L
 
+  /** [[overlapPairs]] broadcasts its df census explicitly when the
+    * MEASURED selection upper bound (Σ text length × 2/(w+1) ≥ distinct
+    * (id, fp) rows ≥ census rows — one cheap length scan, no
+    * fingerprinting) is at or below this — 2M rows ≈ 64 MB serialized,
+    * the same ceiling GraftSession.cluster sets for dimension
+    * broadcasts. Above it the df attachment routes to a window over fp
+    * (no join to mis-plan). */
+  val BroadcastCensusMaxRows: Long = 1L << 21
+
   /** One row per selected fingerprint: (id, pos, fp) with `pos` the
     * 1-based gram offset in the normalized text and `fp` the 16-hex-char
     * gram hash. Documents shorter than k grams-wise are absent; documents
@@ -168,52 +177,79 @@ object Winnow {
     require(autoDfFloor >= 1, s"autoDfFloor must be >= 1, got $autoDfFloor")
     val fps = fingerprintSets(docs, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
-    // df census under FRESH names: joining a frame to an aggregate
-    // derived from itself resolves same-named columns to one attribute
-    // (trivially-true join) — the lookup side gets its own column names
-    val dfsAll = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-    val dfsCapped =
-      if (maxDf != AutoMaxDf) dfsAll.filter(col("df") <= maxDf)
+    // MEASURED broadcast/window route for the df attachment (the
+    // Curation vocab-gate discipline). The census relation is
+    // corpus-sized (one row per distinct fp), and Catalyst estimates it
+    // from post-aggregate child stats, which can read laughably small
+    // on generator- or expression-derived inputs — a static broadcast
+    // pick then collects gigabytes to the driver (measured: the 100×
+    // entropy tier died at spark.driver.maxResultSize broadcasting the
+    // ~92M-row census). The route is decided from a MEASURED upper
+    // bound on census rows that costs one cheap length scan, not a
+    // fingerprinting pass: winnowing selects ≤ 2/(w+1) of the corpus's
+    // grams, and distinct (id, fp) rows ≥ census rows, so
+    // Σ length(text) × 2/(w+1) bounds both.
+    //  - small: broadcast the capped census explicitly — the fps side
+    //    never shuffles for the df attachment (the fast plan the
+    //    optimizer used to luck into on small corpora);
+    //  - large: a window count over fp — ONE fp-hash exchange (the same
+    //    shuffle a merge join's build side would pay), one sort, no
+    //    join to mis-plan, rows left fp-partitioned for the self-join.
+    val fpsUpper = docs
+      .agg(coalesce(sum(length(col(textCol))), lit(0L)).cast("long"))
+      .head().getLong(0) * 2 / (w + 1)
+    val censusBroadcastable = fpsUpper <= BroadcastCensusMaxRows
+    // the 1-row auto cap rides either plan as a broadcast scalar
+    val autoCap: Option[DataFrame] =
+      if (maxDf != AutoMaxDf) None
       else {
         // exact discrete quantile, order-free: cap = min df whose
         // cumulative fp count reaches quantile × total, over the
         // distinct-df histogram (bounded rows — see scaladoc)
-        val hist = dfsAll.groupBy(col("df")).agg(count(lit(1)).as("nf"))
+        val hist = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+          .groupBy(col("df")).agg(count(lit(1)).as("nf"))
         val cumWin = Window.orderBy(col("df"))
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         val allWin = Window.orderBy(col("df"))
           .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        val cap = hist
+        Some(hist
           .select(col("df"), sum(col("nf")).over(cumWin).as("cum"),
             sum(col("nf")).over(allWin).as("nn"))
           .filter(col("cum") >= col("nn") * autoDfQuantile)
-          .agg(greatest(min(col("df")), lit(autoDfFloor)).as("__cap"))
-        dfsAll.crossJoin(broadcast(cap))
-          .filter(col("df") <= col("__cap")).drop("__cap")
+          .agg(greatest(min(col("df")), lit(autoDfFloor)).as("__cap")))
       }
-    val dfs = dfsCapped.select(col("fp").as("fp_c"), col("df"))
-    // the census and per-doc-count relations are CORPUS-SIZED (one row
-    // per distinct fp / per document) but Catalyst estimates them from
-    // post-aggregate child stats, which can read laughably small on
-    // generator- or expression-derived inputs — a static broadcast pick
-    // then collects gigabytes to the driver (measured: the 100× entropy
-    // tier died at spark.driver.maxResultSize broadcasting the ~92M-row
-    // df census). Pin both joins to sort-merge; the fp key is already
-    // the shuffle key downstream.
-    val kept = fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
-      .select(col("id"), col("fp"), col("df"))
+    def capped(withDfCol: DataFrame): DataFrame = autoCap match {
+      case None => withDfCol.filter(col("df") <= maxDf)
+      case Some(cap) => withDfCol.crossJoin(broadcast(cap))
+        .filter(col("df") <= col("__cap")).drop("__cap")
+    }
+    val kept =
+      if (censusBroadcastable) {
+        val census = capped(
+          fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
+          .select(col("fp").as("fp_c"), col("df"))
+        fps.join(broadcast(census), col("fp") === col("fp_c"))
+          .select(col("id"), col("fp"), col("df"))
+      } else capped(fps.withColumn("df",
+        count(lit(1)).over(Window.partitionBy(col("fp")))))
     val counts = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // df = 1 fingerprints join nothing — prefilter them out of BOTH join
     // sides (they are most of a clean corpus's rows)
     val joinable = kept.filter(col("df") >= 2).select(col("id"), col("fp"))
+    // in the measured-small regime every relation here is bounded and
+    // the planner's choices are all fine; in the large regime the
+    // per-doc counts (corpus-sized, same bogus-estimate hazard as the
+    // census) are pinned to sort-merge
+    def guard(df: DataFrame): DataFrame =
+      if (censusBroadcastable) df else df.hint("merge")
     joinable.toDF("id_a", "fp")
       .join(joinable.toDF("id_b", "fp_b"),
         col("fp") === col("fp_b") && col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("shared_fps"))
       .filter(col("shared_fps") >= minShared)
-      .join(counts.toDF("id_a2", "n_a").hint("merge"), col("id_a") === col("id_a2"))
-      .join(counts.toDF("id_b2", "n_b").hint("merge"), col("id_b") === col("id_b2"))
+      .join(guard(counts.toDF("id_a2", "n_a")), col("id_a") === col("id_a2"))
+      .join(guard(counts.toDF("id_b2", "n_b")), col("id_b") === col("id_b2"))
       .select(col("id_a"), col("id_b"), col("shared_fps"),
         col("n_a"), col("n_b"),
         round(col("shared_fps") / least(col("n_a"), col("n_b")), 4)
