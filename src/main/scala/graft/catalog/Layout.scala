@@ -246,6 +246,53 @@ object Layout {
     if (fs.exists(p)) fs.delete(p, true)
   }
 
+  /** Delete every tag under a per-batch artifact directory EXCEPT
+    * `keepTag` — the streaming loops' retention rule (round-11, ADVICE
+    * r10 low: un-pruned, the output snapshots accumulate a second
+    * ever-growing copy of the admitted corpus). Sound because Spark's
+    * micro-batch engine commits batch N before starting N+1: once the
+    * loop is processing batch N, no earlier batch can ever replay, so
+    * every tag but the current one is dead weight. */
+  private def pruneTagDir(spark: SparkSession, dir: String,
+                          keepTag: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$dir")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      fs.listStatus(p).foreach { st =>
+        if (st.getPath.getName != keepTag) fs.delete(st.getPath, true)
+      }
+  }
+
+  /** Prune all batch-output snapshots of `tableName` except `keepTag`. */
+  def pruneBatchOutputs(spark: SparkSession, tableName: String,
+                        keepTag: String): Unit =
+    pruneTagDir(spark, s"${tableName}_batchout", keepTag)
+
+  /** Prune all replay-ledger markers of `table` except `keepTag` —
+    * same retention rule as [[pruneBatchOutputs]] (markers for
+    * committed batches can never be consulted again). */
+  def pruneLedger(spark: SparkSession, table: String, keepTag: String): Unit =
+    pruneTagDir(spark, s"${table}_applied", keepTag)
+
+  /** Reset the per-stream replay state of an index WITHOUT rebuilding
+    * it — the supported call for the "keep the standing index, start a
+    * new streaming query with a fresh checkpoint" path (round-11,
+    * ADVICE r10 medium): a fresh checkpoint restarts batch ids at 0,
+    * and although the loops' content-keyed batch tags make a stale
+    * snapshot for a DIFFERENT batch unservable, an id-and-content
+    * collision with a dead stream's final batch would still serve
+    * output decided against that stream's (differently accrued) index.
+    * Clearing the ledger and the snapshots before the new query starts
+    * removes the collision surface entirely. Call once per index table
+    * the stream folds into (the minhash base name, `<para>_pkeys`,
+    * `<winnow>_wfps` — the span census needs no reset: its source tags
+    * are data, folded exactly). */
+  def resetStreamState(spark: SparkSession, tableName: String): Unit = {
+    clearLedger(spark, tableName)
+    clearBatchOutputs(spark, tableName)
+  }
+
   /** Drop a managed table AND its warehouse directory. The catalog is
     * session-scoped but the warehouse directory is not — a previous
     * session's files under the managed-table LOCATION survive and make a
@@ -475,7 +522,17 @@ object Layout {
     * maxDf documents AT BUILD TIME — the boilerplate gate belongs to the
     * index, not the probe (a probe-side census would re-aggregate the
     * whole index per batch). k/w/maxDf are version-pinned layout
-    * metadata: probes must pass the same k/w. */
+    * metadata: probes must pass the same k/w.
+    *
+    * Default-policy note (round-11, ADVICE r10): this default is
+    * DELIBERATELY uncapped while the ad-hoc operator's
+    * ([[graft.operators.Winnow.overlapPairs]]) default became the
+    * auto-derived cap — the index feeds the streaming containment
+    * stage, where a dropped fingerprint is a missed rejection (recall
+    * matters more than pair-join cost, which the probe bounds batch-
+    * side), and boilerplate accrual is re-gated at
+    * [[winnowIndexCompact]]. Pass an explicit cap to align with the
+    * operator's policy. */
   def winnowIndex(spark: SparkSession, docs: DataFrame,
                   idCol: String, textCol: String, k: Int, w: Int,
                   buckets: Int = 8, maxDf: Option[Long] = None,

@@ -114,17 +114,23 @@ object StreamOps {
     * (Dedup.minHashNearDupsAgainstIndex; plan asserted in LayoutSpec).
     *
     * Exactly-once note: foreachBatch replays a batch after failure; the
-    * index append IS replay-idempotent (batchId ledger,
+    * index append IS replay-idempotent (content-keyed batch-tag ledger,
     * Layout.minhashIndexAppend), and the batch's PAIR OUTPUT is decided
-    * once and snapshotted (Layout.batchOutputWrite, keyed by batchId)
-    * BEFORE the fold — a replay that finds the committed snapshot
-    * delivers it verbatim instead of re-probing an index that already
-    * contains the batch's own signatures (which would surface intra-
-    * batch pairs the original run correctly excluded — ADVICE r9). The
-    * `onPairs` sink thus receives identical frames on every delivery of
-    * a batch; keying its own writes by batchId completes end-to-end
-    * exactly-once. Index params are layout metadata and
-    * must match the values the index was created with. */
+    * once and snapshotted (Layout.batchOutputWrite, keyed by the
+    * content tag — [[batchContentTag]], so a DIFFERENT stream reusing
+    * the same batch ids can never be served a stale snapshot) BEFORE
+    * the fold — a replay that finds the committed snapshot delivers it
+    * verbatim instead of re-probing an index that already contains the
+    * batch's own signatures (which would surface intra-batch pairs the
+    * original run correctly excluded — ADVICE r9). The `onPairs` sink
+    * thus receives identical frames on every delivery of a batch;
+    * keying its own writes by batchId completes end-to-end
+    * exactly-once. Superseded batches' snapshots and markers are pruned
+    * per batch (only the current batch can replay). When restarting
+    * with a FRESH CHECKPOINT against a standing index, call
+    * [[graft.catalog.Layout.resetStreamState]] first (see its scaladoc
+    * for the id+content collision it removes). Index params are layout
+    * metadata and must match the values the index was created with. */
   def dedupStreamAgainstIndex(docs: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
                               tableName: String, idCol: String, textCol: String,
@@ -137,6 +143,31 @@ object StreamOps {
         shingleN, numHashes, bands, buckets, estThreshold)(onPairs)
     }
 
+  /** Content-keyed batch tag: `b<id>_<n>x<checksum>` with `n` the batch
+    * row count and the checksum an order-independent sum of per-row
+    * crc32(id ‖ text). The CONTENT component is what makes the replay
+    * machinery — output snapshots, append-ledger markers, span-census
+    * source tags — safe against a batch-id collision from a DIFFERENT
+    * stream (round-11, ADVICE r10 medium): a new streaming query
+    * started with a fresh checkpoint against a standing index restarts
+    * batch ids at 0, and a tag keyed on batchId alone would find the
+    * dead stream's committed snapshot and deliver its stale output
+    * verbatim. Keyed on (id, content), a genuine crash-replay (same
+    * batch redelivered) still maps to the same tag — snapshots serve,
+    * folds skip — while a different batch that happens to reuse the id
+    * maps to a fresh tag and computes live. Costs one cheap
+    * count+checksum aggregate per micro-batch over data the loop is
+    * about to fingerprint anyway. */
+  private[graft] def batchContentTag(batch: DataFrame, id: Long,
+                                     idCol: String, textCol: String): String = {
+    val r = batch.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(crc32(concat_ws("",
+        col(idCol).cast("string"), col(textCol).cast("string")))), lit(0L))
+        .as("s")).head()
+    s"b${id}_${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+  }
+
   /** One micro-batch of [[dedupStreamAgainstIndex]] — package-visible so
     * the replay goldens can deliver the SAME (batch, id) twice, exactly
     * what foreachBatch does after a crash between the fold and the
@@ -147,7 +178,7 @@ object StreamOps {
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
       estThreshold: Double)(onPairs: (DataFrame, Long) => Unit): Unit = {
     import graft.catalog.Layout
-    val tag = s"b$id"
+    val tag = batchContentTag(batch, id, idCol, textCol)
     if (Layout.batchOutputCommitted(spark, tableName, tag)) {
       // REPLAY after the output was decided: the standing index may
       // already hold this batch's signatures, so deliver the snapshot
@@ -174,6 +205,10 @@ object StreamOps {
           batchTag = Some(tag))
       } finally batch.unpersist()
     }
+    // retention: batch N-1's snapshot and markers can never be consulted
+    // again once this batch runs (micro-batch commits are sequential)
+    Layout.pruneBatchOutputs(spark, tableName, tag)
+    Layout.pruneLedger(spark, tableName, tag)
   }
 
   /** The full streaming CURATION loop: per micro-batch, (1) quality-gate
@@ -284,10 +319,27 @@ object StreamOps {
     * and `onBatch` would receive EMPTY kept (documents in the indexes but
     * never delivered — and a batchId-keyed sink would overwrite the good
     * output with nothing). The loop therefore snapshots the decided
-    * (kept, pairs) under (tableName, batchId) BEFORE any fold
+    * (kept, pairs) under (tableName, content tag) BEFORE any fold
     * (Layout.batchOutputWrite); a replay that finds the committed
     * snapshot delivers it verbatim and re-runs only the idempotent folds
-    * from it. Every delivery of a batch observes identical frames. */
+    * from it. Every delivery of a batch observes identical frames.
+    *
+    * The tag is keyed by batch CONTENT, not batchId alone
+    * ([[batchContentTag]]; round-11, ADVICE r10 medium): a new
+    * streaming query started with a fresh checkpoint against the same
+    * standing index restarts batch ids at 0, and an id-only key would
+    * serve the dead stream's snapshot verbatim for a batch with
+    * entirely different content — silently skipping its probes and
+    * folds. Content-keyed, that batch computes live; the same keying
+    * protects the append-ledger markers and the span-census source
+    * tags from the identical collision. Snapshots and markers of
+    * superseded batches are PRUNED at the end of every batch (ADVICE
+    * r10 low — only the current batch can replay, so retention beyond
+    * it is an ever-growing second copy of the admitted corpus). For
+    * the fresh-checkpoint restart, still call
+    * [[graft.catalog.Layout.resetStreamState]] per index table first:
+    * it removes even the residual id+content collision with the dead
+    * stream's final batch. */
   def curateStreamAgainstIndex(docs: DataFrame,
                                spark: org.apache.spark.sql.SparkSession,
                                tableName: String, idCol: String, textCol: String,
@@ -334,7 +386,7 @@ object StreamOps {
       (qualityFilter: DataFrame => DataFrame)
       (onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
       import graft.catalog.Layout
-      val tag = s"b$id"
+      val tag = batchContentTag(batch, id, idCol, textCol)
       if (Layout.batchOutputCommitted(spark, tableName, tag)) {
         // REPLAY after the output was decided: the standing tables may
         // already hold this batch's contribution — live probes would
@@ -459,5 +511,13 @@ object StreamOps {
           batchTag = Some(tag))
       } finally q0.unpersist()
       }
+      // retention (ADVICE r10 low): earlier batches' snapshots and
+      // ledger markers are dead once this batch runs — without pruning
+      // the snapshots accumulate a second full copy of the admitted
+      // corpus under <table>_batchout
+      Layout.pruneBatchOutputs(spark, tableName, tag)
+      Layout.pruneLedger(spark, tableName, tag)
+      paraIndexTable.foreach(pt => Layout.pruneLedger(spark, s"${pt}_pkeys", tag))
+      winnowIndexTable.foreach(wt => Layout.pruneLedger(spark, s"${wt}_wfps", tag))
   }
 }

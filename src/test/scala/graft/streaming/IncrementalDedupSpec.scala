@@ -643,6 +643,69 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("fresh-checkpoint restart: a batch-id collision with different content computes live; stale artifacts prune") {
+    // round-11 (ADVICE r10 medium): snapshots and ledger markers keyed
+    // by batchId alone would let a NEW streaming query — fresh
+    // checkpoint, batch ids restarting at 0 — be served a dead stream's
+    // committed snapshot verbatim for a batch with entirely different
+    // content, silently skipping its probes and folds. The content-keyed
+    // tag (StreamOps.batchContentTag) must compute the colliding batch
+    // live; per-batch pruning (ADVICE r10 low) must leave only the
+    // current batch's snapshot and markers behind.
+    val sp = spark
+    import sp.implicits._
+    def para(i: Int): String = (0 until 8).map(j => s"r${i}_$j").mkString(" ")
+    val corpus = Seq(0L -> para(0), 1L -> para(1)).toDF("doc_id", "text")
+    val table = "mh_restart_idx"
+    def tagDirs(suffix: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(
+        sp.conf.get("spark.sql.warehouse.dir") + s"/$table$suffix")
+      val fs = p.getFileSystem(sp.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.listStatus(p).map(_.getPath.getName).toSet
+      else Set.empty[String]
+    }
+    Layout.dropMinhashIndex(sp, table)
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 4, table)
+      val kept = mutable.Buffer[Set[Long]]()
+      val pairs = mutable.Buffer[Set[(Long, Long)]]()
+      def deliver(batch: org.apache.spark.sql.DataFrame): Unit =
+        StreamOps.curateBatchAgainstIndex(batch, 0L, sp, table,
+          "doc_id", "text", 2, 128, 32, 4, 0.5,
+          None, "\n\n", 4, None, 20, 4)(identity) { (k, p, _) =>
+          kept += k.collect().map(_.getLong(0)).toSet
+          pairs += p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      // stream 1, batch 0: one novel doc — admitted and folded
+      deliver(Seq(10L -> para(5)).toDF("doc_id", "text"))
+      assert(kept(0) == Set(10L) && pairs(0).isEmpty)
+      assert(tagDirs("_batchout").size == 1 && tagDirs("_applied").size == 1)
+      // stream 2 (fresh checkpoint, SAME index), batch 0 again but with
+      // different content: a corpus dup + a novel doc. An id-keyed
+      // snapshot would re-serve kept = {10}; the content tag must
+      // compute this batch live against the index (which now also
+      // holds doc 10).
+      deliver(Seq(20L -> para(0), 21L -> para(6)).toDF("doc_id", "text"))
+      assert(kept(1) == Set(21L), s"collision batch must compute live: ${kept(1)}")
+      assert(pairs(1) == Set((20L, 0L)), s"pairs: ${pairs(1)}")
+      // pruning: only the current batch's snapshot + marker survive
+      assert(tagDirs("_batchout").size == 1, s"stale snapshots: ${tagDirs("_batchout")}")
+      assert(tagDirs("_applied").size == 1, s"stale markers: ${tagDirs("_applied")}")
+      // genuine replay of the SAME batch still serves the snapshot:
+      // identical frames, no re-fold
+      val sigCount = sp.table(s"${table}_sigs").count()
+      deliver(Seq(20L -> para(0), 21L -> para(6)).toDF("doc_id", "text"))
+      assert(kept(2) == kept(1) && pairs(2) == pairs(1), "replay drifted")
+      assert(sp.table(s"${table}_sigs").count() == sigCount, "replay re-folded")
+      // the explicit reset for the fresh-checkpoint path clears all
+      // replay state without touching the index
+      Layout.resetStreamState(sp, table)
+      assert(tagDirs("_batchout").isEmpty && tagDirs("_applied").isEmpty)
+      assert(sp.table(s"${table}_sigs").count() == sigCount, "reset touched the index")
+    } finally Layout.dropMinhashIndex(sp, table)
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
