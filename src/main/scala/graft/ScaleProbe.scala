@@ -248,14 +248,19 @@ object ScaleProbe {
     * them (subdocProbe / the sf0.1 bench). Same salt/offset decoupling
     * discipline as [[subdocReplica]]. */
   def entropyReplica(spark: SparkSession, n: Long, saltI: Int,
-                     offsetI: Int): DataFrame = {
+                     offsetI: Int, dupEvery: Int = 50): DataFrame = {
     // the replica salt lives in the md5 SEED, not as a literal suffix:
     // a literal suffix hands every boundary-crossing 8-gram a shared
     // low-entropy core (grams containing only the suffix + 3 hex chars
     // collide in a 16^3 space, and grams missing the salt digits leak
     // across replicas — measured 84x pair inflation before this fix);
     // seeded 10-hex-char tokens keep every gram in a >= 16^7 space and
-    // make replicas fully gram-disjoint
+    // make replicas fully gram-disjoint.
+    // `dupEvery` sets the planted passage's document frequency
+    // (df = n / dupEvery per replica): the default 50 is the r10 2%-dup
+    // regime; the winnow AUTO-cap tiers (round-11) pass a value putting
+    // df UNDER the cap's df floor, because a cluster past the floor is
+    // — by the cap's own design — excised as boilerplate.
     val filler = "array_join(transform(sequence(0, 59), " +
       s"j -> substring(md5(concat('t:$saltI:', cast(id as string), ':', " +
       "cast(j as string))), 1, 10)), ' ')"
@@ -264,13 +269,15 @@ object ScaleProbe {
     spark.range(n).select(
       (col("id") + lit(offsetI * IdStride)).as("doc_id"),
       expr(s"concat($filler, " +
-        s"CASE WHEN id % 50 = 0 THEN concat(' ', $passage) ELSE '' END)")
+        s"CASE WHEN id % $dupEvery = 0 THEN concat(' ', $passage) ELSE '' END)")
         .as("text"))
   }
 
   /** K decoupled replicas of the realistic-entropy corpus. */
-  def entropyCorpus(spark: SparkSession, n: Long, k: Int): DataFrame =
-    (0 until k).map(i => entropyReplica(spark, n, i, i)).reduce(_ unionAll _)
+  def entropyCorpus(spark: SparkSession, n: Long, k: Int,
+                    dupEvery: Int = 50): DataFrame =
+    (0 until k).map(i => entropyReplica(spark, n, i, i, dupEvery))
+      .reduce(_ unionAll _)
 
   /** Gram length for an n-title edit-distance run: q must grow with the
     * corpus so the gram space (alphabet^q) outpaces posting-list density —
@@ -796,6 +803,40 @@ object ScaleProbe {
       c.unpersist()
     }
 
+    /** AUTO-capped winnow route at the production-entropy geometry
+      * (round-11, VERDICT r10 next #2): entropy_winnow_pairs runs the
+      * UNCAPPED pin, so the auto-cap derivation — census checkpoint +
+      * exact count routing + the single-row histogram fold — had never
+      * executed at the ~92M-census tier that killed the old broadcast.
+      * The corpus plants the dup passage at df = n/125 = 40 < the cap's
+      * df floor (64): the derived cap (floor, since the df quantile of
+      * this clean corpus is 1) must KEEP the planted cluster, so the
+      * auto pair count must equal the uncapped run exactly at every
+      * tier — C(40, 2) × K = 780K. A cluster past the floor would be
+      * excised by design (boilerplate by the cap's own argument), which
+      * is why this fixture seeds under it. */
+    def entropyAutoProbe(tag: String, k: Int): Unit = {
+      import graft.operators.Winnow
+      val c = entropyCorpus(spark, 5000L, k, dupEvery = 125)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count()
+      var uncapped = -1L
+      t(s"entropy_winnow_auto_uncapped_pin_$tag") {
+        uncapped = Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
+          minShared = 3, maxDf = Long.MaxValue).count()
+        uncapped
+      }
+      var auto = -2L
+      t(s"entropy_winnow_auto_$tag") {
+        auto = Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
+          minShared = 3).count()
+        auto
+      }
+      println(s"SCALE entropy_winnow_auto_$tag: auto=$auto uncapped=$uncapped" +
+        (if (auto == uncapped) " (EXACT match)" else " (MISMATCH)"))
+      c.unpersist()
+    }
+
     def winnowProbe(tag: String, k: Int): Unit = {
       import graft.operators.Winnow
       val c = winnowCorpus(spark, 5000L, k)
@@ -1018,6 +1059,11 @@ object ScaleProbe {
       ks.foreach(k => entropyProbe(s"${k}x", k))
       spark.stop(); return
     }
+    if (probeOnly.contains("entropyauto")) {
+      entropyAutoProbe("1x", 1)
+      ks.foreach(k => entropyAutoProbe(s"${k}x", k))
+      spark.stop(); return
+    }
     val onlyLayout = probeOnly.contains("layout")
     if (onlyLayout) {
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
@@ -1036,6 +1082,7 @@ object ScaleProbe {
       subdocProbe("1x", 1)
       winnowProbe("1x", 1)
       entropyProbe("1x", 1)
+      entropyAutoProbe("1x", 1)
       hotcellProbe("4k", 4000L)
       lmProbe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false,
         trainFraction = 1.0)
@@ -1056,6 +1103,7 @@ object ScaleProbe {
         subdocProbe(s"${k}x", k)
         winnowProbe(s"${k}x", k)
         entropyProbe(s"${k}x", k)
+        entropyAutoProbe(s"${k}x", k)
         // hot-cell tiers are corpus-independent (own generator): run the
         // 20k/60k mega-cells alongside the 10x corpus tier only
         if (k == ks.min) { hotcellProbe("20k", 20000L); hotcellProbe("60k", 60000L) }

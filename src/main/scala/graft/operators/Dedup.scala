@@ -514,11 +514,25 @@ object Dedup {
     * round-1 inverted-index self-join, whose hot-shingle groups exploded
     * to sum(df²) ≈ 73M rows at sf0.1. Exactly the same result set as
     * brute-force Jaccard, so the DuckDB oracle stays the plain formulation.
-    */
+    *
+    * `maxVocab` (round-11 broadcast audit): the dictionary is BROADCAST
+    * and every document carries a V-bit bitmap, so an oversized
+    * vocabulary fails this path by construction — the routed entry
+    * ([[jaccardPairs]]) measures the vocabulary first and never
+    * sends an unbounded one here, but a direct caller used to get an
+    * opaque executor OOM instead of this actionable error (the
+    * semDedupLocal `maxCellRows` discipline). */
   def jaccardBitmapPairs(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int, threshold: Double): DataFrame = {
+                         shingleN: Int, threshold: Double,
+                         maxVocab: Long = 1L << 22): DataFrame = {
     val sh = shingleRows(df, idCol, textCol, shingleN)
     val (dict, vocab) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
+    require(vocab <= maxVocab,
+      s"jaccardBitmapPairs: measured shingle vocabulary $vocab exceeds " +
+        s"maxVocab=$maxVocab — the dense-dictionary broadcast and per-doc " +
+        s"bitmaps are vocabulary-sized; use the inverted-index path " +
+        s"(jaccardPairs routes on measured vocab) or raise maxVocab " +
+        s"deliberately")
     jaccardBitmapFrom(sh, dict, vocab.toInt, threshold)
   }
 

@@ -55,13 +55,30 @@ object Packing {
       .select(col(idCol), col("shard"), col("pos"), n.as("__n"))
     val w = Window.partitionBy(col("shard")).orderBy(col("pos"))
     val intra = sharded.withColumn("__cum", sum(col("__n")).over(w))
-    // shard bases: 256 totals, prefix-summed; the single-partition window
-    // is over the SHARD relation (<= 256 rows), never the corpus
-    val wShard = Window.orderBy(col("shard"))
-      .rowsBetween(Window.unboundedPreceding, -1)
+    // shard bases: 256 totals, exclusive-prefix-summed with a single-row
+    // sorted fold (collect to ONE row, run the prefix sum as an array
+    // HOF, explode back) instead of a global Window — the relation is
+    // <= 256 rows, so the single aggregate is the same data movement the
+    // Window's single partition was, minus the WindowExec
+    // "moving all data to a single partition" warning that buried the
+    // bench tail (round-11, VERDICT r10 next #5; the same restatement
+    // as the winnow auto-cap quantile). Two rejected alternatives: a
+    // constant partition key is folded away by the optimizer (warning
+    // returns), and a theta self-join references the upstream pipeline
+    // subtree a third time, which multiplies composed-chain plan TEXT
+    // (Catalyst trees, not DAGs — explainString OOMed op_pipeline_pack).
     val bases = intra.groupBy(col("shard")).agg(sum(col("__n")).as("__t"))
-      .withColumn("__base", coalesce(sum(col("__t")).over(wShard), lit(0L)))
-      .select(col("shard"), col("__base"))
+      .agg(sort_array(collect_list(struct(col("shard"), col("__t")))).as("h"))
+      .select(explode(aggregate(col("h"),
+        struct(lit(0L).as("cum"),
+          array().cast("array<struct<shard:string,base:bigint>>").as("out")),
+        (acc, x) => struct(
+          (acc("cum") + x("__t")).as("cum"),
+          concat(acc("out"),
+            array(struct(x("shard").as("shard"), acc("cum").as("base"))))
+            .as("out")),
+        acc => acc("out"))).as("e"))
+      .select(col("e.shard").as("shard"), col("e.base").as("__base"))
     def fdiv(x: org.apache.spark.sql.Column) =
       ((x - pmod(x, L)) / L).cast("long")
     val g = intra.join(broadcast(bases), Seq("shard"))

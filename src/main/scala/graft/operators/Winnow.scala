@@ -173,7 +173,15 @@ object Winnow {
     * df census is one partial+final count on the 16-byte fp; the pair
     * join shuffles (fp, id) rows only (never text) and its output is
     * df-bounded per fp; the (id_a, id_b) count is a hash agg on pair
-    * keys. No corpus text beyond the one fingerprinting pass. */
+    * keys. No corpus text beyond the one fingerprinting pass — under
+    * the auto cap, literally one: the fingerprint frame is
+    * localCheckpoint'ed and every consumer (histogram, census, counts,
+    * both pair-join sides) reads the materialized blocks. The
+    * checkpoint is executor-local storage (MEMORY_AND_DISK): on a
+    * cluster where executor loss mid-query is routine, a reliable
+    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` variant
+    * trades one distributed write for replayability — the lineage-free
+    * plan shape is identical. */
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, w: Int, minShared: Long,
                    maxDf: Long = AutoMaxDf,

@@ -592,6 +592,38 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c3.unpersist() }
   }
 
+  test("auto-capped winnow equals the uncapped run on a clean entropy corpus; floor keeps an under-floor dup cluster") {
+    import graft.operators.Winnow
+    // round-11 (VERDICT r10 next #2): the AUTO cap derivation — census
+    // checkpoint, exact-count routing, single-row histogram fold — had
+    // only ever been oracle-gated on the sf corpus; this is the
+    // deterministic gate at the production-entropy geometry. The
+    // corpus plants its dup passage at df = n/125 = 4 docs per replica
+    // (under the autoDfFloor = 64): the clean corpus's df quantile is
+    // 1, so the derived cap is exactly the floor, which must KEEP the
+    // planted cluster — auto pair count == uncapped == C(4, 2) × K
+    // EXACTLY, at both tiers. (A cluster past the floor is excised by
+    // design — the probe-side fixtures seed under it deliberately.)
+    val c1 = ScaleProbe.entropyCorpus(spark, 500L, 1, dupEvery = 125)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val c3 = ScaleProbe.entropyCorpus(spark, 500L, 3, dupEvery = 125)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      def pairs(df: org.apache.spark.sql.DataFrame, auto: Boolean): Long =
+        (if (auto) Winnow.overlapPairs(df, "doc_id", "text", k = 8, w = 6,
+          minShared = 3)
+        else Winnow.overlapPairs(df, "doc_id", "text", k = 8, w = 6,
+          minShared = 3, maxDf = Long.MaxValue)).count()
+      val (u1, a1) = (pairs(c1, auto = false), pairs(c1, auto = true))
+      val (u3, a3) = (pairs(c3, auto = false), pairs(c3, auto = true))
+      info(s"1x: uncapped $u1 auto $a1; 3x: uncapped $u3 auto $a3")
+      assert(u1 == 6L, s"uncapped pairs must be C(4, 2) exactly: $u1")
+      assert(a1 == u1, s"auto cap must keep the under-floor cluster: $a1 vs $u1")
+      assert(u3 == 3 * u1 && a3 == u3,
+        s"3x tier must stay exact and identical: uncapped $u3, auto $a3")
+    } finally { c1.unpersist(); c3.unpersist() }
+  }
+
   test("BPE merge sequence is scale-invariant under exact-copy replication") {
     import graft.operators.Bpe
     // K exact copies multiply every word weight by K uniformly, so the
