@@ -531,8 +531,9 @@ object Layout {
     * stage, where a dropped fingerprint is a missed rejection (recall
     * matters more than pair-join cost, which the probe bounds batch-
     * side), and boilerplate accrual is re-gated at
-    * [[winnowIndexCompact]]. Pass an explicit cap to align with the
-    * operator's policy. */
+    * [[winnowIndexCompact]]. Pass an explicit cap — or
+    * `Some(Winnow.AutoMaxDf)` for the operator's derived-cap policy —
+    * to align with the ad-hoc default. */
   def winnowIndex(spark: SparkSession, docs: DataFrame,
                   idCol: String, textCol: String, k: Int, w: Int,
                   buckets: Int = 8, maxDf: Option[Long] = None,
@@ -549,18 +550,40 @@ object Layout {
   /** Drop fingerprints whose document frequency exceeds the cap — the
     * boilerplate gate shared by [[winnowIndex]] build and compact. The
     * census side gets FRESH column names (the self-derived-aggregate
-    * join trap). */
-  private def dfCapped(fps: DataFrame, maxDf: Option[Long]): DataFrame =
+    * join trap), and its join is pinned sort-merge: the census is a
+    * derived aggregate with the exact misestimated-broadcast hazard
+    * the operator routes around (BROADCASTS.md), and an index build is
+    * a one-time job where a tiny extra exchange on small corpora is
+    * the right price for never gambling the driver.
+    *
+    * `Some(graft.operators.Winnow.AutoMaxDf)` selects the OPERATOR'S
+    * auto policy (round-11: previously this sentinel would have been
+    * used as the literal cap −1 and silently built an EMPTY index):
+    * cap = max(floor 64, exact 0.999 df quantile), derived with the
+    * shared [[graft.operators.Winnow.autoCapFromCensus]] fold. */
+  private def dfCapped(fps: DataFrame, maxDf: Option[Long]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, count, lit}
     maxDf match {
       case None => fps
+      case Some(graft.operators.Winnow.AutoMaxDf) =>
+        val census = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        val cap = graft.operators.Winnow.autoCapFromCensus(
+          census, quantile = 0.999, floor = 64L)
+        val dfs = census.crossJoin(broadcast(cap))
+          .filter(col("df") <= col("__cap"))
+          .select(col("fp").as("fp_c"))
+        fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
+          .select(col("id"), col("fp"))
       case Some(cap) =>
-        val dfs = fps.groupBy(col("fp"))
-          .agg(org.apache.spark.sql.functions.count(
-            org.apache.spark.sql.functions.lit(1)).as("df"))
+        require(cap >= 1, s"winnow index maxDf must be >= 1 or " +
+          s"Some(Winnow.AutoMaxDf), got $cap")
+        val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select(col("fp").as("fp_c"))
-        fps.join(dfs, col("fp") === col("fp_c")).select(col("id"), col("fp"))
+        fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
+          .select(col("id"), col("fp"))
     }
+  }
 
   /** Append a batch's fingerprint sets to a [[winnowIndex]] — the LSM
     * write; fold in only ACCEPTED documents (the admitted-only

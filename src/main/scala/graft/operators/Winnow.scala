@@ -182,6 +182,39 @@ object Winnow {
     * `spark.sparkContext.setCheckpointDir` + `checkpoint()` variant
     * trades one distributed write for replayability — the lineage-free
     * plan shape is identical. */
+  /** The AutoMaxDf cap derivation over a (fp, df) census relation: a
+    * 1-row frame whose `__cap` column is
+    * max(`floor`, the exact discrete `quantile` of df over distinct
+    * fingerprints) — the [[overlapPairs]] default boilerplate gate,
+    * exposed so index builds can opt into the same policy
+    * (graft.catalog.Layout.winnowIndex with `Some(AutoMaxDf)`).
+    *
+    * Exact discrete quantile, order-free: cap = min df whose
+    * cumulative fp count reaches quantile × total, over the
+    * distinct-df histogram. Computed as ONE hash aggregate to a single
+    * row — the sorted histogram is folded with a linear HOF, so no
+    * global Window funnels the histogram through a single-partition
+    * sort (round-11, ADVICE r10: the old formulation's two
+    * unpartitioned Windows were the bench tail's WindowExec warning
+    * spam). Buffer bound: d distinct df values satisfy
+    * d(d+1)/2 ≤ Σ df·nf = census rows, so d ≤ √(2·rows) — ~1.4M
+    * structs (~45 MB) even at a 10¹²-row census, the same rows the
+    * Window route funneled to one task. */
+  private[graft] def autoCapFromCensus(census: DataFrame, quantile: Double,
+                                       floor: Long): DataFrame =
+    census.groupBy(col("df")).agg(count(lit(1)).as("nf"))
+      .agg(sort_array(collect_list(struct(col("df"), col("nf")))).as("h"),
+        sum(col("nf")).as("nn"))
+      .select(greatest(lit(floor),
+        aggregate(col("h"),
+          struct(lit(0L).as("cum"), lit(-1L).as("capv")),
+          (acc, x) => struct(
+            (acc("cum") + x("nf")).as("cum"),
+            when(acc("capv") >= 0L, acc("capv"))
+              .when(acc("cum") + x("nf") >= col("nn") * quantile, x("df"))
+              .otherwise(lit(-1L)).as("capv")),
+          acc => acc("capv"))).as("__cap"))
+
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, w: Int, minShared: Long,
                    maxDf: Long = AutoMaxDf,
@@ -237,30 +270,7 @@ object Winnow {
         val census = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .localCheckpoint(true)
         val censusBig = census.count() > BroadcastCensusMaxRows
-        // exact discrete quantile, order-free: cap = min df whose
-        // cumulative fp count reaches quantile × total, over the
-        // distinct-df histogram. Computed as ONE hash aggregate to a
-        // single row — the sorted histogram is folded with a linear
-        // HOF, so no global Window funnels the histogram through a
-        // single-partition sort (round-11, ADVICE r10: the old
-        // formulation's two unpartitioned Windows were the bench
-        // tail's WindowExec warning spam). Buffer bound: d distinct df
-        // values satisfy d(d+1)/2 ≤ Σ df·nf = census rows, so
-        // d ≤ √(2·rows) — ~1.4M structs (~45 MB) even at a 10¹²-row
-        // census, the same rows the Window route funneled to one task.
-        val cap = census.groupBy(col("df")).agg(count(lit(1)).as("nf"))
-          .agg(sort_array(collect_list(struct(col("df"), col("nf")))).as("h"),
-            sum(col("nf")).as("nn"))
-          .select(greatest(lit(autoDfFloor),
-            aggregate(col("h"),
-              struct(lit(0L).as("cum"), lit(-1L).as("capv")),
-              (acc, x) => struct(
-                (acc("cum") + x("nf")).as("cum"),
-                when(acc("capv") >= 0L, acc("capv"))
-                  .when(acc("cum") + x("nf") >= col("nn") * autoDfQuantile,
-                    x("df"))
-                  .otherwise(lit(-1L)).as("capv")),
-              acc => acc("capv"))).as("__cap"))
+        val cap = autoCapFromCensus(census, autoDfQuantile, autoDfFloor)
         val cappedCensus = census.crossJoin(broadcast(cap))
           .filter(col("df") <= col("__cap"))
           .select(col("fp").as("fp_c"), col("df"))

@@ -658,4 +658,52 @@ class LayoutSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS wn_idx_wfps")
     }
   }
+
+  test("winnow index auto cap: Some(AutoMaxDf) applies the operator's derived policy, not a -1 literal") {
+    // round-11: before the sentinel was understood by dfCapped, a caller
+    // aligning the index with the operator default (ADVICE r10 low)
+    // would have built an EMPTY index (filter df <= -1). The policy:
+    // clean corpus -> cap = floor 64 -> everything under it stays;
+    // a planted every-doc boilerplate fp (df = 200 > 64) leaves.
+    val sp = spark
+    import sp.implicits._
+    import graft.operators.Winnow
+    // 1000 docs sharing one exact boilerplate sentence + unique bodies:
+    // the banner's distinct fps must be under the 0.1% quantile tail of
+    // the corpus's distinct-fp population for the quantile to land at
+    // df = 1 (clean-corpus regime) — ~12 banner fps over ~20k+ distinct
+    // body fps ≈ 0.05% here
+    def hex(s: String): String = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(10)
+    val docs = (0L until 1000L).map { i =>
+      // gram-disjoint bodies (seeded hex tokens, the entropyCorpus
+      // discipline — literal patterns like w1_2 share 8-grams across
+      // docs and push the df quantile above the floor)
+      val body = (0 until 10).map(j => hex(s"b:$i:$j")).mkString(" ")
+      (i, s"$body shared boilerplate banner line for every doc")
+    }.toDF("doc_id", "text")
+    try {
+      Layout.winnowIndex(sp, docs, "doc_id", "text", k = 8, w = 6,
+        buckets = 4, maxDf = Some(Winnow.AutoMaxDf), tableName = "wn_auto_idx")
+      val idx = sp.table("wn_auto_idx_wfps")
+      assert(idx.count() > 0, "auto cap must not empty the index")
+      // no surviving fp may exceed the floor (the banner fps are gone)
+      val maxDfLeft = idx.groupBy(col("fp")).count()
+        .agg(org.apache.spark.sql.functions.max(col("count"))).head().getLong(0)
+      assert(maxDfLeft <= 64L, s"boilerplate fps survived the auto cap: df $maxDfLeft")
+      // and the index equals the explicitly-64-capped build (the clean
+      // corpus's quantile is 1 -> cap = floor exactly)
+      Layout.winnowIndex(sp, docs, "doc_id", "text", k = 8, w = 6,
+        buckets = 4, maxDf = Some(64L), tableName = "wn_auto_idx_ref")
+      val a = idx.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      val b = sp.table("wn_auto_idx_ref_wfps").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+      assert(a == b, "auto cap on a clean corpus must equal the floor cap")
+      intercept[IllegalArgumentException] {
+        Layout.winnowIndex(sp, docs, "doc_id", "text", k = 8, w = 6,
+          buckets = 4, maxDf = Some(-7L), tableName = "wn_auto_idx_bad")
+      }
+    } finally Seq("wn_auto_idx_wfps", "wn_auto_idx_ref_wfps",
+      "wn_auto_idx_bad_wfps").foreach(t => sp.sql(s"DROP TABLE IF EXISTS $t"))
+  }
 }
