@@ -988,6 +988,23 @@ object Text extends QueryPack {
         .orderBy(col("doc_id"), col("pos"))
     }),
 
+    // -- the pair-join CONSUMER over the unicode corpus (the row above
+    //    gates only fingerprint selection): distinct sets, df census,
+    //    self-join, HAVING gate and 4dp containment all recomputed by
+    //    DuckDB on multi-byte text. Uncapped pin, matching
+    //    text_winnow_pairs' convention.
+    "text_winnow_pairs_unicode" -> ((s, dir) => {
+      import graft.operators.Winnow
+      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
+        concat(
+          translate(col("text"), "aeiou", UniVowels),
+          when(col("doc_id") % 7 === 0, lit(UniTail)).otherwise(lit("")))
+          .as("text"))
+      Winnow.overlapPairs(seeded, "doc_id", "text",
+          k = 8, w = 6, minShared = 5, maxDf = Long.MaxValue)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "text_bpe_encode_unicode" -> ((s, dir) => {
       import graft.operators.Bpe
       val uni = Tables(s, dir, "documents").select(col("doc_id"),
@@ -2125,6 +2142,37 @@ object Text extends QueryPack {
 
     "text_bpe_encode_unicode" -> bpeEncodeOracle(12,
       textExpr = s"translate(text, 'aeiou', '$UniVowels')",
-      wordRe = s"^[a-z0-9$UniVowels]+$$")
+      wordRe = s"^[a-z0-9$UniVowels]+$$"),
+
+    "text_winnow_pairs_unicode" ->
+      s"""WITH d0 AS (SELECT doc_id, translate(text, 'aeiou', '$UniVowels')
+        |  || CASE WHEN doc_id % 7 = 0 THEN '$UniTail' ELSE '' END AS text
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+        |  FROM d0),
+        |g AS (SELECT doc_id, t, CAST(len(t) - 8 + 1 AS BIGINT) AS m,
+        |    UNNEST(range(1, len(t) - 8 + 2)) AS p
+        |  FROM d WHERE len(t) >= 8),
+        |h AS (SELECT doc_id, m, CAST(p AS BIGINT) AS p,
+        |    concat(substr(md5(substr(t, CAST(p AS INT), 8)), 1, 16),
+        |      lpad(CAST(999999999999 - p AS VARCHAR), 12, '0')) AS key
+        |  FROM g),
+        |w AS (SELECT doc_id, m, p,
+        |    MIN(key) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS wk
+        |  FROM h),
+        |f AS MATERIALIZED (SELECT DISTINCT doc_id, substr(wk, 1, 16) AS fp
+        |  FROM w WHERE p <= GREATEST(m - 6 + 1, 1)),
+        |n AS MATERIALIZED (SELECT doc_id, COUNT(*) AS n FROM f GROUP BY 1),
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    COUNT(*) AS shared_fps
+        |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 5)
+        |SELECT id_a, id_b, shared_fps, na.n AS n_a, nb.n AS n_b,
+        |  ROUND(shared_fps / LEAST(na.n, nb.n), 4) AS overlap
+        |FROM pr JOIN n na ON pr.id_a = na.doc_id
+        |  JOIN n nb ON pr.id_b = nb.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
   )
 }
