@@ -143,9 +143,19 @@ object StreamOps {
         shingleN, numHashes, bands, buckets, estThreshold)(onPairs)
     }
 
-  /** Content-keyed batch tag: `b<id>_<n>x<checksum>` with `n` the batch
-    * row count and the checksum an order-independent sum of per-row
-    * crc32(id ‖ text). The CONTENT component is what makes the replay
+  /** Content-keyed batch tag: `b<id>_<n>x<xxh64-sum>_<crc32-sum>` with
+    * `n` the batch row count and two order-independent per-row sums:
+    * a STRUCTURAL `xxhash64(id, text)` (multi-argument form — each value
+    * hashed with its type, no string concatenation, so (id=1, text="2x")
+    * and (id=12, text="x") can never encode identically regardless of id
+    * type — ADVICE r11; summed in a decimal(38,0) accumulator, rendered
+    * in decimal with `m` for the sign, because ANSI mode throws on a
+    * long overflow of summed 64-bit hashes) and the original `crc32`
+    * over the U+0001-separated casts. Summing BOTH a 64-bit structural hash and
+    * an independent 32-bit hash makes an accidental cross-batch
+    * collision — which would silently serve a stale snapshot — a ~2⁻⁹⁶
+    * event instead of 2⁻³².
+    * The CONTENT component is what makes the replay
     * machinery — output snapshots, append-ledger markers, span-census
     * source tags — safe against a batch-id collision from a DIFFERENT
     * stream (round-11, ADVICE r10 medium): a new streaming query
@@ -162,10 +172,15 @@ object StreamOps {
                                      idCol: String, textCol: String): String = {
     val r = batch.agg(
       count(lit(1)).as("n"),
+      // decimal(38,0) accumulator: ANSI mode would throw on a long
+      // overflow of summed 64-bit hashes; 38 digits hold ~1e19 rows
+      coalesce(sum(xxhash64(col(idCol), col(textCol)).cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).cast("string").as("x"),
       coalesce(sum(crc32(concat_ws("",
         col(idCol).cast("string"), col(textCol).cast("string")))), lit(0L))
         .as("s")).head()
-    s"b${id}_${r.getLong(0)}x${java.lang.Long.toHexString(r.getLong(1))}"
+    s"b${id}_${r.getLong(0)}x${r.getString(1).replace('-', 'm')}" +
+      s"_${java.lang.Long.toHexString(r.getLong(2))}"
   }
 
   /** One micro-batch of [[dedupStreamAgainstIndex]] — package-visible so

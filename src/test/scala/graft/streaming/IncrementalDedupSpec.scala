@@ -643,6 +643,26 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally dropAll()
   }
 
+  test("batchContentTag: boundary-ambiguous rows get distinct tags; row order does not matter") {
+    // ADVICE r11 (medium): a separator-free string concat would encode
+    // (id=1, text="2x") and (id=12, text="x") identically, and a 32-bit
+    // order-independent checksum alone is weak. The tag now sums a
+    // STRUCTURAL multi-arg xxhash64 (no concatenation anywhere) next to
+    // the crc32, so boundary ambiguity is impossible for any id type.
+    val sp = spark
+    import sp.implicits._
+    def tag(rows: Seq[(String, String)]): String =
+      StreamOps.batchContentTag(rows.toDF("doc_id", "text"), 0L, "doc_id", "text")
+    assert(tag(Seq("1" -> "2x")) != tag(Seq("12" -> "x")),
+      "boundary-shifted batch must get a different content tag")
+    // string ids containing the crc32 separator must still disambiguate
+    assert(tag(Seq("a\u0001b" -> "c")) != tag(Seq("a" -> "b\u0001c")))
+    // replay safety: the tag is a pure content function — same rows in a
+    // different order (a different partitioning of the same batch) match
+    assert(tag(Seq("1" -> "x", "2" -> "y")) == tag(Seq("2" -> "y", "1" -> "x")))
+    assert(tag(Seq("1" -> "x")) != tag(Seq("1" -> "y")))
+  }
+
   test("fresh-checkpoint restart: a batch-id collision with different content computes live; stale artifacts prune") {
     // round-11 (ADVICE r10 medium): snapshots and ledger markers keyed
     // by batchId alone would let a NEW streaming query — fresh
