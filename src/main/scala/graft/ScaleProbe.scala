@@ -815,11 +815,28 @@ object ScaleProbe {
       * tier — C(40, 2) × K = 780K. A cluster past the floor would be
       * excised by design (boilerplate by the cap's own argument), which
       * is why this fixture seeds under it. */
-    def entropyAutoProbe(tag: String, k: Int): Unit = {
+    def entropyAutoProbe(tag: String, k: Int,
+                         diskArmOnly: Boolean = false): Unit = {
       import graft.operators.Winnow
       val c = entropyCorpus(spark, 5000L, k, dupEvery = 125)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       c.count()
+      if (diskArmOnly) {
+        // the DEFAULT-HEAP arm (SPARK_GRAFT_PROBE_ONLY=entropyautodisk,
+        // run WITHOUT SPARK_DRIVER_MEM): only the DISK_ONLY route runs —
+        // the memdisk arms need 48 GB at the 100× tier and would kill
+        // the JVM before this arm got its turn. The deterministic
+        // signal is the pair count (C(40,2)·K + stray fp collisions,
+        // r11 pins: 780 / 7,802 / 78,128 at 1×/10×/100×).
+        t(s"entropy_winnow_auto_disk_$tag") {
+          spark.conf.set(Winnow.CheckpointStorageConf, "disk")
+          try Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
+            minShared = 3).count()
+          finally spark.conf.unset(Winnow.CheckpointStorageConf)
+        }
+        c.unpersist()
+        return
+      }
       var uncapped = -1L
       t(s"entropy_winnow_auto_uncapped_pin_$tag") {
         uncapped = Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
@@ -832,8 +849,22 @@ object ScaleProbe {
           minShared = 3).count()
         auto
       }
-      println(s"SCALE entropy_winnow_auto_$tag: auto=$auto uncapped=$uncapped" +
-        (if (auto == uncapped) " (EXACT match)" else " (MISMATCH)"))
+      // the DISK_ONLY storage knob (round-12, VERDICT r11 next #2): the
+      // same auto route with zero checkpoint heap residency — the arm
+      // that must hold at DEFAULT driver heap in single-JVM local mode
+      // where the memdisk blocks needed 48 GB at the 100× tier
+      var autoDisk = -3L
+      t(s"entropy_winnow_auto_disk_$tag") {
+        spark.conf.set(Winnow.CheckpointStorageConf, "disk")
+        try autoDisk = Winnow.overlapPairs(c, "doc_id", "text", k = 8,
+          w = 6, minShared = 3).count()
+        finally spark.conf.unset(Winnow.CheckpointStorageConf)
+        autoDisk
+      }
+      println(s"SCALE entropy_winnow_auto_$tag: auto=$auto" +
+        s" autoDisk=$autoDisk uncapped=$uncapped" +
+        (if (auto == uncapped && autoDisk == uncapped) " (EXACT match)"
+         else " (MISMATCH)"))
       c.unpersist()
     }
 
@@ -1062,6 +1093,10 @@ object ScaleProbe {
     if (probeOnly.contains("entropyauto")) {
       entropyAutoProbe("1x", 1)
       ks.foreach(k => entropyAutoProbe(s"${k}x", k))
+      spark.stop(); return
+    }
+    if (probeOnly.contains("entropyautodisk")) {
+      ks.foreach(k => entropyAutoProbe(s"${k}x", k, diskArmOnly = true))
       spark.stop(); return
     }
     val onlyLayout = probeOnly.contains("layout")

@@ -560,13 +560,21 @@ object Layout {
     * auto policy (round-11: previously this sentinel would have been
     * used as the literal cap −1 and silently built an EMPTY index):
     * cap = max(floor 64, exact 0.999 df quantile), derived with the
-    * shared [[graft.operators.Winnow.autoCapFromCensus]] fold. */
-  private def dfCapped(fps: DataFrame, maxDf: Option[Long]): DataFrame = {
+    * shared [[graft.operators.Winnow.autoCapFromCensus]] fold. The auto
+    * branch mirrors the operator's reuse discipline (round-12, ADVICE
+    * r11: unpersisted, the census subtree ran twice and the
+    * fingerprinting subtree three times on every auto-capped build) —
+    * fps and census are eagerly materialized ONCE via
+    * [[graft.operators.Winnow.materializeOnce]], storage selected by
+    * the same `graft.winnow.checkpointStorage` session conf. */
+  private def dfCapped(fps0: DataFrame, maxDf: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, count, lit}
     maxDf match {
-      case None => fps
+      case None => fps0
       case Some(graft.operators.Winnow.AutoMaxDf) =>
-        val census = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        val fps = graft.operators.Winnow.materializeOnce(fps0)
+        val census = graft.operators.Winnow.materializeOnce(
+          fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
         val cap = graft.operators.Winnow.autoCapFromCensus(
           census, quantile = 0.999, floor = 64L)
         val dfs = census.crossJoin(broadcast(cap))
@@ -577,10 +585,10 @@ object Layout {
       case Some(cap) =>
         require(cap >= 1, s"winnow index maxDf must be >= 1 or " +
           s"Some(Winnow.AutoMaxDf), got $cap")
-        val dfs = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+        val dfs = fps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select(col("fp").as("fp_c"))
-        fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
+        fps0.join(dfs.hint("merge"), col("fp") === col("fp_c"))
           .select(col("id"), col("fp"))
     }
   }

@@ -60,6 +60,45 @@ object Winnow {
     * from the corpus's own df distribution (the safe-by-default route). */
   val AutoMaxDf: Long = -1L
 
+  /** Session conf selecting the storage behind the auto route's eager
+    * corpus-scale materializations ([[overlapPairs]]' fingerprint frame
+    * and df census, and graft.catalog.Layout.dfCapped's index-build
+    * twins). The lineage-free plan shape — and therefore the pair set —
+    * is identical under every value (ScaleSpec-gated):
+    *  - `memdisk` (default): executor-local `localCheckpoint` at
+    *    MEMORY_AND_DISK — fastest when the blocks fit; they compete
+    *    with execution memory, and in single-JVM local mode the 100×
+    *    entropy tier needed a 48 GB driver heap (SCALE.md r11).
+    *  - `disk`: executor-local `localCheckpoint` at DISK_ONLY — zero
+    *    heap residency for the blocks; the knob that lets the 100× tier
+    *    run at DEFAULT heap in local mode (round-12, VERDICT r11
+    *    next #2).
+    *  - `reliable`: `sparkContext.setCheckpointDir`-backed
+    *    `checkpoint()` — one distributed write, blocks survive executor
+    *    loss (clusters where mid-query loss is routine; the
+    *    localCheckpoint variants recompute-from-nothing there). */
+  val CheckpointStorageConf = "graft.winnow.checkpointStorage"
+
+  /** Eagerly materialize a multiply-consumed corpus-scale frame per
+    * [[CheckpointStorageConf]]. Runs Spark jobs NOW (see the
+    * [[overlapPairs]] eager-execution note). */
+  private[graft] def materializeOnce(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption(CheckpointStorageConf)
+      .getOrElse("memdisk") match {
+      case "memdisk" => df.localCheckpoint(true)
+      case "disk" =>
+        df.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "reliable" =>
+        require(
+          df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"$CheckpointStorageConf=reliable requires " +
+            "sparkContext.setCheckpointDir to be set first")
+        df.checkpoint(true)
+      case other => throw new IllegalArgumentException(
+        s"$CheckpointStorageConf must be memdisk|disk|reliable, got $other")
+    }
+
   /** [[overlapPairs]] broadcasts its df census explicitly when the
     * measured census-row bound is at or below this — 2M rows ≈ 64 MB
     * serialized, the same ceiling GraftSession.cluster sets for
@@ -84,12 +123,15 @@ object Winnow {
     * with fewer than `w` grams contribute their single global minimum
     * (the whole text is one window). */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
-                         k: Int, w: Int): DataFrame = {
+                         k: Int, w: Int,
+                         unicodeForm: Option[String] = None): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
     val normed = docs
       .select(col(idCol),
-        lower(trim(regexp_replace(col(textCol), "\\s+", " "))).as("__t"))
+        lower(trim(regexp_replace(
+          graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm),
+          "\\s+", " "))).as("__t"))
       .filter(length(col("__t")) >= k)
       .withColumn("__m", (length(col("__t")) - k + 1).cast("long"))
     val grams = normed
@@ -118,8 +160,9 @@ object Winnow {
     * (graft.catalog.Layout.winnowIndex): positions dropped, one row per
     * (document, fingerprint), ~2/(w+1) of corpus grams × (16 B + id). */
   def fingerprintSets(docs: DataFrame, idCol: String, textCol: String,
-                      k: Int, w: Int): DataFrame =
-    winnowFingerprints(docs, idCol, textCol, k, w)
+                      k: Int, w: Int,
+                      unicodeForm: Option[String] = None): DataFrame =
+    winnowFingerprints(docs, idCol, textCol, k, w, unicodeForm)
       .select(col(idCol), col("fp")).distinct()
 
   /** Cross-document partial-overlap detection — the CONSUMER the
@@ -174,14 +217,25 @@ object Winnow {
     * join shuffles (fp, id) rows only (never text) and its output is
     * df-bounded per fp; the (id_a, id_b) count is a hash agg on pair
     * keys. No corpus text beyond the one fingerprinting pass — under
-    * the auto cap, literally one: the fingerprint frame is
-    * localCheckpoint'ed and every consumer (histogram, census, counts,
-    * both pair-join sides) reads the materialized blocks. The
-    * checkpoint is executor-local storage (MEMORY_AND_DISK): on a
-    * cluster where executor loss mid-query is routine, a reliable
-    * `spark.sparkContext.setCheckpointDir` + `checkpoint()` variant
-    * trades one distributed write for replayability — the lineage-free
-    * plan shape is identical. */
+    * the auto cap, literally one: the fingerprint frame is eagerly
+    * materialized and every consumer (histogram, census, counts,
+    * both pair-join sides) reads the materialized blocks. The storage
+    * behind those blocks is the [[CheckpointStorageConf]] session conf:
+    * executor-local MEMORY_AND_DISK (default), executor-local DISK_ONLY
+    * (no heap residency — the local-mode big-corpus knob), or a
+    * reliable `setCheckpointDir`-backed `checkpoint()` for clusters
+    * where executor loss mid-query is routine (localCheckpoint blocks
+    * die with their executor). The lineage-free plan shape — and the
+    * pair set — is identical under all three (ScaleSpec-gated).
+    *
+    * EAGER-EXECUTION NOTE (the one auto-route behavior difference,
+    * round-11): under the default `maxDf = AutoMaxDf` this method runs
+    * Spark jobs DURING construction — the checkpoints, the exact census
+    * count and the join-routing aggregates execute before the returned
+    * DataFrame exists — so merely composing or `explain`ing the result
+    * pays the full fingerprinting pass. Explicit-cap callers
+    * (`maxDf = Long.MaxValue` or any literal) keep a fully lazy,
+    * checkpoint-free single-pass plan. */
   /** The AutoMaxDf cap derivation over a (fp, df) census relation: a
     * 1-row frame whose `__cap` column is
     * max(`floor`, the exact discrete `quantile` of df over distinct
@@ -238,7 +292,7 @@ object Winnow {
     // subtree each, and the uncapped oracle pin stays checkpoint-free.
     val fpsLazy = fingerprintSets(docs, idCol, textCol, k, w)
       .select(col(idCol).as("id"), col("fp"))
-    val fps = if (auto) fpsLazy.localCheckpoint(true) else fpsLazy
+    val fps = if (auto) materializeOnce(fpsLazy) else fpsLazy
     // MEASURED broadcast route for the df attachment (the Curation
     // vocab-gate discipline). The census relation is corpus-sized (one
     // row per distinct fp), and Catalyst estimates it from
@@ -267,8 +321,8 @@ object Winnow {
     // small, broadcast; Some(false) = measured large, pin sort-merge
     val (kept, selfSmall, countsSmall) =
       if (auto) {
-        val census = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
-          .localCheckpoint(true)
+        val census = materializeOnce(
+          fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
         val censusBig = census.count() > BroadcastCensusMaxRows
         val cap = autoCapFromCensus(census, autoDfQuantile, autoDfFloor)
         val cappedCensus = census.crossJoin(broadcast(cap))

@@ -621,6 +621,23 @@ class ScaleSpec extends SparkSpec {
       assert(a1 == u1, s"auto cap must keep the under-floor cluster: $a1 vs $u1")
       assert(u3 == 3 * u1 && a3 == u3,
         s"3x tier must stay exact and identical: uncapped $u3, auto $a3")
+      // the checkpoint-storage knob (round-12, VERDICT r11 next #2) must
+      // not change the pair set: every storage mode materializes the
+      // SAME lineage-free plan — DISK_ONLY localCheckpoint (the
+      // default-heap local-mode route) and the reliable
+      // setCheckpointDir-backed checkpoint both equal the memdisk run
+      def pairsWith(mode: String): Long = {
+        spark.conf.set(Winnow.CheckpointStorageConf, mode)
+        try pairs(c1, auto = true)
+        finally spark.conf.unset(Winnow.CheckpointStorageConf)
+      }
+      assert(pairsWith("disk") == a1, "DISK_ONLY route drifted the pair set")
+      val ckDir = java.nio.file.Files
+        .createTempDirectory("graft-ck").toString
+      spark.sparkContext.setCheckpointDir(ckDir)
+      assert(pairsWith("reliable") == a1, "reliable route drifted the pair set")
+      val bad = intercept[IllegalArgumentException](pairsWith("nope"))
+      assert(bad.getMessage.contains("memdisk|disk|reliable"))
     } finally { c1.unpersist(); c3.unpersist() }
   }
 
