@@ -49,6 +49,18 @@ package object functions {
   def bitmapFromInts(ids: Column, nBits: Int): Column =
     toColumn(BitmapFromIntsExpr(toExpr(ids), nBits))
 
+  /** Unicode normalization of a string column (`java.text.Normalizer`):
+    * form ∈ NFC|NFD|NFKC|NFKD. Codegen'd; already-normalized rows (all
+    * of ASCII) allocate nothing. The opt-in behind the dedup canonical
+    * forms' `unicodeForm` parameters. */
+  def unicodeNormalize(c: Column, form: String): Column =
+    toColumn(UnicodeNormalizeExpr(toExpr(c), form))
+
+  /** Apply [[unicodeNormalize]] when a form is given; identity otherwise —
+    * the shared shape of the operators' `unicodeForm` parameters. */
+  def unicodeNormalizeOpt(c: Column, form: Option[String]): Column =
+    form.fold(c)(unicodeNormalize(c, _))
+
   /** popcount(a AND b) of two bit-packed bitmaps (codegen'd pair hot path). */
   def bitAndCount(a: Column, b: Column): Column =
     toColumn(BitAndCountExpr(toExpr(a), toExpr(b)))
