@@ -287,10 +287,74 @@ object Layout {
     * removes the collision surface entirely. Call once per index table
     * the stream folds into (the minhash base name, `<para>_pkeys`,
     * `<winnow>_wfps` — the span census needs no reset: its source tags
-    * are data, folded exactly). */
+    * are data, folded exactly). Round-12: the streaming loops now
+    * AUTO-DETECT the forgotten reset per micro-batch
+    * ([[ensureStreamOwner]]), so this manual call is a supported
+    * belt-and-suspenders, no longer a correctness requirement. */
   def resetStreamState(spark: SparkSession, tableName: String): Unit = {
     clearLedger(spark, tableName)
     clearBatchOutputs(spark, tableName)
+    clearStreamOwner(spark, tableName)
+  }
+
+  /** Per-table stream-owner marker directory: `<table>_streamq/<queryId>`
+    * records WHICH streaming query (the checkpoint-persistent
+    * `StreamingQuery.id`, stable across crash-restarts of the same
+    * checkpoint, fresh for a fresh checkpoint) last folded into the
+    * table's stream state. */
+  private def streamOwnerDir(spark: SparkSession,
+                             tableName: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${tableName}_streamq")
+
+  private def clearStreamOwner(spark: SparkSession, tableName: String): Unit = {
+    val p = streamOwnerDir(spark, tableName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Fresh-checkpoint-restart auto-detection (round-12, VERDICT r11
+    * next #4): callers restarting a stream against a STANDING index were
+    * required to remember [[resetStreamState]]; forgetting it left a
+    * dead stream's ledger markers and snapshots keyed alongside the new
+    * stream's — and an id+content collision with the dead stream's final
+    * batch would serve output decided against that stream's differently
+    * accrued index. The streaming loops now call this per micro-batch
+    * with their query id: a marker for the SAME query is a no-op (one
+    * cheap existence check — crash-restarts of the same checkpoint keep
+    * their query id and their replay state); a marker for a DIFFERENT
+    * query means the caller forgot the reset, and the stale state is
+    * cleared automatically before the new query's first fold (exactly
+    * [[resetStreamState]], safe because micro-batch 0 has folded nothing
+    * yet and the dead query can never commit again).
+    *
+    * SINGLE-WRITER-PER-TABLE INVARIANT (ADVICE r11): at most ONE live
+    * streaming query may fold into a given index table. Two concurrent
+    * writers were never sound — each batch's pruning deletes the other
+    * query's snapshots/markers mid-flight — and under this guard they
+    * would additionally reset each other's ledger every batch. Fan-in
+    * belongs UPSTREAM (union the sources into one stream); this guard
+    * makes the sequential-restart path safe, not the concurrent one. */
+  def ensureStreamOwner(spark: SparkSession, tableName: String,
+                        queryId: String): Boolean = {
+    val dir = streamOwnerDir(spark, tableName)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val mine = new org.apache.hadoop.fs.Path(dir, queryId)
+    if (fs.exists(mine)) false
+    else {
+      val stale = fs.exists(dir) && fs.listStatus(dir).nonEmpty
+      if (stale) {
+        // a different query owns the standing stream state: the
+        // forgotten-reset path — clear it before this query's first fold
+        clearLedger(spark, tableName)
+        clearBatchOutputs(spark, tableName)
+        fs.delete(dir, true)
+      }
+      fs.mkdirs(mine)
+      // true = a dead stream's state was cleared; callers folding into
+      // SIDE tables (paragraph keys, winnow fps) reset those ledgers too
+      stale
+    }
   }
 
   /** Drop a managed table AND its warehouse directory. The catalog is
@@ -323,6 +387,7 @@ object Layout {
     Seq("_sigs", "_bands").foreach(sfx => dropTable(spark, s"$tableName$sfx"))
     clearLedger(spark, tableName)
     clearBatchOutputs(spark, tableName)
+    clearStreamOwner(spark, tableName)
   }
 
   def minhashBandIndex(spark: SparkSession, docs: DataFrame,
@@ -333,6 +398,7 @@ object Layout {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     clearLedger(spark, tableName) // fresh incarnation, fresh replay ledger
     clearBatchOutputs(spark, tableName) // and fresh per-batch output snapshots
+    clearStreamOwner(spark, tableName) // and no standing stream owner
     Dedup.minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
       .repartition(buckets, col("id"))
       .write.mode("overwrite")

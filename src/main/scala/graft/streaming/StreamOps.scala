@@ -126,11 +126,18 @@ object StreamOps {
     * thus receives identical frames on every delivery of a batch;
     * keying its own writes by batchId completes end-to-end
     * exactly-once. Superseded batches' snapshots and markers are pruned
-    * per batch (only the current batch can replay). When restarting
-    * with a FRESH CHECKPOINT against a standing index, call
-    * [[graft.catalog.Layout.resetStreamState]] first (see its scaladoc
-    * for the id+content collision it removes). Index params are layout
-    * metadata and must match the values the index was created with. */
+    * per batch (only the current batch can replay). A restart with a
+    * FRESH CHECKPOINT against the standing index is AUTO-DETECTED
+    * (round-12, VERDICT r11 next #4): each micro-batch checks the
+    * stream-owner marker against the query's checkpoint-persistent id
+    * ([[graft.catalog.Layout.ensureStreamOwner]]) and a dead stream's
+    * replay state is cleared before the new query's first fold —
+    * calling [[graft.catalog.Layout.resetStreamState]] manually remains
+    * supported but is no longer required. At most ONE live streaming
+    * query may fold into a given index table (the single-writer
+    * invariant — see ensureStreamOwner's scaladoc). Index params are
+    * layout metadata and must match the values the index was created
+    * with. */
   def dedupStreamAgainstIndex(docs: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
                               tableName: String, idCol: String, textCol: String,
@@ -183,16 +190,33 @@ object StreamOps {
       s"_${java.lang.Long.toHexString(r.getLong(2))}"
   }
 
+  /** The enclosing streaming query's checkpoint-persistent id, resolved
+    * from the local property Spark's stream-execution thread sets for
+    * every micro-batch (`sql.streaming.queryId`). Stable across
+    * crash-restarts of the SAME checkpoint; fresh for a fresh
+    * checkpoint — exactly the identity [[graft.catalog.Layout
+    * .ensureStreamOwner]]'s forgotten-reset detection needs. None when
+    * the batch body runs outside a streaming query (direct calls in
+    * goldens/backfills), where replay state is the caller's to manage. */
+  private def streamQueryId(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
+
   /** One micro-batch of [[dedupStreamAgainstIndex]] — package-visible so
     * the replay goldens can deliver the SAME (batch, id) twice, exactly
     * what foreachBatch does after a crash between the fold and the
-    * micro-batch commit. */
+    * micro-batch commit. `queryId` overrides the streaming-thread local
+    * property (tests; None outside a stream skips the owner guard). */
   private[graft] def dedupBatchAgainstIndex(batch: DataFrame, id: Long,
       spark: org.apache.spark.sql.SparkSession,
       tableName: String, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
-      estThreshold: Double)(onPairs: (DataFrame, Long) => Unit): Unit = {
+      estThreshold: Double, queryId: Option[String] = None)
+      (onPairs: (DataFrame, Long) => Unit): Unit = {
     import graft.catalog.Layout
+    // forgotten-reset auto-detection: a DIFFERENT query id on the
+    // standing stream state resets it before this query's first fold
+    queryId.orElse(streamQueryId(spark))
+      .foreach(q => Layout.ensureStreamOwner(spark, tableName, q))
     val tag = batchContentTag(batch, id, idCol, textCol)
     if (Layout.batchOutputCommitted(spark, tableName, tag)) {
       // REPLAY after the output was decided: the standing index may
@@ -350,11 +374,17 @@ object StreamOps {
     * tags from the identical collision. Snapshots and markers of
     * superseded batches are PRUNED at the end of every batch (ADVICE
     * r10 low — only the current batch can replay, so retention beyond
-    * it is an ever-growing second copy of the admitted corpus). For
-    * the fresh-checkpoint restart, still call
-    * [[graft.catalog.Layout.resetStreamState]] per index table first:
-    * it removes even the residual id+content collision with the dead
-    * stream's final batch. */
+    * it is an ever-growing second copy of the admitted corpus). The
+    * fresh-checkpoint restart is AUTO-DETECTED per micro-batch
+    * (round-12: [[graft.catalog.Layout.ensureStreamOwner]] compares the
+    * query's checkpoint-persistent id against the stream-owner marker
+    * and clears a dead stream's replay state — base-table ledger,
+    * snapshots, and the paragraph/winnow side-table ledgers — before
+    * the new query's first fold), which removes even the residual
+    * id+content collision with the dead stream's final batch; manual
+    * [[graft.catalog.Layout.resetStreamState]] remains supported. At
+    * most one live streaming query may fold into a given index table
+    * (the single-writer invariant, ensureStreamOwner's scaladoc). */
   def curateStreamAgainstIndex(docs: DataFrame,
                                spark: org.apache.spark.sql.SparkSession,
                                tableName: String, idCol: String, textCol: String,
@@ -397,10 +427,23 @@ object StreamOps {
       spanCensusTable: Option[String], spanGramLen: Int, spanBuckets: Int,
       winnowIndexTable: Option[String] = None,
       winnowK: Int = 8, winnowW: Int = 6, winnowMinShared: Long = 5,
-      winnowMinOverlap: Double = 0.5, winnowBuckets: Int = 8)
+      winnowMinOverlap: Double = 0.5, winnowBuckets: Int = 8,
+      queryId: Option[String] = None)
       (qualityFilter: DataFrame => DataFrame)
       (onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
       import graft.catalog.Layout
+      // forgotten-reset auto-detection, keyed on the loop's base table;
+      // when a dead stream's state is detected the SIDE tables' ledgers
+      // reset too (the span census needs none: its source tags are data,
+      // folded exactly — the resetStreamState scaladoc rule)
+      queryId.orElse(streamQueryId(spark)).foreach { q =>
+        if (Layout.ensureStreamOwner(spark, tableName, q)) {
+          paraIndexTable.foreach(pt =>
+            Layout.resetStreamState(spark, s"${pt}_pkeys"))
+          winnowIndexTable.foreach(wt =>
+            Layout.resetStreamState(spark, s"${wt}_wfps"))
+        }
+      }
       val tag = batchContentTag(batch, id, idCol, textCol)
       if (Layout.batchOutputCommitted(spark, tableName, tag)) {
         // REPLAY after the output was decided: the standing tables may

