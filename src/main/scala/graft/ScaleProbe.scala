@@ -537,7 +537,7 @@ object ScaleProbe {
       t(s"edit_candidates_$tag")(
         Dedup.editDistanceCandidates(titles, "id", "t", maxDist = 1, q = q).count())
       t(s"edit_distance_$tag")(
-        Dedup.editDistancePairs(titles, "id", "t", maxDist = 1, q = q).count())
+        Dedup.editDistancePairs(titles, "id", "t", maxDist = 1, q = q, unicodeForm = None).count())
       titles.unpersist()
     }
 

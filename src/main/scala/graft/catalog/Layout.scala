@@ -393,13 +393,16 @@ object Layout {
   def minhashBandIndex(spark: SparkSession, docs: DataFrame,
                        idCol: String, textCol: String,
                        shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
-                       buckets: Int = 8, tableName: String = "minhash_index"): Unit = {
+                       buckets: Int = 8, tableName: String = "minhash_index",
+                       unicodeForm: Option[String] = None): Unit = {
     import graft.operators.Dedup
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     clearLedger(spark, tableName) // fresh incarnation, fresh replay ledger
     clearBatchOutputs(spark, tableName) // and fresh per-batch output snapshots
     clearStreamOwner(spark, tableName) // and no standing stream owner
-    Dedup.minHashSignatures(docs, idCol, textCol, shingleN, numHashes)
+    // unicodeForm is version-pinned layout metadata like shingleN — every
+    // probe and append against this index must pass the same form
+    Dedup.minHashSignatures(docs, idCol, textCol, shingleN, numHashes, unicodeForm)
       .repartition(buckets, col("id"))
       .write.mode("overwrite")
       .bucketBy(buckets, "id").sortBy("id")
@@ -429,7 +432,8 @@ object Layout {
                          idCol: String, textCol: String,
                          shingleN: Int = 2, numHashes: Int = 32, bands: Int = 8,
                          buckets: Int = 8, tableName: String = "minhash_index",
-                         batchTag: Option[String] = None): Unit = {
+                         batchTag: Option[String] = None,
+                         unicodeForm: Option[String] = None): Unit = {
     import graft.operators.Dedup
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     // batchTag: replay-idempotency ledger (one tag guards BOTH tables —
@@ -437,7 +441,8 @@ object Layout {
     // rows only: the probe dedups sig rows per id and distincts pairs,
     // so a replayed fold never changes answers.
     idempotently(spark, tableName, batchTag) {
-      val sigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleN, numHashes)
+      val sigs = Dedup.minHashSignatures(batch, idCol, textCol, shingleN,
+        numHashes, unicodeForm)
         .localCheckpoint(eager = true) // one text pass feeds both appends
       sigs.repartition(buckets, col("id"))
         .write.mode("append")
@@ -545,9 +550,12 @@ object Layout {
   def fingerprintIndex(spark: SparkSession, docs: DataFrame,
                        idCol: String, textCol: String,
                        buckets: Int = 8,
-                       tableName: String = "fp_index"): Unit = {
+                       tableName: String = "fp_index",
+                       unicodeForm: Option[String] = None): Unit = {
     clearLedger(spark, s"${tableName}_fps") // fresh incarnation
-    graft.operators.Dedup.fingerprints(docs, idCol, textCol)
+    // unicodeForm is version-pinned layout metadata — probes/appends
+    // against this index must pass the same form
+    graft.operators.Dedup.fingerprints(docs, idCol, textCol, unicodeForm)
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
@@ -564,9 +572,10 @@ object Layout {
                              idCol: String, textCol: String,
                              buckets: Int = 8,
                              tableName: String = "fp_index",
-                             batchTag: Option[String] = None): Unit =
+                             batchTag: Option[String] = None,
+                             unicodeForm: Option[String] = None): Unit =
     idempotently(spark, s"${tableName}_fps", batchTag) {
-      graft.operators.Dedup.fingerprints(batch, idCol, textCol)
+      graft.operators.Dedup.fingerprints(batch, idCol, textCol, unicodeForm)
         .repartition(buckets, col("fp"))
         .write.mode("append")
         .bucketBy(buckets, "fp").sortBy("fp")
@@ -603,9 +612,12 @@ object Layout {
   def winnowIndex(spark: SparkSession, docs: DataFrame,
                   idCol: String, textCol: String, k: Int, w: Int,
                   buckets: Int = 8, maxDf: Option[Long] = None,
-                  tableName: String = "winnow_index"): Unit = {
+                  tableName: String = "winnow_index",
+                  unicodeForm: Option[String] = None): Unit = {
     clearLedger(spark, s"${tableName}_wfps") // fresh incarnation
-    dfCapped(graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w)
+    // unicodeForm joins k/w as version-pinned layout metadata
+    dfCapped(graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w,
+        unicodeForm)
         .toDF("id", "fp"), maxDf)
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
@@ -669,12 +681,14 @@ object Layout {
                         idCol: String, textCol: String, k: Int, w: Int,
                         buckets: Int = 8,
                         tableName: String = "winnow_index",
-                        batchTag: Option[String] = None): Unit =
+                        batchTag: Option[String] = None,
+                        unicodeForm: Option[String] = None): Unit =
     // batchTag: replay ledger; the marker window costs duplicate (id, fp)
     // rows only — the probe dedups the corpus side per (id, fp)
     // bucket-locally, so answers never change
     idempotently(spark, s"${tableName}_wfps", batchTag) {
-      graft.operators.Winnow.fingerprintSets(batch, idCol, textCol, k, w)
+      graft.operators.Winnow.fingerprintSets(batch, idCol, textCol, k, w,
+          unicodeForm)
         .toDF("id", "fp")
         .localCheckpoint(true)
         .repartition(buckets, col("fp"))
@@ -712,9 +726,11 @@ object Layout {
   def paragraphKeyIndex(spark: SparkSession, docs: DataFrame,
                         textCol: String, sep: String = "\n\n",
                         buckets: Int = 8,
-                        tableName: String = "para_index"): Unit = {
+                        tableName: String = "para_index",
+                        unicodeForm: Option[String] = None): Unit = {
     clearLedger(spark, s"${tableName}_pkeys") // fresh incarnation
-    graft.operators.Dedup.paragraphKeys(docs, textCol, sep)
+    // unicodeForm joins sep as version-pinned layout metadata
+    graft.operators.Dedup.paragraphKeys(docs, textCol, sep, unicodeForm)
       .repartition(buckets, col("pkey"))
       .write.mode("overwrite")
       .bucketBy(buckets, "pkey").sortBy("pkey")
@@ -740,11 +756,12 @@ object Layout {
                               textCol: String, sep: String = "\n\n",
                               buckets: Int = 8,
                               tableName: String = "para_index",
-                              batchTag: Option[String] = None): Unit =
+                              batchTag: Option[String] = None,
+                              unicodeForm: Option[String] = None): Unit =
     // batchTag: replay ledger; the marker window costs duplicate keys
     // only — the probe is an anti-join, so answers never change
     idempotently(spark, s"${tableName}_pkeys", batchTag) {
-      graft.operators.Dedup.paragraphKeys(batch, textCol, sep)
+      graft.operators.Dedup.paragraphKeys(batch, textCol, sep, unicodeForm)
         .localCheckpoint(true)
         .repartition(buckets, col("pkey"))
         .write.mode("append")
@@ -770,8 +787,10 @@ object Layout {
   def spanGramCensus(spark: SparkSession, docs: DataFrame,
                      textCol: String, gramLen: Int,
                      buckets: Int = 8,
-                     tableName: String = "span_index"): Unit =
-    graft.operators.Dedup.gramCensus(docs, textCol, gramLen)
+                     tableName: String = "span_index",
+                     unicodeForm: Option[String] = None): Unit =
+    // unicodeForm joins gramLen as version-pinned layout metadata
+    graft.operators.Dedup.gramCensus(docs, textCol, gramLen, unicodeForm)
       .withColumn("src", org.apache.spark.sql.functions.lit("base"))
       .repartition(buckets, col("g"))
       .write.mode("overwrite")
@@ -805,8 +824,9 @@ object Layout {
                            textCol: String, gramLen: Int,
                            srcTag: String,
                            buckets: Int = 8,
-                           tableName: String = "span_index"): Unit = {
-    graft.operators.Dedup.gramCensus(batch, textCol, gramLen)
+                           tableName: String = "span_index",
+                           unicodeForm: Option[String] = None): Unit = {
+    graft.operators.Dedup.gramCensus(batch, textCol, gramLen, unicodeForm)
       .withColumn("src", org.apache.spark.sql.functions.lit(srcTag))
       .localCheckpoint(true)
       .repartition(buckets, col("g"))

@@ -62,17 +62,27 @@ object Dedup {
   def exactDupsAgainstIndex(batch: DataFrame,
                             spark: org.apache.spark.sql.SparkSession,
                             tableName: String,
-                            idCol: String, textCol: String): DataFrame =
-    fingerprints(batch, idCol, textCol)
+                            idCol: String, textCol: String,
+                            unicodeForm: Option[String] = None): DataFrame =
+    fingerprints(batch, idCol, textCol, unicodeForm)
       .withColumnRenamed("id", "batch_id")
       .join(spark.table(s"${tableName}_fps"), Seq("fp"))
       .select(col("batch_id"), col("id").as("corpus_id"), col("fp"))
 
-  /** MinHash signatures, one row pass, no shuffle. */
+  /** MinHash signatures, one row pass, no shuffle.
+    *
+    * `unicodeForm` (opt-in, like [[fingerprints]]): Unicode-normalize the
+    * text before tokenizing, so canonically-equivalent NFC/NFD encodings
+    * shingle identically. Like shingleN/numHashes it is part of the
+    * signature's identity — an index and the batches probed against it
+    * must use the same form. */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-                        shingleN: Int, numHashes: Int): DataFrame =
+                        shingleN: Int, numHashes: Int,
+                        unicodeForm: Option[String] = None): DataFrame =
     df.select(col(idCol).as("id"),
-        minhashSig(wordShingles(tokens(col(textCol)), shingleN), numHashes).as("sig"))
+        minhashSig(wordShingles(tokens(
+          graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm)),
+          shingleN), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
 
   /** One numeric LSH key per band over a `sig` column:
@@ -114,9 +124,10 @@ object Dedup {
   /** MinHash+LSH near-dup pairs with estimated Jaccard above threshold. */
   def minHashNearDups(df: DataFrame, idCol: String, textCol: String,
                       shingleN: Int = 2, numHashes: Int = 32,
-                      bands: Int = 8, estThreshold: Double = 0.3): DataFrame = {
+                      bands: Int = 8, estThreshold: Double = 0.3,
+                      unicodeForm: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
-    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numHashes)
+    val sigs = minHashSignatures(df, idCol, textCol, shingleN, numHashes, unicodeForm)
     minHashCandidatePairs(sigs, bands, numHashes / bands)
       .filter(col("est_jaccard") >= estThreshold)
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
@@ -150,11 +161,14 @@ object Dedup {
                              idCol: String, textCol: String,
                              shingleN: Int = 2, numHashes: Int = 32,
                              bands: Int = 8, estThreshold: Double = 0.3,
-                             materialize: Boolean = true): DataFrame = {
+                             materialize: Boolean = true,
+                             unicodeForm: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     val rows = numHashes / bands
+    // unicodeForm must match the form corpusSigs was computed with —
+    // signature identity, like shingleN/numHashes (minHashSignatures).
     crossNearDups(
-      minHashSignatures(batch, idCol, textCol, shingleN, numHashes),
+      minHashSignatures(batch, idCol, textCol, shingleN, numHashes, unicodeForm),
       corpusSigs, bandedSignatures(corpusSigs, bands, rows), bands, rows,
       estThreshold, materialize)
   }
@@ -173,10 +187,11 @@ object Dedup {
                                   idCol: String, textCol: String,
                                   shingleN: Int = 2, numHashes: Int = 32,
                                   bands: Int = 8, estThreshold: Double = 0.3,
-                                  materialize: Boolean = true): DataFrame = {
+                                  materialize: Boolean = true,
+                                  unicodeForm: Option[String] = None): DataFrame = {
     require(numHashes % bands == 0, s"bands=$bands must divide numHashes=$numHashes")
     crossNearDups(
-      minHashSignatures(batch, idCol, textCol, shingleN, numHashes),
+      minHashSignatures(batch, idCol, textCol, shingleN, numHashes, unicodeForm),
       spark.table(s"${tableName}_sigs"), spark.table(s"${tableName}_bands"),
       bands, numHashes / bands, estThreshold, materialize)
   }
@@ -202,18 +217,21 @@ object Dedup {
                               bands: Int = 8, buckets: Int = 8,
                               estThreshold: Double = 0.3,
                               appendSurvivors: Boolean = true,
-                              materialize: Boolean = true): DataFrame = {
+                              materialize: Boolean = true,
+                              unicodeForm: Option[String] = None): DataFrame = {
     require(materialize || !appendSurvivors,
       "appendSurvivors requires materialize=true: the survivors are " +
         "computed by reading the index tables and must be checkpointed " +
         "before the append grows them")
     val dupIds = minHashNearDupsAgainstIndex(batch, spark, tableName,
-        idCol, textCol, shingleN, numHashes, bands, estThreshold, materialize)
+        idCol, textCol, shingleN, numHashes, bands, estThreshold, materialize,
+        unicodeForm)
       .select(col("batch_id").as(idCol)).distinct()
     val survivors = batch.join(dupIds, Seq(idCol), "left_anti")
     if (appendSurvivors)
       graft.catalog.Layout.minhashIndexAppend(spark, survivors, idCol, textCol,
-        shingleN, numHashes, bands, buckets, tableName)
+        shingleN, numHashes, bands, buckets, tableName,
+        unicodeForm = unicodeForm)
     survivors
   }
 
@@ -259,9 +277,12 @@ object Dedup {
     mat
   }
 
-  /** 64-bit SimHash per document — one row pass, no shuffle. */
-  def simHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), simhash64(tokens(col(textCol))).as("simhash"))
+  /** 64-bit SimHash per document — one row pass, no shuffle.
+    * `unicodeForm` is hash identity, like [[minHashSignatures]]'s. */
+  def simHash(df: DataFrame, idCol: String, textCol: String,
+              unicodeForm: Option[String] = None): DataFrame =
+    df.select(col(idCol).as("id"), simhash64(tokens(
+        graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm))).as("simhash"))
       .filter(col("simhash").isNotNull)
 
   /** SimHash near-dup pairs with Hamming distance <= maxDist.
@@ -276,9 +297,10 @@ object Dedup {
     * large d degrades toward all-pairs and callers should use MinHash
     * instead. */
   def simHashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      maxDist: Int = 3): DataFrame = {
+                      maxDist: Int = 3,
+                      unicodeForm: Option[String] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range (0..15)")
-    val blocked = simhashBlocked(simHash(df, idCol, textCol), maxDist + 1)
+    val blocked = simhashBlocked(simHash(df, idCol, textCol, unicodeForm), maxDist + 1)
     val pairs = blocked.toDF("id_a", "sh_a", "bk")
       .join(blocked.toDF("id_b", "sh_b", "bk_b"),
         col("bk") === col("bk_b") && col("id_a") < col("id_b"))
@@ -314,10 +336,12 @@ object Dedup {
     * never re-reading text. Output: (batch_id, corpus_id, hamming). */
   def simHashNearDupsAgainst(batch: DataFrame, corpusHashes: DataFrame,
                              idCol: String, textCol: String,
-                             maxDist: Int = 3): DataFrame = {
+                             maxDist: Int = 3,
+                             unicodeForm: Option[String] = None): DataFrame = {
     require(maxDist >= 0 && maxDist < 16, s"maxDist=$maxDist out of range (0..15)")
     val blocks = maxDist + 1
-    val blockedBatch = simhashBlocked(simHash(batch, idCol, textCol), blocks)
+    // unicodeForm must match the form corpusHashes was computed with
+    val blockedBatch = simhashBlocked(simHash(batch, idCol, textCol, unicodeForm), blocks)
     val blockedCorpus = simhashBlocked(corpusHashes, blocks)
     blockedBatch.toDF("batch_id", "sh_a", "bk")
       .join(blockedCorpus.toDF("corpus_id", "sh_b", "bk_b"),
@@ -332,9 +356,12 @@ object Dedup {
     * Jaccard strategies. Distinct per (id, sh): Jaccard is over shingle
     * SETS, and the inverted-index intersection count requires it. */
   private def shingleRows(df: DataFrame, idCol: String, textCol: String,
-                          shingleN: Int): DataFrame =
+                          shingleN: Int,
+                          unicodeForm: Option[String]): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(wordShingles(tokens(col(textCol)), shingleN)).as("sh"))
+        explode(wordShingles(tokens(
+          graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm)),
+          shingleN)).as("sh"))
       .distinct()
 
   /** Dense shingle ids WITHOUT a global sort (round-2 fix: the previous
@@ -410,8 +437,9 @@ object Dedup {
                    shingleN: Int, threshold: Double,
                    maxBitmapVocab: Long = 1L << 18,
                    maxBruteDocs: Long = 1L << 16,
-                   prefixThreshold: Double = 0.5): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+                   prefixThreshold: Double = 0.5,
+                   unicodeForm: Option[String] = None): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN, unicodeForm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab = sh.select(col("sh")).distinct().count()
     val nDocs = sh.select(col("id")).distinct().count()
@@ -458,8 +486,9 @@ object Dedup {
     * it; prefix filtering is the path for corpora PAST the bitmap gates
     * (real text: vocabulary grows with the corpus). */
   def jaccardPrefixPairs(df: DataFrame, idCol: String, textCol: String,
-                         shingleN: Int, threshold: Double): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+                         shingleN: Int, threshold: Double,
+                         unicodeForm: Option[String] = None): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN, unicodeForm)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     jaccardPrefixFrom(sh, threshold)
   }
@@ -474,7 +503,7 @@ object Dedup {
                                              textCol: String, shingleN: Int,
                                              threshold: Double): DataFrame =
     jaccardPrefixCandidatesFrom(
-      shingleRows(df, idCol, textCol, shingleN), threshold)
+      shingleRows(df, idCol, textCol, shingleN, None), threshold)
 
   private def jaccardPrefixCandidatesFrom(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -540,8 +569,9 @@ object Dedup {
     * semDedupLocal `maxCellRows` discipline). */
   def jaccardBitmapPairs(df: DataFrame, idCol: String, textCol: String,
                          shingleN: Int, threshold: Double,
-                         maxVocab: Long = 1L << 22): DataFrame = {
-    val sh = shingleRows(df, idCol, textCol, shingleN)
+                         maxVocab: Long = 1L << 22,
+                         unicodeForm: Option[String] = None): DataFrame = {
+    val sh = shingleRows(df, idCol, textCol, shingleN, unicodeForm)
     val (dict, vocab) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
     require(vocab <= maxVocab,
       s"jaccardBitmapPairs: measured shingle vocabulary $vocab exceeds " +
@@ -612,8 +642,10 @@ object Dedup {
     * not silently applied here.
     */
   def jaccardInvertedPairs(df: DataFrame, idCol: String, textCol: String,
-                           shingleN: Int, threshold: Double): DataFrame =
-    jaccardInvertedFrom(shingleRows(df, idCol, textCol, shingleN), threshold)
+                           shingleN: Int, threshold: Double,
+                           unicodeForm: Option[String] = None): DataFrame =
+    jaccardInvertedFrom(shingleRows(df, idCol, textCol, shingleN, unicodeForm),
+      threshold)
 
   private def jaccardInvertedFrom(sh: DataFrame, threshold: Double): DataFrame = {
     val sz = sh.groupBy(col("id")).agg(count(lit(1)).as("sz"))
@@ -849,11 +881,20 @@ object Dedup {
     * the distinct-string relation (id = representative) and emits only
     * 1 <= distance <= maxDist pairs. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, q: Int): DataFrame = {
-    val s = df.select(col(idCol).cast("long").as("id"),
+                        maxDist: Int, q: Int,
+                        // no default: Scala allows default args on only
+                        // one overloaded alternative (the routed entry)
+                        unicodeForm: Option[String]): DataFrame = {
+    // levenshtein counts CODE POINTS, so an NFD "e"+U+0301 sits at
+    // distance 1 from its canonically-equivalent NFC "é" — normalize
+    // once up-front (opt-in, the family-wide unicodeForm contract) so
+    // the q-gram blocking and the verify see the same canonical string.
+    val src = unicodeForm.fold(df)(f =>
+      df.withColumn(strCol, graft.functions.unicodeNormalize(col(strCol), f)))
+    val s = src.select(col(idCol).cast("long").as("id"),
       col(strCol).as("str"), length(col(strCol)).as("len"))
     val strs = s.select(col("id"), col("str"))
-    editDistanceCandidates(df, idCol, strCol, maxDist, q)
+    editDistanceCandidates(src, idCol, strCol, maxDist, q)
       .join(strs.withColumnRenamed("id", "id_a")
         .withColumnRenamed("str", "str_a"), "id_a")
       .join(strs.withColumnRenamed("id", "id_b")
@@ -884,11 +925,18 @@ object Dedup {
     * (maxQ − minQ + 1) corpus scans before any blocking work starts.
     * The default keeps the probe exact for gate-sized runs. */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
-                        maxDist: Int, probeFraction: Double = 1.0): DataFrame =
-    editDistancePairs(df, idCol, strCol, maxDist,
+                        maxDist: Int, probeFraction: Double = 1.0,
+                        unicodeForm: Option[String] = None): DataFrame = {
+    // normalize BEFORE the q probe so the measured gram density and the
+    // blocking run on the same canonical strings
+    val src = unicodeForm.fold(df)(f =>
+      df.withColumn(strCol, graft.functions.unicodeNormalize(col(strCol), f)))
+    editDistancePairs(src, idCol, strCol, maxDist,
       measureEditQ(
-        if (probeFraction >= 1.0) df
-        else Sampling.stableSample(df, strCol, probeFraction), strCol))
+        if (probeFraction >= 1.0) src
+        else Sampling.stableSample(src, strCol, probeFraction), strCol),
+      None) // src already normalized above
+  }
 
   /** Measured gram length for the q-gram blocking: the smallest q in
     * [minQ, maxQ] whose MEAN posting density — total gram occurrences

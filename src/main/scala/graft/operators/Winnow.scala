@@ -273,7 +273,8 @@ object Winnow {
                    k: Int, w: Int, minShared: Long,
                    maxDf: Long = AutoMaxDf,
                    autoDfQuantile: Double = 0.999,
-                   autoDfFloor: Long = 64L): DataFrame = {
+                   autoDfFloor: Long = 64L,
+                   unicodeForm: Option[String] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
     require(maxDf == AutoMaxDf || maxDf >= 1,
       s"maxDf must be >= 1 or AutoMaxDf, got $maxDf")
@@ -290,7 +291,7 @@ object Winnow {
     // doubled the operator). Explicit-cap callers keep the single-pass
     // lazy plan: their census and counts consume one fingerprinting
     // subtree each, and the uncapped oracle pin stays checkpoint-free.
-    val fpsLazy = fingerprintSets(docs, idCol, textCol, k, w)
+    val fpsLazy = fingerprintSets(docs, idCol, textCol, k, w, unicodeForm)
       .select(col(idCol).as("id"), col("fp"))
     val fps = if (auto) materializeOnce(fpsLazy) else fpsLazy
     // MEASURED broadcast route for the df attachment (the Curation
@@ -418,9 +419,12 @@ object Winnow {
     * per batch. */
   def overlapPairsAgainst(batch: DataFrame, idCol: String, textCol: String,
                           corpusFps: DataFrame, k: Int, w: Int,
-                          minShared: Long): DataFrame = {
+                          minShared: Long,
+                          unicodeForm: Option[String] = None): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    val batchFps = fingerprintSets(batch, idCol, textCol, k, w)
+    // unicodeForm must match the form the corpus fingerprints were
+    // computed with (Layout.winnowIndex pins it as layout metadata)
+    val batchFps = fingerprintSets(batch, idCol, textCol, k, w, unicodeForm)
       .select(col(idCol).as("batch_id"), col("fp"))
     val counts = batchFps.groupBy(col("batch_id")).agg(count(lit(1)).as("n_batch"))
     val corpus = corpusFps.select(

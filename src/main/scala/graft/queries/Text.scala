@@ -1029,19 +1029,55 @@ object Text extends QueryPack {
     //    via DuckDB nfc_normalize. UnicodeNormSpec pins the negative:
     //    the default (None) byte identity misses every NFD twin.
     "dedup_exact_nfc" -> ((s, dir) => {
-      val d = Tables(s, dir, "documents")
-      val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
-      val corpus = d
-        .select(col("doc_id"), (col("doc_id") - (col("doc_id") % 2)).as("bid"))
-        .join(base, "bid")
-        .select(col("doc_id"),
-          concat(col("btext"),
-            when(col("doc_id") % 2 === 0, lit(NfcTail)).otherwise(lit(NfdTail)))
-            .as("text"))
-      Dedup.fingerprints(corpus, "doc_id", "text", unicodeForm = Some("NFC"))
+      Dedup.fingerprints(nfcTwinCorpus(Tables(s, dir, "documents")),
+          "doc_id", "text", unicodeForm = Some("NFC"))
         .groupBy(col("fp"))
         .agg(min(col("id")).as("keep_id"), count(lit(1)).as("dup_cnt"))
         .orderBy(col("fp"))
+    }),
+
+    // -- the same canonical-equivalence gate on the NEAR-dup tier
+    //    (round-12 family completion): with unicodeForm = Some("NFC")
+    //    every NFC/NFD twin pair signature-collides EXACTLY (est 1.0 —
+    //    normalized texts are byte-identical, so all minhash slots
+    //    agree and LSH banding is certain, not probabilistic).
+    //    Contract columns:
+    //      n_twins      — pairs whose nfc_normalize'd texts are equal,
+    //                     recomputed independently by DuckDB;
+    //      n_byte_eq    — of those, the byte-identical pairs (also
+    //                     DuckDB-recomputed);
+    //      twins_covered — every twin pair appears among the NFC-on
+    //                     LSH candidates with est_jaccard = 1.0;
+    //      norm_does_work — n_byte_eq < n_twins: the corpus really
+    //                     contains byte-DIFFERENT canonical twins, so
+    //                     the coverage isn't vacuous (DuckDB computes
+    //                     this inequality from its own counts).
+    //    UnicodeNormSpec pins the negative: the default (byte)
+    //    signatures never estimate 1.0 across the two encodings.
+    "dedup_minhash_nfc" -> ((s, dir) => {
+      val corpus = nfcTwinCorpus(Tables(s, dir, "documents"))
+      val cand = Dedup.minHashNearDups(corpus, "doc_id", "text",
+          shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.9,
+          unicodeForm = Some("NFC"))
+        .filter(col("est_jaccard") === 1.0)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val normed = corpus.select(col("doc_id"),
+        graft.functions.unicodeNormalize(col("text"), "NFC").as("nt"),
+        col("text"))
+      val twins = normed.toDF("id_a", "nt", "ta")
+        .join(normed.toDF("id_b", "ntb", "tb"),
+          col("nt") === col("ntb") && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), (col("ta") === col("tb")).as("byte_eq"))
+        .localCheckpoint()
+      twins.agg(count(lit(1)).as("n_twins"),
+          coalesce(sum(when(col("byte_eq"), 1L).otherwise(0L)), lit(0L))
+            .as("n_byte_eq"))
+        .crossJoin(twins.select(col("id_a"), col("id_b")).except(cand)
+          .agg(count(lit(1)).as("n_missed")))
+        .select(col("n_twins"), col("n_byte_eq"),
+          (col("n_missed") === 0).as("twins_covered"),
+          (col("n_byte_eq") < col("n_twins")).as("norm_does_work"))
     }),
 
     // -- distributed BPE tokenizer training over the corpus vocabulary
@@ -1141,6 +1177,21 @@ object Text extends QueryPack {
   private val NfdTail =
     " re\u0301pe\u0301te\u0301 cafe\u0301 nai\u0308ve e\u0301"
   private[graft] def nfdTail: String = NfdTail
+
+  /** Consecutive-doc twin corpus of the `dedup_*_nfc` rows: doc 2k and
+    * doc 2k+1 share doc 2k's base text and append canonically-EQUIVALENT
+    * but byte-DIFFERENT tails ([[NfcTail]]/[[NfdTail]]) \u2014 each pair is
+    * invisible to byte identity and exact under NFC. The oracle builds
+    * the identical corpus in SQL from the same interpolated literals. */
+  private def nfcTwinCorpus(d: DataFrame): DataFrame = {
+    val base = d.select(col("doc_id").as("bid"), col("text").as("btext"))
+    d.select(col("doc_id"), (col("doc_id") - (col("doc_id") % 2)).as("bid"))
+      .join(base, "bid")
+      .select(col("doc_id"),
+        concat(col("btext"),
+          when(col("doc_id") % 2 === 0, lit(NfcTail)).otherwise(lit(NfdTail)))
+          .as("text"))
+  }
 
   private def bpeStateChain(numMerges: Int,
                             textExpr: String = "text",
@@ -2190,6 +2241,29 @@ object Text extends QueryPack {
         |    '\\s+', ' ', 'g')))) AS fp,
         |  MIN(doc_id) AS keep_id, COUNT(*) AS dup_cnt
         |FROM c GROUP BY 1 ORDER BY fp""".stripMargin,
+
+    // Self-verifying contract (see the query): DuckDB rebuilds the twin
+    // corpus from the same interpolated tail literals, recomputes the
+    // nfc-equal and byte-equal pair counts independently, asserts the
+    // norm_does_work inequality from its own counts, and expects the
+    // coverage boolean the Spark side computed.
+    "dedup_minhash_nfc" ->
+      s"""WITH c AS (SELECT d.doc_id,
+        |    b.text || (CASE WHEN d.doc_id % 2 = 0
+        |               THEN '$NfcTail' ELSE '$NfdTail' END) AS text
+        |  FROM documents d
+        |  JOIN documents b ON b.doc_id = d.doc_id - (d.doc_id % 2)),
+        |n AS (SELECT doc_id, nfc_normalize(text) AS nt, text FROM c),
+        |tw AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (a.text = b.text) AS byte_eq
+        |  FROM n a JOIN n b ON a.nt = b.nt AND a.doc_id < b.doc_id)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_twins,
+        |  CAST(COALESCE(SUM(CASE WHEN byte_eq THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS n_byte_eq,
+        |  TRUE AS twins_covered,
+        |  (COALESCE(SUM(CASE WHEN byte_eq THEN 1 ELSE 0 END), 0) < COUNT(*))
+        |    AS norm_does_work
+        |FROM tw""".stripMargin,
 
     "text_winnow_pairs_unicode" ->
       s"""WITH d0 AS (SELECT doc_id, translate(text, 'aeiou', '$UniVowels')

@@ -143,11 +143,13 @@ object StreamOps {
                               tableName: String, idCol: String, textCol: String,
                               shingleN: Int = 2, numHashes: Int = 32,
                               bands: Int = 8, buckets: Int = 8,
-                              estThreshold: Double = 0.3)
+                              estThreshold: Double = 0.3,
+                              unicodeForm: Option[String] = None)
                              (onPairs: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       dedupBatchAgainstIndex(batch, id, spark, tableName, idCol, textCol,
-        shingleN, numHashes, bands, buckets, estThreshold)(onPairs)
+        shingleN, numHashes, bands, buckets, estThreshold,
+        unicodeForm = unicodeForm)(onPairs)
     }
 
   /** Content-keyed batch tag: `b<id>_<n>x<xxh64-sum>_<crc32-sum>` with
@@ -210,7 +212,8 @@ object StreamOps {
       spark: org.apache.spark.sql.SparkSession,
       tableName: String, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
-      estThreshold: Double, queryId: Option[String] = None)
+      estThreshold: Double, queryId: Option[String] = None,
+      unicodeForm: Option[String] = None)
       (onPairs: (DataFrame, Long) => Unit): Unit = {
     import graft.catalog.Layout
     // forgotten-reset auto-detection: a DIFFERENT query id on the
@@ -225,7 +228,7 @@ object StreamOps {
       onPairs(Layout.batchOutputRead(spark, tableName, tag, "pairs"), id)
       graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
         shingleN, numHashes, bands, buckets, tableName,
-        batchTag = Some(tag))
+        batchTag = Some(tag), unicodeForm = unicodeForm)
     } else {
       batch.persist()
       try {
@@ -233,7 +236,7 @@ object StreamOps {
         // (run minHashNearDups on the batch for intra-batch pairs)
         val pairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
           batch, spark, tableName, idCol, textCol, shingleN, numHashes,
-          bands, estThreshold)
+          bands, estThreshold, unicodeForm = unicodeForm)
         // snapshot decides-then-folds: the write materializes the pair
         // set against the PRE-append index; the fold below can no
         // longer change what any delivery of this batch observes
@@ -241,7 +244,7 @@ object StreamOps {
         onPairs(Layout.batchOutputRead(spark, tableName, tag, "pairs"), id)
         graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
-          batchTag = Some(tag))
+          batchTag = Some(tag), unicodeForm = unicodeForm)
       } finally batch.unpersist()
     }
     // retention: batch N-1's snapshot and markers can never be consulted
@@ -401,7 +404,8 @@ object StreamOps {
                                winnowK: Int = 8, winnowW: Int = 6,
                                winnowMinShared: Long = 5,
                                winnowMinOverlap: Double = 0.5,
-                               winnowBuckets: Int = 8)
+                               winnowBuckets: Int = 8,
+                               unicodeForm: Option[String] = None)
                               (qualityFilter: DataFrame => DataFrame)
                               (onBatch: (DataFrame, DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
@@ -410,7 +414,8 @@ object StreamOps {
         paraIndexTable, paraSep, paraBuckets,
         spanCensusTable, spanGramLen, spanBuckets,
         winnowIndexTable, winnowK, winnowW, winnowMinShared,
-        winnowMinOverlap, winnowBuckets)(qualityFilter)(onBatch)
+        winnowMinOverlap, winnowBuckets,
+        unicodeForm = unicodeForm)(qualityFilter)(onBatch)
     }
 
   /** One micro-batch of [[curateStreamAgainstIndex]] — package-visible so
@@ -428,7 +433,8 @@ object StreamOps {
       winnowIndexTable: Option[String] = None,
       winnowK: Int = 8, winnowW: Int = 6, winnowMinShared: Long = 5,
       winnowMinOverlap: Double = 0.5, winnowBuckets: Int = 8,
-      queryId: Option[String] = None)
+      queryId: Option[String] = None,
+      unicodeForm: Option[String] = None)
       (qualityFilter: DataFrame => DataFrame)
       (onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
       import graft.catalog.Layout
@@ -457,17 +463,19 @@ object StreamOps {
         onBatch(kept, pairs, id)
         paraIndexTable.foreach(pt =>
           Layout.paragraphKeyIndexAppend(spark, kept, textCol,
-            paraSep, paraBuckets, pt, batchTag = Some(tag)))
+            paraSep, paraBuckets, pt, batchTag = Some(tag),
+            unicodeForm = unicodeForm))
         spanCensusTable.foreach(st =>
           Layout.spanGramCensusAppend(spark, kept, textCol,
             spanGramLen, srcTag = tag, buckets = spanBuckets,
-            tableName = st))
+            tableName = st, unicodeForm = unicodeForm))
         winnowIndexTable.foreach(wt =>
           Layout.winnowIndexAppend(spark, kept, idCol, textCol,
-            winnowK, winnowW, winnowBuckets, wt, batchTag = Some(tag)))
+            winnowK, winnowW, winnowBuckets, wt, batchTag = Some(tag),
+            unicodeForm = unicodeForm))
         Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
-          batchTag = Some(tag))
+          batchTag = Some(tag), unicodeForm = unicodeForm)
       } else {
       val q0 = qualityFilter(batch).select(batch.columns.map(col): _*).persist()
       try {
@@ -480,7 +488,8 @@ object StreamOps {
           case Some(pt) =>
             q0.drop(textCol)
               .join(graft.operators.Dedup.dedupParagraphsAgainst(
-                  q0, idCol, textCol, spark.table(s"${pt}_pkeys"), paraSep)
+                  q0, idCol, textCol, spark.table(s"${pt}_pkeys"), paraSep,
+                  unicodeForm)
                 // gate on NON-empty-normalized survivors: empty-normalized
                 // paragraphs (pure structure) always pass the anti-join, so
                 // n_kept > 0 would admit a document whose every real
@@ -498,7 +507,8 @@ object StreamOps {
           case Some(st) =>
             q1.drop(textCol)
               .join(graft.operators.Dedup.removeRepeatedSpansAgainst(
-                  q1, idCol, textCol, spark.table(s"${st}_grams"), spanGramLen)
+                  q1, idCol, textCol, spark.table(s"${st}_grams"), spanGramLen,
+                  unicodeForm)
                 .filter(length(col("clean_text")) > 0)
                 .select(col(idCol), col("clean_text").as(textCol)),
                 Seq(idCol))
@@ -513,7 +523,7 @@ object StreamOps {
         val winnowHits = winnowIndexTable.map { wt =>
           graft.operators.Winnow.overlapPairsAgainst(
               q, idCol, textCol, spark.table(s"${wt}_wfps"),
-              winnowK, winnowW, winnowMinShared)
+              winnowK, winnowW, winnowMinShared, unicodeForm)
             .filter(col("overlap") >= winnowMinOverlap)
             .select(col("batch_id"), col("corpus_id"),
               col("overlap").as("est_jaccard"))
@@ -527,14 +537,14 @@ object StreamOps {
         }
         val idxPairs = graft.operators.Dedup.minHashNearDupsAgainstIndex(
             q2, spark, tableName, idCol, textCol, shingleN, numHashes,
-            bands, estThreshold)
+            bands, estThreshold, unicodeForm = unicodeForm)
           .localCheckpoint(true)
         val idxSurvivors = q2.join(
           idxPairs.select(col("batch_id").as(idCol)).distinct(), Seq(idCol),
           "left_anti")
         val intraPairs = graft.operators.Dedup.minHashNearDups(
             idxSurvivors, idCol, textCol, shingleN, numHashes, bands,
-            estThreshold)
+            estThreshold, unicodeForm)
           .localCheckpoint(true)
         val pairs = idxPairs.unionByName(
             intraPairs.select(col("id_b").as("batch_id"),
@@ -556,17 +566,19 @@ object StreamOps {
         // and the span census folds exactly via its per-batch source tag
         paraIndexTable.foreach(pt =>
           graft.catalog.Layout.paragraphKeyIndexAppend(spark, kept, textCol,
-            paraSep, paraBuckets, pt, batchTag = Some(tag)))
+            paraSep, paraBuckets, pt, batchTag = Some(tag),
+            unicodeForm = unicodeForm))
         spanCensusTable.foreach(st =>
           graft.catalog.Layout.spanGramCensusAppend(spark, kept, textCol,
             spanGramLen, srcTag = tag, buckets = spanBuckets,
-            tableName = st))
+            tableName = st, unicodeForm = unicodeForm))
         winnowIndexTable.foreach(wt =>
           graft.catalog.Layout.winnowIndexAppend(spark, kept, idCol, textCol,
-            winnowK, winnowW, winnowBuckets, wt, batchTag = Some(tag)))
+            winnowK, winnowW, winnowBuckets, wt, batchTag = Some(tag),
+            unicodeForm = unicodeForm))
         graft.catalog.Layout.minhashIndexAppend(spark, kept, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
-          batchTag = Some(tag))
+          batchTag = Some(tag), unicodeForm = unicodeForm)
       } finally q0.unpersist()
       }
       // retention (ADVICE r10 low): earlier batches' snapshots and

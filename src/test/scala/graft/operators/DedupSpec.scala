@@ -474,7 +474,7 @@ class DedupSpec extends SparkSpec {
     val rows = strs.zipWithIndex.map { case (s, i) => (i.toLong, s) }
     val df = rows.toDF("id", "s")
     for (d <- Seq(1, 2)) {
-      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d, q = 2)
+      val got = Dedup.editDistancePairs(df, "id", "s", maxDist = d, q = 2, unicodeForm = None)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       val want = (for {
         (ai, a) <- rows; (bi, b) <- rows if ai < bi
@@ -508,7 +508,7 @@ class DedupSpec extends SparkSpec {
     val auto = Dedup.editDistancePairs(dense, "id", "t", maxDist = 1)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     for (q <- Seq(2, 3, 4)) {
-      val explicit = Dedup.editDistancePairs(dense, "id", "t", maxDist = 1, q = q)
+      val explicit = Dedup.editDistancePairs(dense, "id", "t", maxDist = 1, q = q, unicodeForm = None)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       assert(explicit == auto, s"q=$q answer diverged from the auto route")
     }

@@ -122,6 +122,132 @@ class UnicodeNormSpec extends SparkSpec {
     assert(incr.getAs[Long]("n_removed") > 0L)
   }
 
+  test("minhash LSH: canonical twins signature-collide (est 1.0) with NFC on, diverge with it off") {
+    val sp = spark
+    import sp.implicits._
+    // several accented words so the NFC/NFD difference spans many
+    // shingles — the default (byte) run must NOT estimate 1.0
+    val docs = Seq(
+      1L -> s"shared body of words$nfc and more shared words",
+      2L -> s"shared body of words$nfd and more shared words",
+      3L -> "something else entirely unrelated here").toDF("doc_id", "text")
+    def pairs(form: Option[String]): Map[(Long, Long), Double] =
+      Dedup.minHashNearDups(docs, "doc_id", "text",
+          shingleN = 2, numHashes = 32, bands = 8, estThreshold = 0.1,
+          unicodeForm = form)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+    val on = pairs(Some("NFC"))
+    assert(on.get((1L, 2L)).contains(1.0),
+      s"NFC twins must have identical signatures: $on")
+    val off = pairs(None)
+    assert(!off.get((1L, 2L)).contains(1.0),
+      s"byte-level signatures must differ across the encodings: $off")
+  }
+
+  test("simhash: canonical twins hash identically with NFC on, differ with it off") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      1L -> s"body$nfc words$nfc more$nfc",
+      2L -> s"body$nfd words$nfd more$nfd").toDF("doc_id", "text")
+    def hashes(form: Option[String]): Map[Long, Long] =
+      Dedup.simHash(docs, "doc_id", "text", form)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val on = hashes(Some("NFC"))
+    assert(on(1L) == on(2L), s"NFC twins must simhash identically: $on")
+    val off = hashes(None)
+    assert(off(1L) != off(2L),
+      s"byte-level simhash must distinguish the encodings: $off")
+    // and the pair surfaces through the banded join at hamming 0
+    val p = Dedup.simHashNearDups(docs, "doc_id", "text", maxDist = 3,
+        unicodeForm = Some("NFC"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(p.toSeq == Seq((1L, 2L, 0L)), s"got ${p.toSeq}")
+  }
+
+  test("exact jaccard: canonical twins score 1.0 with NFC on, below 1.0 with it off") {
+    val sp = spark
+    import sp.implicits._
+    val docs = Seq(
+      1L -> s"alpha$nfc beta gamma$nfc delta",
+      2L -> s"alpha$nfd beta gamma$nfd delta").toDF("doc_id", "text")
+    def j(form: Option[String]): Option[Double] =
+      Dedup.jaccardPairs(docs, "doc_id", "text", shingleN = 2,
+          threshold = 0.01, unicodeForm = form)
+        .collect().headOption.map(_.getAs[Double]("jaccard"))
+    assert(j(Some("NFC")).contains(1.0), "NFC twins are shingle-identical")
+    assert(j(None).forall(_ < 1.0),
+      "byte-level shingle sets must differ across the encodings")
+  }
+
+  test("edit distance: NFC folds the combining-sequence noise out of the distance") {
+    val sp = spark
+    import sp.implicits._
+    // b = NFD re-encoding of a plus ONE real edit (trailing x): under
+    // NFC the true distance is 1; byte-level code points put the pair
+    // past maxDist=1 (every accent is an extra combining mark)
+    val strs = Seq(
+      1L -> s"title$nfc",
+      2L -> s"title${nfd}x").toDF("id", "str")
+    val on = Dedup.editDistancePairs(strs, "id", "str", maxDist = 1, q = 2,
+        unicodeForm = Some("NFC"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(on.toSeq == Seq((1L, 2L, 1L)), s"got ${on.toSeq}")
+    val off = Dedup.editDistancePairs(strs, "id", "str", maxDist = 1, q = 2,
+        unicodeForm = None)
+      .count()
+    assert(off == 0L, "code-point distance must exceed 1 without NFC")
+  }
+
+  test("winnow overlap pairs: canonical twins fully overlap with NFC on") {
+    val sp = spark
+    import sp.implicits._
+    val body = "a long enough body for winnowing "
+    val docs = Seq(
+      1L -> s"$body$nfc$body",
+      2L -> s"$body$nfd$body").toDF("doc_id", "text")
+    val on = Winnow.overlapPairs(docs, "doc_id", "text", k = 8, w = 6,
+        minShared = 1, maxDf = Long.MaxValue, unicodeForm = Some("NFC"))
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Double]("overlap")))
+    assert(on.toSeq == Seq((1L, 2L, 1.0)), s"got ${on.toSeq}")
+  }
+
+  test("standing indexes pin the form: NFC-built fingerprint and minhash indexes catch NFD twin batches") {
+    val sp = spark
+    import sp.implicits._
+    val corpus = Seq(1L -> s"stored document$nfc body").toDF("doc_id", "text")
+    val batch = Seq(2L -> s"stored document$nfd body").toDF("doc_id", "text")
+    sp.sql("DROP TABLE IF EXISTS ufp_idx_fps")
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS umh_idx$s"))
+    try {
+      // exact tier: index built NFC, probe passed NFC → the NFD twin hits
+      graft.catalog.Layout.fingerprintIndex(sp, corpus, "doc_id", "text",
+        buckets = 2, "ufp_idx", unicodeForm = Some("NFC"))
+      val hits = Dedup.exactDupsAgainstIndex(batch, sp, "ufp_idx",
+          "doc_id", "text", unicodeForm = Some("NFC"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(hits.toSeq == Seq((2L, 1L)), s"got ${hits.toSeq}")
+      // and a byte-level probe against the same NFC index misses — the
+      // form is layout metadata, not a probe-side nicety
+      assert(Dedup.exactDupsAgainstIndex(batch, sp, "ufp_idx",
+        "doc_id", "text").count() == 0L)
+      // minhash tier: signatures collide exactly when both sides agree
+      graft.catalog.Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 2, "umh_idx",
+        unicodeForm = Some("NFC"))
+      val mh = Dedup.minHashNearDupsAgainstIndex(batch, sp, "umh_idx",
+          "doc_id", "text", shingleN = 2, numHashes = 16, bands = 4,
+          estThreshold = 0.9, unicodeForm = Some("NFC"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(mh.toSeq == Seq((2L, 1L, 1.0)), s"got ${mh.toSeq}")
+    } finally {
+      sp.sql("DROP TABLE IF EXISTS ufp_idx_fps")
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS umh_idx$s"))
+    }
+  }
+
   test("winnow fingerprints: NFC and NFD encodings select identical sets with the form on") {
     val sp = spark
     import sp.implicits._

@@ -780,6 +780,50 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally Layout.dropMinhashIndex(sp, table)
   }
 
+  test("curation loop with unicodeForm: an NFD re-encoding of admitted NFC content is a duplicate") {
+    val sp = spark
+    import sp.implicits._
+    val nfc = graft.queries.Text.nfcTail
+    val nfd = graft.queries.Text.nfdTail
+    val table = "mh_uni_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    val kept = mutable.Map[Long, Set[Long]]()
+    val dups = mutable.Map[Long, Set[(Long, Long)]]()
+    val in = MemoryStream[(Long, String)]
+    val writer = StreamOps.curateStreamAgainstIndex(
+      in.toDF().toDF("doc_id", "text"), sp, table, "doc_id", "text",
+      shingleN = 2, numHashes = 16, bands = 4, buckets = 4,
+      estThreshold = 0.9, unicodeForm = Some("NFC")) { df => df } {
+      (k, pairs, id) =>
+        kept(id) = k.collect().map(_.getLong(0)).toSet
+        dups(id) = pairs.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    try {
+      // the standing index holds the NFC encoding, built under the form
+      Layout.minhashBandIndex(sp,
+        Seq(1L -> s"accented body$nfc of the archive").toDF("doc_id", "text"),
+        "doc_id", "text", shingleN = 2, numHashes = 16, bands = 4,
+        buckets = 4, table, unicodeForm = Some("NFC"))
+      val q = writer.start()
+      try {
+        // the NFD twin must signature-collide (est 1.0 ≥ 0.9); the
+        // novel doc survives and folds in NFC-normalized
+        in.addData((10L, s"accented body$nfd of the archive"),
+          (11L, s"novel accented$nfc content here"))
+        q.processAllAvailable()
+        // a later NFD twin of the batch-0 NFC ADMISSION is caught too —
+        // the fold normalized before signing
+        in.addData((20L, s"novel accented$nfd content here"))
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(kept(0L) == Set(11L), s"batch 0 kept ${kept(0L)}")
+      assert(dups(0L) == Set((10L, 1L)), s"batch 0 pairs ${dups(0L)}")
+      assert(kept(1L) == Set.empty, s"batch 1 kept ${kept(1L)}")
+      assert(dups(1L) == Set((20L, 11L)), s"batch 1 pairs ${dups(1L)}")
+    } finally
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+  }
+
   test("curation loop: per-batch wall stays bounded while the standing index grows") {
     // VERDICT_r06 next-round #3: the index probe is batch-bound by
     // design (the corpus side is read in place, only the batch
