@@ -352,6 +352,49 @@ object ScaleProbe {
       docs.unpersist()
     }
 
+    /** Cost of the opt-in Unicode normalization at corpus scale
+      * (round-12): the exact-fingerprint pass — one full-text canonical
+      * pass per row, the cheapest operator that reads every byte —
+      * timed three ways on the same K× corpus:
+      *  - `byte`     unicodeForm = None (the default: no normalizer in
+      *               the plan at all);
+      *  - `nfc_fast` Some("NFC") on the (ASCII) corpus — every row takes
+      *               the `isNormalized` quick-check fast path and
+      *               allocates nothing: the cost real, overwhelmingly
+      *               already-normalized web text pays;
+      *  - `nfc_full` Some("NFC") on an accented, NFD-decomposed
+      *               re-encoding of the corpus — every row pays the real
+      *               JDK normalization allocation (the worst case).
+      * Deterministic gate (box-speed-immune): the nfc_full fingerprint
+      * relation EXACTLY equals the byte-level fingerprints of the
+      * NFC-normalized re-encoding — the form changes bytes, never
+      * content identity. */
+    def unicodeProbe(tag: String, docs: DataFrame): Unit = {
+      import graft.functions.unicodeNormalize
+      val accented = docs.select(col("doc_id"),
+        translate(col("text"), "aeiou", "àéîöü")
+          .as("text"))
+      val nfdDocs = accented.select(col("doc_id"),
+          unicodeNormalize(col("text"), "NFD").as("text"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      nfdDocs.count() // materialize the re-encoding outside the timings
+      t(s"unicode_fp_byte_$tag")(
+        Dedup.fingerprints(docs, "doc_id", "text").count())
+      t(s"unicode_fp_nfc_fast_$tag")(
+        Dedup.fingerprints(docs, "doc_id", "text", Some("NFC")).count())
+      t(s"unicode_fp_nfc_full_$tag")(
+        Dedup.fingerprints(nfdDocs, "doc_id", "text", Some("NFC")).count())
+      val viaForm = Dedup.fingerprints(nfdDocs, "doc_id", "text", Some("NFC"))
+      val viaBytes = Dedup.fingerprints(accented.select(col("doc_id"),
+          unicodeNormalize(col("text"), "NFC").as("text")), "doc_id", "text")
+      val ok = viaForm.exceptAll(viaBytes).isEmpty &&
+        viaBytes.exceptAll(viaForm).isEmpty
+      println(s"SCALE unicode_fp_gate_$tag equal=$ok")
+      require(ok, s"unicode_fp_gate_$tag: NFC-on-NFD fingerprints must " +
+        "equal byte fingerprints of the NFC re-encoding")
+      nfdDocs.unpersist()
+    }
+
     /** The IVF partitioned-layout story at scale: train centroids (on a
       * bounded sample past 1×), write the cell-partitioned layout
       * (Layout.ivfPartition), then time a pruned top-k probe against it.
@@ -1090,6 +1133,14 @@ object ScaleProbe {
       ks.foreach(k => entropyProbe(s"${k}x", k))
       spark.stop(); return
     }
+    if (probeOnly.contains("unicode")) {
+      unicodeProbe("1x", docs1)
+      ks.foreach { k =>
+        val (docsK, _) = shardedCorpus(spark, src, s"/tmp/graft-scale-${k}x", k)
+        unicodeProbe(s"${k}x", docsK)
+      }
+      spark.stop(); return
+    }
     if (probeOnly.contains("entropyauto")) {
       entropyAutoProbe("1x", 1)
       ks.foreach(k => entropyAutoProbe(s"${k}x", k))
@@ -1111,6 +1162,7 @@ object ScaleProbe {
     if (!onlyIncr && !onlyBloom) {
       probe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false, trainFraction = 1.0)
       prefixProbe("1x", 1)
+      unicodeProbe("1x", docs1)
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)
       curationProbe("1x", 1, docs1)
       pipelineProbe("1x", 1)
@@ -1132,6 +1184,7 @@ object ScaleProbe {
         probe(s"${k}x", k, docsK, embK, ivfK = 8 * k, headlineOnly = k >= 20,
           trainFraction = math.min(1.0, 20000.0 / nVec))
         prefixProbe(s"${k}x", k)
+        unicodeProbe(s"${k}x", docsK)
         ivfLayoutProbe(s"${k}x", s"/tmp/graft-scale-${k}x", nCells = 8 * k)
         curationProbe(s"${k}x", k, docsK)
         pipelineProbe(s"${k}x", k)
