@@ -56,12 +56,14 @@ object Curation {
     * Reference analog: none — the reference pipes text through engine SQL
     * untouched; this is part of the training-data north star surface. */
   def removeBoilerplateLines(docs: DataFrame, idCol: String, textCol: String,
-                             minDocs: Long): DataFrame = {
+                             minDocs: Long,
+                             unicodeForm: Option[String] = None): DataFrame = {
     require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
     val id = col(idCol)
     val lines = docs
       .select(id, posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-      .withColumn("lkey", lineKey(col("line")))
+      .withColumn("lkey", lineKey(
+        graft.functions.unicodeNormalizeOpt(col("line"), unicodeForm)))
     val boiler = lines.select(id, col("lkey")).distinct()
       .groupBy(col("lkey")).agg(count(lit(1)).as("line_df"))
       .filter(col("line_df") >= minDocs)
@@ -286,7 +288,14 @@ object Curation {
                packSeqLen: Option[Int] = None,
                bpeMerges: Option[Int] = None,
                maxBroadcastVocab: Long = 1L << 20,
-               materialize: Boolean = true): DataFrame = {
+               materialize: Boolean = true,
+               // opt-in Unicode canonical normalization for every
+               // identity-keyed stage (line census, paragraph keys, span
+               // grams, minhash signatures, decontamination shingles —
+               // the corpus side; pass an eval set pre-normalized under
+               // the same form). Quality metrics stay byte-level: they
+               // score, they don't key.
+               unicodeForm: Option[String] = None): DataFrame = {
     require(!appendToIndex || indexTable.nonEmpty,
       "appendToIndex requires an indexTable")
     require(!appendToIndex || materialize,
@@ -301,7 +310,8 @@ object Curation {
     val cols = docs.columns.map(col)
     val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
     val q = gate(docs).select(cols: _*)
-    val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs)
+    val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs,
+      unicodeForm)
     // each text-rewriting stage joins its rewrite back to the surviving
     // rows, REFERENCING its input twice — on the materialized path every
     // enabled stage boundary therefore persists (computed once, both
@@ -325,7 +335,8 @@ object Curation {
     val afterParas = stageBoundary(
       if (!paragraphDedup) afterLines
       else afterLines.drop(textCol)
-        .join(Dedup.dedupParagraphs(afterLines, idCol, textCol, paragraphSep)
+        .join(Dedup.dedupParagraphs(afterLines, idCol, textCol, paragraphSep,
+            unicodeForm = unicodeForm)
           .filter(col("n_kept") >= 1)
           .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
         .select(cols: _*),
@@ -333,7 +344,8 @@ object Curation {
     val cleanedLazy = spanGramLen match {
       case None => afterParas
       case Some(l) => afterParas.drop(textCol)
-        .join(Dedup.removeRepeatedSpans(afterParas, idCol, textCol, l)
+        .join(Dedup.removeRepeatedSpans(afterParas, idCol, textCol, l,
+            unicodeForm = unicodeForm)
           .filter(col("n_removed") < col("n_chars")) // emptied docs drop
           .select(col(idCol), col("clean_text").as(textCol)), Seq(idCol))
         .select(cols: _*)
@@ -351,9 +363,10 @@ object Curation {
       case Some(table) =>
         val idxSurv = Dedup.curateBatchAgainstIndex(cleaned, spark, table,
           idCol, textCol, shingleN, numHashes, bands, buckets, estThreshold,
-          appendSurvivors = false, materialize = materialize)
+          appendSurvivors = false, materialize = materialize,
+          unicodeForm = unicodeForm)
         val intra = Dedup.minHashNearDups(idxSurv, idCol, textCol, shingleN,
-          numHashes, bands, estThreshold)
+          numHashes, bands, estThreshold, unicodeForm)
         idxSurv.join(intra.select(col("id_b").as(idCol)).distinct(),
           Seq(idCol), "left_anti")
       case None => cleaned
@@ -373,7 +386,8 @@ object Curation {
             if (esp.count() <= maxBroadcastShingles) broadcast(esp) else esp
           } else espLazy
         val contaminated = afterDedup.select(col(idCol),
-            explode(graft.functions.wordShingles(tokens(col(textCol)),
+            explode(graft.functions.wordShingles(tokens(
+              graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm)),
               evalShingleN)).as("__pl_s"))
           .join(esJoin, "__pl_s")
           .select(col(idCol)).distinct()
@@ -383,7 +397,8 @@ object Curation {
     val accepted = if (materialize) decon.localCheckpoint(true) else decon
     if (appendToIndex)
       graft.catalog.Layout.minhashIndexAppend(spark, accepted.select(cols: _*),
-        idCol, textCol, shingleN, numHashes, bands, buckets, indexTable.get)
+        idCol, textCol, shingleN, numHashes, bands, buckets, indexTable.get,
+        unicodeForm = unicodeForm)
     // trainer tail (round-9): token counting → token-budget mix → packing.
     // Token counts ride the accepted frame as `n_tokens`; with bpeMerges
     // the count is trained-BPE pieces — train on the accepted corpus's

@@ -175,6 +175,51 @@ class CurationSpec extends SparkSpec {
     assert(got.size == 200, "no document should vanish in this corpus")
   }
 
+  test("unicodeForm threads through the pipeline's identity-keyed stages") {
+    import org.apache.spark.sql.functions.lit
+    val nfc = graft.queries.Text.nfcTail
+    val nfd = graft.queries.Text.nfdTail
+    // line census arm: the same accented footer in 3 docs — NFC-encoded
+    // in two, NFD in the third. Under NFC its df is 3 (removed
+    // everywhere); byte-level the NFC copies have df 2 and the NFD copy
+    // df 1, so everything survives minDocs = 3.
+    val d = docs(
+      (1L, s"alpha body one\nfooter$nfc"),
+      (2L, s"beta body two\nfooter$nfc"),
+      (3L, s"gamma body three\nfooter$nfd"))
+    val on = Curation.removeBoilerplateLines(d, "id", "text", minDocs = 3,
+        unicodeForm = Some("NFC"))
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(on == Map(1L -> "alpha body one", 2L -> "beta body two",
+      3L -> "gamma body three"), s"NFC census must reach df=3: $on")
+    val off = Curation.removeBoilerplateLines(d, "id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(off.values.forall(_.contains("footer")),
+      s"byte census must miss the cross-encoding footer: $off")
+    // pipeline arm: an NFD twin paragraph of doc 1's NFC paragraph
+    // dedups away with the form on and survives the default
+    val corpus = docs(
+      (1L, s"unique one\n\nshared para$nfc"),
+      (2L, s"unique two\n\nshared para$nfd"))
+      .withColumnRenamed("id", "doc_id")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+    def run(form: Option[String]) =
+      Curation.pipeline(spark, corpus, "doc_id", "text", "lang",
+          targetTotal = 10000L, alpha = 1.0, minLineDocs = 100000L,
+          paragraphDedup = true,
+          qualityFilter = Some(identity[org.apache.spark.sql.DataFrame] _),
+          unicodeForm = form)
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val formed = run(Some("NFC"))
+    assert(formed(1L).contains("shared para") &&
+      !formed(2L).contains("shared para"),
+      s"the NFD twin paragraph must dedup away under NFC: $formed")
+    val byte = run(None)
+    assert(byte(2L).contains("shared para"),
+      s"the default byte identity must keep both encodings: $byte")
+  }
+
   test("pipeline's trainer tail equals its hand-composed chain (BPE counts -> token mix -> pack)") {
     import graft.PipelineHarness
     import graft.functions.tokens
