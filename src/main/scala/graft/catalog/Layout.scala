@@ -615,14 +615,18 @@ object Layout {
                   tableName: String = "winnow_index",
                   unicodeForm: Option[String] = None): Unit = {
     clearLedger(spark, s"${tableName}_wfps") // fresh incarnation
+    clearStreamOwner(spark, s"${tableName}_wfps") // and no standing owner
     // unicodeForm joins k/w as version-pinned layout metadata
-    dfCapped(graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w,
+    val (capped, mats) = dfCapped(
+      graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w,
         unicodeForm)
         .toDF("id", "fp"), maxDf)
+    capped
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_wfps")
+    mats.foreach(org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
   }
 
   /** Drop fingerprints whose document frequency exceeds the cap — the
@@ -645,10 +649,11 @@ object Layout {
     * fps and census are eagerly materialized ONCE via
     * [[graft.operators.Winnow.materializeOnce]], storage selected by
     * the same `graft.winnow.checkpointStorage` session conf. */
-  private def dfCapped(fps0: DataFrame, maxDf: Option[Long]): DataFrame = {
+  private def dfCapped(fps0: DataFrame,
+                       maxDf: Option[Long]): (DataFrame, Seq[DataFrame]) = {
     import org.apache.spark.sql.functions.{broadcast, count, lit}
     maxDf match {
-      case None => fps0
+      case None => (fps0, Nil)
       case Some(graft.operators.Winnow.AutoMaxDf) =>
         val fps = graft.operators.Winnow.materializeOnce(fps0)
         val census = graft.operators.Winnow.materializeOnce(
@@ -658,16 +663,20 @@ object Layout {
         val dfs = census.crossJoin(broadcast(cap))
           .filter(col("df") <= col("__cap"))
           .select(col("fp").as("fp_c"))
-        fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
-          .select(col("id"), col("fp"))
+        // second element: the corpus-scale eager materializations —
+        // callers release their blocks right after the index write
+        // (deterministic, not ContextCleaner-when-GC'd: a long session
+        // building index after index would otherwise accumulate them)
+        (fps.join(dfs.hint("merge"), col("fp") === col("fp_c"))
+          .select(col("id"), col("fp")), Seq(fps, census))
       case Some(cap) =>
         require(cap >= 1, s"winnow index maxDf must be >= 1 or " +
           s"Some(Winnow.AutoMaxDf), got $cap")
         val dfs = fps0.groupBy(col("fp")).agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap)
           .select(col("fp").as("fp_c"))
-        fps0.join(dfs.hint("merge"), col("fp") === col("fp_c"))
-          .select(col("id"), col("fp"))
+        (fps0.join(dfs.hint("merge"), col("fp") === col("fp_c"))
+          .select(col("id"), col("fp")), Nil)
     }
   }
 
@@ -707,11 +716,13 @@ object Layout {
                          maxDf: Option[Long] = None,
                          tableName: String = "winnow_index"): Unit = {
     dropTable(spark, s"${tableName}_wfps_new")
-    dfCapped(spark.table(s"${tableName}_wfps"), maxDf)
+    val (capped, mats) = dfCapped(spark.table(s"${tableName}_wfps"), maxDf)
+    capped
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_wfps_new")
+    mats.foreach(org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
     swapInNew(spark, s"${tableName}_wfps")
   }
 
@@ -729,6 +740,7 @@ object Layout {
                         tableName: String = "para_index",
                         unicodeForm: Option[String] = None): Unit = {
     clearLedger(spark, s"${tableName}_pkeys") // fresh incarnation
+    clearStreamOwner(spark, s"${tableName}_pkeys") // and no standing owner
     // unicodeForm joins sep as version-pinned layout metadata
     graft.operators.Dedup.paragraphKeys(docs, textCol, sep, unicodeForm)
       .repartition(buckets, col("pkey"))

@@ -291,10 +291,15 @@ object Curation {
                materialize: Boolean = true,
                // opt-in Unicode canonical normalization for every
                // identity-keyed stage (line census, paragraph keys, span
-               // grams, minhash signatures, decontamination shingles —
-               // the corpus side; pass an eval set pre-normalized under
-               // the same form). Quality metrics stay byte-level: they
-               // score, they don't key.
+               // grams, minhash signatures, decontamination shingles on
+               // BOTH sides). Quality metrics stay byte-level: they
+               // score, they don't key. Output-form contract: kept text
+               // preserves original bytes through the line and paragraph
+               // stages (normalization is only the identity there), but
+               // an enabled SPAN stage emits the normalized form — exact
+               // substring surgery cuts character ranges of the
+               // normalized text and cannot map them back to the
+               // original bytes (removeRepeatedSpans scaladoc).
                unicodeForm: Option[String] = None): DataFrame = {
     require(!appendToIndex || indexTable.nonEmpty,
       "appendToIndex requires an indexTable")
@@ -374,7 +379,15 @@ object Curation {
     var esPersisted: Option[DataFrame] = None
     val decon = evalShingles match {
       case Some(es) =>
-        val espLazy = es.select(col(es.columns.head).as("__pl_s")).distinct()
+        // the eval side joins the (normalized) corpus shingles, so it
+        // must carry the same form — an NFD-encoded eval set would
+        // otherwise silently miss, admitting contaminated documents the
+        // caller explicitly opted into catching. Normalizing a shingle
+        // string equals joining normalized tokens: the ASCII-space
+        // separator composes with nothing and terminates any combining
+        // sequence, so the per-token and whole-string forms agree.
+        val espLazy = es.select(graft.functions.unicodeNormalizeOpt(
+            col(es.columns.head), unicodeForm).as("__pl_s")).distinct()
         // measure-then-route needs a count (a job): materialized runs only.
         // The lazy form keeps the join unhinted — the honest at-scale plan
         // (AQE promotes a small eval set to broadcast at runtime anyway).

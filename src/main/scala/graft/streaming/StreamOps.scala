@@ -438,17 +438,22 @@ object StreamOps {
       (qualityFilter: DataFrame => DataFrame)
       (onBatch: (DataFrame, DataFrame, Long) => Unit): Unit = {
       import graft.catalog.Layout
-      // forgotten-reset auto-detection, keyed on the loop's base table;
-      // when a dead stream's state is detected the SIDE tables' ledgers
-      // reset too (the span census needs none: its source tags are data,
-      // folded exactly — the resetStreamState scaladoc rule)
+      // forgotten-reset auto-detection, one owner marker PER FOLDED
+      // TABLE (base + each side table) rather than side resets hanging
+      // off the base marker: a marker-then-reset sequence had a crash
+      // window (base marker swapped, side ledgers not yet reset → the
+      // dead stream's side markers survive forever and silently skip
+      // side folds), and a base-only rebuild (minhashBandIndex clears
+      // the base owner) would skip the side resets entirely. Per-table
+      // markers make each table's stale detection independent of the
+      // others' state. The span census still needs none: its source
+      // tags are data, folded exactly (the resetStreamState rule).
       queryId.orElse(streamQueryId(spark)).foreach { q =>
-        if (Layout.ensureStreamOwner(spark, tableName, q)) {
-          paraIndexTable.foreach(pt =>
-            Layout.resetStreamState(spark, s"${pt}_pkeys"))
-          winnowIndexTable.foreach(wt =>
-            Layout.resetStreamState(spark, s"${wt}_wfps"))
-        }
+        Layout.ensureStreamOwner(spark, tableName, q)
+        paraIndexTable.foreach(pt =>
+          Layout.ensureStreamOwner(spark, s"${pt}_pkeys", q))
+        winnowIndexTable.foreach(wt =>
+          Layout.ensureStreamOwner(spark, s"${wt}_wfps", q))
       }
       val tag = batchContentTag(batch, id, idCol, textCol)
       if (Layout.batchOutputCommitted(spark, tableName, tag)) {

@@ -780,6 +780,65 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally Layout.dropMinhashIndex(sp, table)
   }
 
+  test("per-table owner markers: a dead stream's side-table replay state resets independently of the base") {
+    // the round-12 review hardening: side-table (paragraph/winnow)
+    // resets used to hang TRANSITIVELY off the base table's owner
+    // marker — a base-only rebuild (minhashBandIndex clears the base
+    // owner) or a crash between the base marker swap and the side
+    // resets left a dead stream's side ledger standing, silently
+    // ledger-skipping a new stream's side folds. Each folded table now
+    // carries its OWN owner marker: the side table detects its dead
+    // owner even when the base owner state is already fresh.
+    val sp = spark
+    import sp.implicits._
+    def para(i: Int): String = (0 until 8).map(j => s"s${i}_$j").mkString(" ")
+    val corpus = Seq(0L -> para(0)).toDF("doc_id", "text")
+    val table = "mh_sideq_idx"
+    val pt = "para_sideq_idx"
+    Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+    sp.sql(s"DROP TABLE IF EXISTS ${pt}_pkeys")
+    val wh = sp.conf.get("spark.sql.warehouse.dir")
+    val fs = new org.apache.hadoop.fs.Path(wh)
+      .getFileSystem(sp.sparkContext.hadoopConfiguration)
+    def children(dir: String): Set[String] = {
+      val p = new org.apache.hadoop.fs.Path(s"$wh/$dir")
+      if (!fs.exists(p)) Set.empty
+      else fs.listStatus(p).map(_.getPath.getName).toSet
+    }
+    def deliver(qid: String, id: Long, text: String): Unit =
+      StreamOps.curateBatchAgainstIndex(
+        Seq(id -> text).toDF("doc_id", "text"), 0L, sp, table,
+        "doc_id", "text", 2, 16, 4, 4, 0.5,
+        paraIndexTable = Some(pt), paraSep = "\n\n", paraBuckets = 4,
+        spanCensusTable = None, spanGramLen = 20, spanBuckets = 4,
+        queryId = Some(qid))(identity)((_, _, _) => ())
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 4, table)
+      Layout.paragraphKeyIndex(sp, corpus, "text", buckets = 4, tableName = pt)
+      deliver("q1", 10L, para(5))
+      assert(children(s"${pt}_pkeys_streamq") == Set("q1"),
+        "the side table must carry its own owner marker")
+      val q1Markers = children(s"${pt}_pkeys_applied")
+      assert(q1Markers.nonEmpty, "q1's para fold must be ledgered")
+      // base-only rebuild: clears the BASE owner and ledger, leaves the
+      // para table's q1 marker and ledger standing — the exact state
+      // the old transitive reset missed
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 4, table)
+      deliver("q2", 11L, para(6))
+      assert(children(s"${pt}_pkeys_streamq") == Set("q2"),
+        "the side table must detect its dead owner without the base's help")
+      val q2Markers = children(s"${pt}_pkeys_applied")
+      assert(q2Markers.nonEmpty && q2Markers.intersect(q1Markers).isEmpty,
+        s"q1's side ledger must be cleared before q2's first fold: " +
+          s"q1=$q1Markers q2=$q2Markers")
+    } finally {
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+      sp.sql(s"DROP TABLE IF EXISTS ${pt}_pkeys")
+    }
+  }
+
   test("curation loop with unicodeForm: an NFD re-encoding of admitted NFC content is a duplicate") {
     val sp = spark
     import sp.implicits._
