@@ -502,6 +502,63 @@ object ScaleProbe {
       }
     }
 
+    /** The standing component map at scale (round-12): history = K×
+      * synthetic near-dup groups folded as the map build, then a FIXED
+      * batch of edges — half introducing new ids, half merging a fixed
+      * set of standing components — folds in. Cost model: the fold
+      * probes the id-bucketed `_croots` map with the batch node set
+      * (bucketed join — no corpus-side shuffle, one columnar scan of
+      * the 2-longs-per-row map) and runs star-CC on the TRANSLATED
+      * batch-sized graph, so fold wall should track the map scan, not
+      * the corpus's component structure. `components_resolve_*` is the
+      * full-labeling materialization — output-sized by definition
+      * (every id gets a row), the end-of-run export, not the per-batch
+      * path. Deterministic gate (box-speed-immune): every id of the 100
+      * merged group pairs resolves to the pair's min id, and the merge
+      * log carries exactly one parent row per merged standing root. */
+    def componentsProbe(tag: String, k: Int): Unit = {
+      import graft.catalog.Layout
+      // history: groups of 4 consecutive ids {4g..4g+3} chained by 3
+      // path edges — component count ∝ K, root = 4g (the min)
+      val groups = 100000L * k
+      // `div`, not `/`: Column./ on longs is DOUBLE division
+      val g4 = expr("id div 3") * 4 + col("id") % 3
+      val hist = spark.range(groups * 3)
+        .select(g4.as("u"), (g4 + 1).as("v"))
+      val table = s"cmp_probe_$tag"
+      Layout.dropComponentsIndex(spark, table)
+      t(s"components_build_$tag") {
+        Layout.componentsIndex(spark, hist, "u", "v", buckets = 32, table)
+        spark.table(s"${table}_croots").count()
+      }
+      // fixed batch: 500 brand-new two-id components + 100 merge edges
+      // joining standing groups 2m and 2m+1 (roots 8m and 8m+4)
+      val base = 1000L * 1000L * 1000L
+      val batch = spark.range(500).select(
+          (lit(base) + col("id") * 2).as("u"),
+          (lit(base) + col("id") * 2 + 1).as("v"))
+        .union(spark.range(100).select(
+          (col("id") * 8).as("u"), (col("id") * 8 + 4).as("v")))
+      t(s"components_fold_$tag") {
+        Layout.componentsIndexAppend(spark, batch, "u", "v", buckets = 32,
+          tableName = table, batchTag = Some("probe_b1"))
+        spark.table(s"${table}_cparents").count()
+      }
+      t(s"components_resolve_$tag")(
+        Layout.componentsResolve(spark, table).count())
+      val res = Layout.componentsResolve(spark, table)
+      val wrongMerged = res.filter(col("id") < 800)
+        .filter(col("component") =!= expr("id div 8") * 8).count()
+      val parentRows = spark.table(s"${table}_cparents").count()
+      println(s"SCALE components_gate_$tag wrongMerged=$wrongMerged " +
+        s"parentRows=$parentRows")
+      require(wrongMerged == 0 && parentRows == 100L,
+        s"components_gate_$tag: merged groups must resolve to the pair " +
+          s"min (wrong=$wrongMerged) with one parent row per merged root " +
+          s"(got $parentRows)")
+      Layout.dropComponentsIndex(spark, table)
+    }
+
     /** Bloom-prefiltered decontamination at scale: a FIXED eval set (every
       * 50th replica-0 document's 3-gram shingles) against the K× training
       * corpus. Cost model: one corpus-linear scan with a row-local sketch
@@ -1146,6 +1203,11 @@ object ScaleProbe {
       ks.foreach(k => entropyAutoProbe(s"${k}x", k))
       spark.stop(); return
     }
+    if (probeOnly.contains("components")) {
+      componentsProbe("1x", 1)
+      ks.foreach(k => componentsProbe(s"${k}x", k))
+      spark.stop(); return
+    }
     if (probeOnly.contains("entropyautodisk")) {
       ks.foreach(k => entropyAutoProbe(s"${k}x", k, diskArmOnly = true))
       spark.stop(); return
@@ -1171,6 +1233,7 @@ object ScaleProbe {
       entropyProbe("1x", 1)
       entropyAutoProbe("1x", 1)
       hotcellProbe("4k", 4000L)
+      componentsProbe("1x", 1)
       lmProbe("1x", 1, docs1, emb1, ivfK = 8, headlineOnly = false,
         trainFraction = 1.0)
     }
@@ -1195,6 +1258,7 @@ object ScaleProbe {
         // hot-cell tiers are corpus-independent (own generator): run the
         // 20k/60k mega-cells alongside the 10x corpus tier only
         if (k == ks.min) { hotcellProbe("20k", 20000L); hotcellProbe("60k", 60000L) }
+        componentsProbe(s"${k}x", k)
         lmProbe(s"${k}x", k, docsK, embK, ivfK = 8 * k,
           headlineOnly = k >= 20,
           trainFraction = math.min(1.0, 20000.0 / nVec))

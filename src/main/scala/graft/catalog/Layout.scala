@@ -916,4 +916,237 @@ object Layout {
     // readers holding the pre-append file listing (see minhashIndexAppend)
     spark.catalog.refreshTable(tableName)
   }
+
+  // ===== incremental connected components (standing component map) =====
+  //
+  // The batch operators (graft.operators.Dedup.connectedComponents*)
+  // recompute the labeling from the FULL edge list — correct for a one-shot
+  // job, wrong shape for the streaming loop, whose per-batch near-dup pairs
+  // would force an ever-growing full-history CC per micro-batch. The
+  // standing layout is the classic union-find split into two tables:
+  //
+  //   <name>_croots   (id, root)      — one row per id ever seen in a real
+  //                                     edge; root = the component's min id
+  //                                     AS OF the fold that first saw the
+  //                                     id (possibly stale after later
+  //                                     merges — never rewritten on merge);
+  //   <name>_cparents (child, parent) — the merge log: appended when a fold
+  //                                     merges a standing root under a
+  //                                     smaller one (parent < child always,
+  //                                     so chains strictly descend and the
+  //                                     chase below terminates).
+  //
+  // Resolution follows parent chains to the current min; compaction
+  // flattens chains back to depth 0. Per-batch cost ∝ batch edges ×
+  // chain-chase rounds — the corpus-sized _croots is probed with a bucketed
+  // join (batch side shuffles, map read in place) and NEVER rewritten, so
+  // a 100 TB corpus's map (two longs per doc, ~10⁻⁵ of corpus bytes) folds
+  // a batch in batch-proportional work. Min-label union is a semilattice
+  // (labels only ever decrease, min is idempotent/commutative), which is
+  // what makes the two ledger-guarded appends duplicate-absorbing and
+  // either-order crash-replayable — see [[componentsIndexAppend]].
+
+  /** Build a standing component map from an initial edge list (either
+    * orientation, dups fine, self-loops ignored — the
+    * [[graft.operators.Dedup.connectedComponentsStar]] contract; ids of
+    * isolated documents are NOT stored, exactly like the batch operators:
+    * readers coalesce missing ids to themselves). `buckets` is
+    * version-pinned layout metadata — appends must pass the same value. */
+  def componentsIndex(spark: SparkSession, edges: DataFrame,
+                      srcCol: String, dstCol: String,
+                      buckets: Int = 8,
+                      tableName: String = "cmp_index"): Unit = {
+    Seq("_croots", "_cparents").foreach { sfx =>
+      clearLedger(spark, s"$tableName$sfx") // fresh incarnation
+      dropTable(spark, s"$tableName$sfx")
+    }
+    val comps = graft.operators.Dedup.connectedComponentsStar(
+      edges, srcCol, dstCol)
+    comps.select(col("id"), col("component").as("root"))
+      .repartition(buckets, col("id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableName}_croots")
+    // empty merge log in the id type (comps' plan is the already-
+    // materialized converged labeling, so limit(0) costs nothing)
+    comps.limit(0)
+      .select(col("id").as("child"), col("component").as("parent"))
+      .write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${tableName}_cparents")
+  }
+
+  /** Chase (key, lbl) rows through the `parents` merge log to their final
+    * labels: replace lbl by its parent until no row's lbl has one. Chains
+    * strictly descend (parent < child), so depth ≤ longest un-compacted
+    * merge chain; each round is one join against the (merge-log-sized)
+    * parents table + an eager localCheckpoint (the
+    * [[graft.operators.Dedup.connectedComponents]] lineage discipline). */
+  private def chaseParents(cur0: DataFrame, parents: DataFrame,
+                           maxIter: Int = 50): DataFrame = {
+    var cur = cur0.localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val hits = cur.join(parents, cur("lbl") === parents("child")).count()
+      if (hits == 0) converged = true
+      else {
+        cur = cur.join(parents, cur("lbl") === parents("child"), "left")
+          .select(cur("key"),
+            org.apache.spark.sql.functions.coalesce(col("parent"), col("lbl"))
+              .as("lbl"))
+          .localCheckpoint()
+      }
+      iter += 1
+    }
+    require(converged, s"component parent chase did not converge in " +
+      s"$maxIter rounds — compact the index (componentsIndexCompact)")
+    cur
+  }
+
+  /** Deduplicated merge log as (child, parent). Min-per-child: replay
+    * residue can duplicate a row, and the crash-window recompute (see
+    * [[componentsIndexAppend]]) can land a child both its direct final
+    * parent and an intermediate one — min is always the further merge,
+    * and chasing from it reaches the same fixpoint. */
+  private def parentLog(spark: SparkSession, tableName: String): DataFrame =
+    spark.table(s"${tableName}_cparents")
+      .groupBy(col("child"))
+      .agg(org.apache.spark.sql.functions.min(col("parent")).as("parent"))
+
+  /** Fold one batch of edges into a standing [[componentsIndex]] — the
+    * incremental union-find step, in batch-proportional work:
+    *
+    *  1. probe `_croots` with the batch's node set (bucketed join — the
+    *     corpus-scale map is read in place, only the batch shuffles) and
+    *     chase the hit roots through the merge log to CURRENT roots;
+    *  2. translate batch edge endpoints to those roots (unknown ids stay
+    *     themselves); edges that collapse inside one standing component
+    *     vanish;
+    *  3. run [[graft.operators.Dedup.connectedComponentsStar]] on the
+    *     translated edge set — batch-sized: its nodes are batch ids and
+    *     the standing roots the batch touches;
+    *  4. append (root → smaller new label) rows to the merge log for every
+    *     standing root the batch merged, and (id → label) rows to the map
+    *     for every NEW id.
+    *
+    * Replay safety (`batchTag`, the [[minhashIndexAppend]] ledger): labels
+    * only ever DECREASE and the union is min-idempotent, so the two
+    * appends are duplicate-absorbing and crash-replayable in either order
+    * — a crash between them replays the fold against the half-applied
+    * state and recomputes exactly the missing half (the applied half is
+    * skipped by its marker; [[parentLog]]/root reads aggregate with min,
+    * absorbing the residual ledger window's duplicates). */
+  def componentsIndexAppend(spark: SparkSession, edges: DataFrame,
+                            srcCol: String, dstCol: String,
+                            buckets: Int = 8,
+                            tableName: String = "cmp_index",
+                            batchTag: Option[String] = None): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, min}
+    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    val nodes = fwd.select(col("u"))
+      .union(fwd.select(col("v").as("u")))
+      .distinct()
+    val croots = spark.table(s"${tableName}_croots")
+    // min-agg absorbs duplicate (id, root) rows from the ledger window
+    val known = nodes.join(croots, nodes("u") === croots("id"))
+      .groupBy(col("u").as("key")).agg(min(col("root")).as("lbl"))
+    val resolved = chaseParents(known, parentLog(spark, tableName))
+      .localCheckpoint() // reused thrice: two translations + merge detect
+    val ra = resolved.select(col("key").as("ku"), col("lbl").as("ru"))
+    val rb = resolved.select(col("key").as("kv"), col("lbl").as("rv"))
+    val translated = fwd
+      .join(ra, col("u") === col("ku"), "left")
+      .join(rb, col("v") === col("kv"), "left")
+      .select(coalesce(col("ru"), col("u")).as("tu"),
+        coalesce(col("rv"), col("v")).as("tv"))
+      .filter(col("tu") =!= col("tv"))
+    val comps = graft.operators.Dedup.connectedComponentsStar(
+        translated, "tu", "tv")
+      .localCheckpoint() // reused twice: merge rows + new-id rows
+    // 4a. merge log: standing roots relabeled smaller by this batch
+    val mergedRoots = comps
+      .join(resolved.select(col("lbl").as("id")).distinct(), "id")
+      .filter(col("component") < col("id"))
+      .select(col("id").as("child"), col("component").as("parent"))
+    idempotently(spark, s"${tableName}_cparents", batchTag) {
+      mergedRoots.write.mode("append")
+        .format("parquet").saveAsTable(s"${tableName}_cparents")
+      spark.catalog.refreshTable(s"${tableName}_cparents")
+    }
+    // 4b. map rows for ids the index has never seen (their translated
+    // label is themselves, so comps carries their final assignment);
+    // eager checkpoint before the write — the plan anti-joins the very
+    // table it appends to (the paragraphKeyIndexAppend self-read rule)
+    idempotently(spark, s"${tableName}_croots", batchTag) {
+      val newRoots = nodes
+        .join(croots, nodes("u") === croots("id"), "left_anti")
+        .join(comps, col("u") === comps("id"))
+        .select(col("u").as("id"), col("component").as("root"))
+        .localCheckpoint(true)
+      newRoots.repartition(buckets, col("id"))
+        .write.mode("append")
+        .bucketBy(buckets, "id").sortBy("id")
+        .format("parquet").saveAsTable(s"${tableName}_croots")
+      spark.catalog.refreshTable(s"${tableName}_croots")
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(newRoots)
+    }
+    Seq(fwd, resolved, comps)
+      .foreach(org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
+  }
+
+  /** Current labeling of a [[componentsIndex]]: (id, component) with
+    * component the min id of the component as of all folded batches —
+    * row-for-row what the batch operators return over the union of all
+    * folded edge lists. Shape: the DISTINCT stored roots (component-
+    * count-sized, small) chase the merge log to their final labels, then
+    * ONE join back against the map keyed on `root` — a giant dup
+    * component makes that key hot, which is AQE skew-join territory, not
+    * a rewrite (the map side carries only ids). */
+  def componentsResolve(spark: SparkSession,
+                        tableName: String = "cmp_index"): DataFrame = {
+    import org.apache.spark.sql.functions.min
+    val croots = spark.table(s"${tableName}_croots")
+      .groupBy(col("id")).agg(min(col("root")).as("root"))
+    val roots = croots.select(col("root").as("key"), col("root").as("lbl"))
+      .distinct()
+    val finalRoots = chaseParents(roots, parentLog(spark, tableName))
+      .select(col("key").as("r0"), col("lbl").as("component"))
+    croots.join(finalRoots, col("root") === col("r0"))
+      .select(col("id"), col("component"))
+  }
+
+  /** Flatten a [[componentsIndex]]: rewrite `_croots` with fully-resolved
+    * roots and truncate the merge log — chain depth back to 0, probe cost
+    * back to one join. Same two-rename swap discipline as
+    * [[minhashIndexCompact]]; ledger markers stay valid (compaction
+    * changes representation, not folded content). */
+  def componentsIndexCompact(spark: SparkSession, buckets: Int = 8,
+                             tableName: String = "cmp_index"): Unit = {
+    Seq("_croots_new", "_cparents_new").foreach(sfx =>
+      spark.sql(s"DROP TABLE IF EXISTS $tableName$sfx"))
+    componentsResolve(spark, tableName)
+      .select(col("id"), col("component").as("root"))
+      .repartition(buckets, col("id"))
+      .write.mode("overwrite")
+      .bucketBy(buckets, "id").sortBy("id")
+      .format("parquet").saveAsTable(s"${tableName}_croots_new")
+    spark.table(s"${tableName}_cparents").limit(0)
+      .write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${tableName}_cparents_new")
+    Seq("_croots", "_cparents").foreach(sfx =>
+      swapInNew(spark, s"$tableName$sfx"))
+  }
+
+  /** Drop a [[componentsIndex]] and its replay state. */
+  def dropComponentsIndex(spark: SparkSession,
+                          tableName: String = "cmp_index"): Unit = {
+    Seq("_croots", "_cparents").foreach { sfx =>
+      dropTable(spark, s"$tableName$sfx")
+      clearLedger(spark, s"$tableName$sfx")
+    }
+    clearStreamOwner(spark, s"${tableName}_croots")
+  }
 }

@@ -167,6 +167,39 @@ object Embeddings extends QueryPack {
         .orderBy(col("vec_id"))
     }),
 
+    // -- the INCREMENTAL form (round-12): the identical cosine pair set
+    //    folded into a STANDING component map in three deterministic
+    //    batches (id_a % 3 — each fold merges across earlier batches, so
+    //    the merge log is exercised, not just the first build), with a
+    //    COMPACTION between folds (flattened chains must change nothing).
+    //    The resolved labeling is hash-checked against the one-shot
+    //    recursive-CTE oracle over the WHOLE pair set — per-batch work is
+    //    batch-proportional, yet the final answer is exactly the batch
+    //    operator's. [[graft.catalog.Layout.componentsIndexAppend]] /
+    //    [[graft.catalog.Layout.componentsResolve]].
+    "dedup_components_incr" -> ((s, dir) => {
+      import graft.catalog.Layout
+      val pairs = queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      val table = "cmp_incr_gate"
+      Layout.dropComponentsIndex(s, table)
+      def slice(i: Int) = pairs.filter(col("id_a") % 3 === i)
+      Layout.componentsIndex(s, slice(0), "id_a", "id_b", buckets = 4,
+        tableName = table)
+      Layout.componentsIndexAppend(s, slice(1), "id_a", "id_b", buckets = 4,
+        tableName = table, batchTag = Some("gate_b1"))
+      Layout.componentsIndexCompact(s, buckets = 4, tableName = table)
+      Layout.componentsIndexAppend(s, slice(2), "id_a", "id_b", buckets = 4,
+        tableName = table, batchTag = Some("gate_b2"))
+      val comps = Layout.componentsResolve(s, table)
+      Tables(s, dir, "embeddings").select(col("vec_id"))
+        .join(comps, col("vec_id") === col("id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("component"), col("vec_id")).as("component"))
+        .orderBy(col("vec_id"))
+    }),
+
     // -- ANN via IVF: spherical-k-means cells + multi-probe assignment +
     //    exact verify. k=8 cells, 3 probes, 3 Lloyd iterations — measured
     //    recall 0.94–0.97 across seeds at sf0.01/sf0.1. Approximate
@@ -723,6 +756,31 @@ object Embeddings extends QueryPack {
         |ORDER BY emb.vec_id""".stripMargin,
 
     "dedup_components_star" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+        |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM e0 a JOIN e0 b ON a.vec_id < b.vec_id
+        |  WHERE CAST(list_reduce(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i]), (x, y) -> x + y)
+        |         / (sqrt(a.nsq) * sqrt(b.nsq)) AS DECIMAL(9,4)) >= 0.3),
+        |ed AS (SELECT id_a AS src, id_b AS dst FROM p
+        |       UNION SELECT id_b, id_a FROM p),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT src, src FROM ed
+        |  UNION
+        |  SELECT ed.src, reach.r FROM ed JOIN reach ON ed.dst = reach.id)
+        |SELECT emb.vec_id,
+        |  COALESCE(c.component, emb.vec_id) AS component
+        |FROM embeddings emb
+        |LEFT JOIN (SELECT id, MIN(r) AS component FROM reach GROUP BY id) c
+        |  ON emb.vec_id = c.id
+        |ORDER BY emb.vec_id""".stripMargin,
+
+    // identical oracle to dedup_components: batching the fold must not
+    // change the labeling of the same edge set
+    "dedup_components_incr" ->
       """WITH RECURSIVE e0 AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
         |    list_reduce(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), (a, b) -> a + b) AS nsq

@@ -137,19 +137,33 @@ object StreamOps {
     * query may fold into a given index table (the single-writer
     * invariant — see ensureStreamOwner's scaladoc). Index params are
     * layout metadata and must match the values the index was created
-    * with. */
+    * with.
+    *
+    * `componentsTable` (round-12): optionally fold each batch's emitted
+    * pairs into a standing component map
+    * ([[graft.catalog.Layout.componentsIndexAppend]]) so canonical dup-
+    * group ids accrete per batch instead of demanding a full-history CC
+    * downstream — `Layout.componentsResolve` then labels every id ever
+    * paired. The fold consumes the SNAPSHOTTED pairs under the same
+    * content tag, so replays fold identical edges and the ledger skips
+    * them; the map must exist ([[graft.catalog.Layout.componentsIndex]],
+    * typically built from the empty pair set alongside the minhash
+    * index). */
   def dedupStreamAgainstIndex(docs: DataFrame,
                               spark: org.apache.spark.sql.SparkSession,
                               tableName: String, idCol: String, textCol: String,
                               shingleN: Int = 2, numHashes: Int = 32,
                               bands: Int = 8, buckets: Int = 8,
                               estThreshold: Double = 0.3,
-                              unicodeForm: Option[String] = None)
+                              unicodeForm: Option[String] = None,
+                              componentsTable: Option[String] = None,
+                              componentsBuckets: Int = 8)
                              (onPairs: (DataFrame, Long) => Unit): DataStreamWriter[Row] =
     docs.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       dedupBatchAgainstIndex(batch, id, spark, tableName, idCol, textCol,
         shingleN, numHashes, bands, buckets, estThreshold,
-        unicodeForm = unicodeForm)(onPairs)
+        unicodeForm = unicodeForm, componentsTable = componentsTable,
+        componentsBuckets = componentsBuckets)(onPairs)
     }
 
   /** Content-keyed batch tag: `b<id>_<n>x<xxh64-sum>_<crc32-sum>` with
@@ -213,19 +227,36 @@ object StreamOps {
       tableName: String, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, buckets: Int,
       estThreshold: Double, queryId: Option[String] = None,
-      unicodeForm: Option[String] = None)
+      unicodeForm: Option[String] = None,
+      componentsTable: Option[String] = None,
+      componentsBuckets: Int = 8)
       (onPairs: (DataFrame, Long) => Unit): Unit = {
     import graft.catalog.Layout
     // forgotten-reset auto-detection: a DIFFERENT query id on the
-    // standing stream state resets it before this query's first fold
-    queryId.orElse(streamQueryId(spark))
-      .foreach(q => Layout.ensureStreamOwner(spark, tableName, q))
+    // standing stream state resets it before this query's first fold —
+    // one owner marker per folded table (the curate-loop rule): the
+    // component map's two ledgers are independent of the base index's
+    queryId.orElse(streamQueryId(spark)).foreach { q =>
+      Layout.ensureStreamOwner(spark, tableName, q)
+      componentsTable.foreach { ct =>
+        Layout.ensureStreamOwner(spark, s"${ct}_croots", q)
+        Layout.ensureStreamOwner(spark, s"${ct}_cparents", q)
+      }
+    }
     val tag = batchContentTag(batch, id, idCol, textCol)
+    // folds the SNAPSHOTTED pairs (identical on every delivery), so the
+    // edge set is replay-exact and the ledger-guarded append idempotent
+    def foldComponents(): Unit = componentsTable.foreach(ct =>
+      Layout.componentsIndexAppend(spark,
+        Layout.batchOutputRead(spark, tableName, tag, "pairs"),
+        "batch_id", "corpus_id", buckets = componentsBuckets,
+        tableName = ct, batchTag = Some(tag)))
     if (Layout.batchOutputCommitted(spark, tableName, tag)) {
       // REPLAY after the output was decided: the standing index may
       // already hold this batch's signatures, so deliver the snapshot
       // and re-run the (ledger-guarded) fold from the original batch
       onPairs(Layout.batchOutputRead(spark, tableName, tag, "pairs"), id)
+      foldComponents()
       graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
         shingleN, numHashes, bands, buckets, tableName,
         batchTag = Some(tag), unicodeForm = unicodeForm)
@@ -242,6 +273,7 @@ object StreamOps {
         // longer change what any delivery of this batch observes
         Layout.batchOutputWrite(spark, tableName, tag, Seq("pairs" -> pairs))
         onPairs(Layout.batchOutputRead(spark, tableName, tag, "pairs"), id)
+        foldComponents()
         graft.catalog.Layout.minhashIndexAppend(spark, batch, idCol, textCol,
           shingleN, numHashes, bands, buckets, tableName,
           batchTag = Some(tag), unicodeForm = unicodeForm)
@@ -251,6 +283,10 @@ object StreamOps {
     // again once this batch runs (micro-batch commits are sequential)
     Layout.pruneBatchOutputs(spark, tableName, tag)
     Layout.pruneLedger(spark, tableName, tag)
+    componentsTable.foreach { ct =>
+      Layout.pruneLedger(spark, s"${ct}_croots", tag)
+      Layout.pruneLedger(spark, s"${ct}_cparents", tag)
+    }
   }
 
   /** The full streaming CURATION loop: per micro-batch, (1) quality-gate

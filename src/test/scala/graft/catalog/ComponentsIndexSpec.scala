@@ -1,0 +1,133 @@
+package graft.catalog
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Dedup
+
+/** The standing component map ([[Layout.componentsIndex]] family) — the
+  * incremental union-find the streaming loop needs where the batch
+  * operators would recompute the full-history CC per micro-batch.
+  *
+  * The load-bearing invariant: folding ANY batching of an edge list must
+  * resolve to exactly the one-shot [[Dedup.connectedComponentsStar]]
+  * labeling of the union — including across merge chains (a root merged
+  * under a smaller root merged under a yet smaller one), compactions, and
+  * replays.
+  */
+class ComponentsIndexSpec extends SparkSpec {
+
+  private def edges(pairs: (Long, Long)*): DataFrame = {
+    import spark.implicits._
+    pairs.toSeq.toDF("a", "b")
+  }
+
+  private def resolveMap(table: String): Map[Long, Long] =
+    Layout.componentsResolve(spark, table)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def batchMap(all: DataFrame): Map[Long, Long] =
+    Dedup.connectedComponentsStar(all, "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("batched folds resolve to the one-shot labeling, across merge chains") {
+    val t = "cmp_spec_chain"
+    Layout.dropComponentsIndex(spark, t)
+    // batch 1: three separate components rooted 10, 20, 30
+    val b1 = edges((10L, 11L), (20L, 21L), (30L, 31L))
+    // batch 2: merge 20s under 10s (parent row 20 -> 10)
+    val b2 = edges((11L, 21L))
+    // batch 3: merge the combined component AND the 30s under NEW id 5
+    // (5 < every standing root: both 10 and 30 get parent 5 — the
+    // parent-is-a-new-id case), chain depth 2 for the 20s (20 -> 10 -> 5)
+    val b3 = edges((5L, 21L), (5L, 31L))
+    Layout.componentsIndex(spark, b1, "a", "b", buckets = 2, tableName = t)
+    Layout.componentsIndexAppend(spark, b2, "a", "b", buckets = 2,
+      tableName = t, batchTag = Some("b2"))
+    Layout.componentsIndexAppend(spark, b3, "a", "b", buckets = 2,
+      tableName = t, batchTag = Some("b3"))
+    val expect = batchMap(b1.union(b2).union(b3))
+    assert(resolveMap(t) == expect)
+    assert(expect.values.toSet == Set(5L)) // everything merged under 5
+    // the merge log really carries the chain (un-compacted)
+    val parents = spark.table(s"${t}_cparents")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toSet
+    assert(parents.contains(20L -> 10L), s"got $parents")
+    assert(parents.contains(10L -> 5L) && parents.contains(30L -> 5L),
+      s"got $parents")
+    Layout.dropComponentsIndex(spark, t)
+  }
+
+  test("compaction flattens the merge log without changing the labeling") {
+    val t = "cmp_spec_compact"
+    Layout.dropComponentsIndex(spark, t)
+    Layout.componentsIndex(spark, edges((10L, 11L), (20L, 21L)), "a", "b",
+      buckets = 2, tableName = t)
+    Layout.componentsIndexAppend(spark, edges((11L, 21L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("b2"))
+    val before = resolveMap(t)
+    Layout.componentsIndexCompact(spark, buckets = 2, tableName = t)
+    assert(spark.table(s"${t}_cparents").count() == 0)
+    assert(resolveMap(t) == before)
+    // folds keep working against the compacted incarnation
+    Layout.componentsIndexAppend(spark, edges((1L, 10L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("b3"))
+    assert(resolveMap(t) == batchMap(
+      edges((10L, 11L), (20L, 21L), (11L, 21L), (1L, 10L))))
+    Layout.dropComponentsIndex(spark, t)
+  }
+
+  test("replay: the same batch tag folds once; an untagged re-fold is absorbed") {
+    val t = "cmp_spec_replay"
+    Layout.dropComponentsIndex(spark, t)
+    Layout.componentsIndex(spark, edges((10L, 11L)), "a", "b",
+      buckets = 2, tableName = t)
+    val b2 = edges((11L, 20L))
+    Layout.componentsIndexAppend(spark, b2, "a", "b", buckets = 2,
+      tableName = t, batchTag = Some("b2"))
+    val once = resolveMap(t)
+    val rowsOnce = (spark.table(s"${t}_croots").count(),
+      spark.table(s"${t}_cparents").count())
+    // exact replay (ledger hit): zero new rows
+    Layout.componentsIndexAppend(spark, b2, "a", "b", buckets = 2,
+      tableName = t, batchTag = Some("b2"))
+    assert((spark.table(s"${t}_croots").count(),
+      spark.table(s"${t}_cparents").count()) == rowsOnce)
+    // the residual ledger window re-applies a fold ONCE without a marker
+    // skip — labels are a min-semilattice, so the duplicate is absorbed
+    Layout.componentsIndexAppend(spark, b2, "a", "b", buckets = 2,
+      tableName = t, batchTag = None)
+    assert(resolveMap(t) == once)
+    Layout.dropComponentsIndex(spark, t)
+  }
+
+  test("self-loops and isolated ids are excluded, like the batch operators") {
+    val t = "cmp_spec_iso"
+    Layout.dropComponentsIndex(spark, t)
+    Layout.componentsIndex(spark, edges((7L, 7L), (1L, 2L)), "a", "b",
+      buckets = 2, tableName = t)
+    Layout.componentsIndexAppend(spark, edges((9L, 9L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("b2"))
+    assert(resolveMap(t) == Map(1L -> 1L, 2L -> 1L))
+    Layout.dropComponentsIndex(spark, t)
+  }
+
+  test("random edge batches equal the one-shot labeling (seeded sweep)") {
+    val rnd = new scala.util.Random(12)
+    val t = "cmp_spec_rand"
+    (0 until 3).foreach { trial =>
+      Layout.dropComponentsIndex(spark, t)
+      val all = Seq.fill(60)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val parts = all.grouped(20).toSeq
+      Layout.componentsIndex(spark, edges(parts.head: _*), "a", "b",
+        buckets = 2, tableName = t)
+      parts.tail.zipWithIndex.foreach { case (p, i) =>
+        Layout.componentsIndexAppend(spark, edges(p: _*), "a", "b",
+          buckets = 2, tableName = t, batchTag = Some(s"t${trial}_$i"))
+      }
+      assert(resolveMap(t) == batchMap(edges(all: _*)), s"trial $trial")
+    }
+    Layout.dropComponentsIndex(spark, t)
+  }
+}

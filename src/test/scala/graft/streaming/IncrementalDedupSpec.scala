@@ -939,4 +939,54 @@ class IncrementalDedupSpec extends SparkSpec {
     } finally
       Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
   }
+
+  test("streaming components fold: canonical group ids accrete per batch; replays fold once") {
+    // round-12: dedupStreamAgainstIndex(componentsTable = ...) folds each
+    // batch's SNAPSHOTTED pairs into the standing component map, so dup
+    // groups carry canonical ids across micro-batches without a
+    // full-history CC — and a replayed batch folds identical edges that
+    // the ledger then skips.
+    val sp = spark
+    import sp.implicits._
+    val corpus = (0L until 6L).map(i => (i, sentence(i.toInt))).toDF("doc_id", "text")
+    val table = "mh_cmpfold_idx"
+    val cmp = "mh_cmpfold_map"
+    def deliver(batch: Seq[(Long, String)], id: Long): Unit =
+      StreamOps.dedupBatchAgainstIndex(batch.toDF("doc_id", "text"), id, sp,
+        table, "doc_id", "text", 2, 16, 4, 4, 0.5,
+        queryId = Some("qcmp"), componentsTable = Some(cmp),
+        componentsBuckets = 2)((_, _) => ())
+    def resolved(): Map[Long, Long] =
+      Layout.componentsResolve(sp, cmp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      Layout.minhashBandIndex(sp, corpus, "doc_id", "text",
+        shingleN = 2, numHashes = 16, bands = 4, buckets = 4, table)
+      Layout.componentsIndex(sp,
+        Seq.empty[(Long, Long)].toDF("batch_id", "corpus_id"),
+        "batch_id", "corpus_id", buckets = 2, tableName = cmp)
+      // batch 0: a copy of corpus doc 0 + a novel doc
+      deliver(Seq((100L, sentence(0)), (102L, sentence(50))), 0L)
+      assert(resolved() == Map(100L -> 0L, 0L -> 0L))
+      // batch 1: another copy of doc 0 — pairs (201,0) and (201,100)
+      // accrete into the SAME group, still canonically rooted at 0
+      deliver(Seq((201L, sentence(0))), 1L)
+      val after1 = resolved()
+      assert(after1 == Map(100L -> 0L, 0L -> 0L, 201L -> 0L))
+      val stateRows = (sp.table(s"${cmp}_croots").count(),
+        sp.table(s"${cmp}_cparents").count())
+      // replay of batch 1 (same content tag): snapshot pairs re-fold,
+      // ledger skips — zero new rows, same labeling
+      deliver(Seq((201L, sentence(0))), 1L)
+      assert((sp.table(s"${cmp}_croots").count(),
+        sp.table(s"${cmp}_cparents").count()) == stateRows)
+      assert(resolved() == after1)
+    } finally {
+      Seq("_sigs", "_bands").foreach(s => sp.sql(s"DROP TABLE IF EXISTS $table$s"))
+      Layout.dropComponentsIndex(sp, cmp)
+      Layout.resetStreamState(sp, table)
+      Seq("_croots", "_cparents").foreach(s =>
+        Layout.resetStreamState(sp, s"$cmp$s"))
+    }
+  }
 }
