@@ -239,8 +239,18 @@ object Bench {
         }.sorted
         name -> times
       }
+    // dev-only narrowing (the driver always runs the full bench):
+    // SPARK_GRAFT_BENCH_ONLY=name1,name2 re-measures just those queries —
+    // the isolation tool for telling a real per-query regression from
+    // box drift (the ScaleProbe SPARK_GRAFT_PROBE_ONLY convention)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case None => SparkEntry.queries.toSeq
+      case Some(names) => SparkEntry.queries.toSeq.filter(e => names(e._1))
+    }
     val (armEntries, engineEntries) =
-      SparkEntry.queries.toSeq.partition(e => contractArmQueries(e._1))
+      selected.partition(e => contractArmQueries(e._1))
     val results = time(engineEntries)
     // the exact-arm GATE queries go in a separate key too (round-6 verdict
     // "next round" #2): each deliberately runs a brute-force contract arm
@@ -252,7 +262,10 @@ object Bench {
     // inside the gate queries' timings (the gates run operator + exact
     // contract arm), so folding them into `total` would double-count the
     // operators and break round-over-round comparability of the headline.
-    val opResults = time(operatorBenches.toSeq)
+    val opResults = time(only match {
+      case None => operatorBenches.toSeq
+      case Some(names) => operatorBenches.toSeq.filter(e => names(e._1))
+    })
     def obj(rs: Seq[(String, Seq[Double])])(f: Seq[Double] => Double): String =
       rs.map { case (k, ts) => "\"" + k + "\":" + f(ts) }
         .mkString("{", ",", "}")

@@ -983,6 +983,7 @@ object Layout {
     * [[graft.operators.Dedup.connectedComponents]] lineage discipline). */
   private def chaseParents(cur0: DataFrame, parents: DataFrame,
                            maxIter: Int = 50): DataFrame = {
+    import org.apache.spark.sql.graftglue.Glue
     var cur = cur0.localCheckpoint()
     var iter = 0
     var converged = false
@@ -990,11 +991,16 @@ object Layout {
       val hits = cur.join(parents, cur("lbl") === parents("child")).count()
       if (hits == 0) converged = true
       else {
-        cur = cur.join(parents, cur("lbl") === parents("child"), "left")
+        val next = cur.join(parents, cur("lbl") === parents("child"), "left")
           .select(cur("key"),
             org.apache.spark.sql.functions.coalesce(col("parent"), col("lbl"))
               .as("lbl"))
           .localCheckpoint()
+        // release superseded rounds deterministically — the per-batch
+        // fold path must not leave blocks for ContextCleaner-on-GC to
+        // find (they crowd the block store of whatever runs next)
+        Glue.releaseLocalCheckpoint(cur)
+        cur = next
       }
       iter += 1
     }
@@ -1053,8 +1059,9 @@ object Layout {
     // min-agg absorbs duplicate (id, root) rows from the ledger window
     val known = nodes.join(croots, nodes("u") === croots("id"))
       .groupBy(col("u").as("key")).agg(min(col("root")).as("lbl"))
+    // chaseParents already returns a checkpointed frame — reused thrice
+    // (two translations + merge detect) off that one materialization
     val resolved = chaseParents(known, parentLog(spark, tableName))
-      .localCheckpoint() // reused thrice: two translations + merge detect
     val ra = resolved.select(col("key").as("ku"), col("lbl").as("ru"))
     val rb = resolved.select(col("key").as("kv"), col("lbl").as("rv"))
     val translated = fwd

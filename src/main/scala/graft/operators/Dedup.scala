@@ -714,11 +714,17 @@ object Dedup {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") < col("prev")).count()
+      // superseded round released deterministically (round-12): the
+      // blocks are otherwise freed only when ContextCleaner notices the
+      // frame is garbage, and across many CC calls in one session they
+      // crowd the block store of whatever runs next
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
     require(converged, s"connectedComponents did not converge in $maxIter rounds")
+    org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(und)
     labels
   }
 
@@ -786,7 +792,11 @@ object Dedup {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      val prev = e
       e = smallStar(largeStar(e)).localCheckpoint()
+      // superseded round released deterministically (round-12, the
+      // connectedComponents discipline)
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(prev)
       val next = checksum(e)
       converged = next == sig
       sig = next

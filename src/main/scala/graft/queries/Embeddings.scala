@@ -192,6 +192,10 @@ object Embeddings extends QueryPack {
       Layout.componentsIndexCompact(s, buckets = 4, tableName = table)
       Layout.componentsIndexAppend(s, slice(2), "id_a", "id_b", buckets = 4,
         tableName = table, batchTag = Some("gate_b2"))
+      // the folds are complete and the result below reads only the
+      // standing tables — release the pair checkpoint deterministically
+      // (its blocks otherwise linger in the block store until GC)
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(pairs)
       val comps = Layout.componentsResolve(s, table)
       Tables(s, dir, "embeddings").select(col("vec_id"))
         .join(comps, col("vec_id") === col("id"), "left")
