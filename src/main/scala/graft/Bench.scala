@@ -279,8 +279,17 @@ object Bench {
     // is the round-5/6 schema-2 definition and "total_with_operators" the
     // round-4-and-earlier one, so a consumer diffing raw JSON across rounds
     // has like-for-like numbers without reading BASELINE.md.
+    // a BENCH_ONLY-narrowed run must never be mistakable for the official
+    // full map (ADVICE r12): the filter is stamped into the JSON and the
+    // headline metric renamed, so a partial map diffed against a full one
+    // fails loudly instead of reading as a regression/improvement.
+    val onlyStamp = only.map(ns =>
+      s""""bench_only":${ns.toSeq.sorted.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""").getOrElse("")
+    val metric = if (only.isDefined) "bench_only_subset" else "total"
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","schema":3,""" +
+      s"""{"metric":"$metric","value":$total,"unit":"sec","schema":3,""" +
+      onlyStamp +
       s""""total_with_contract_arms":${total + armTotal},""" +
       s""""total_with_operators":${total + armTotal + opResults.map(_._2.min).sum},""" +
       s""""reps":$reps,"queries":${obj(results)(_.min)},""" +
@@ -301,7 +310,8 @@ object Bench {
     val slowest5 = results.map { case (k, ts) => k -> ts.min }
       .sortBy(-_._2).take(5)
     val summary =
-      s"""{"metric":"total","value":$total,"unit":"sec","schema":3,""" +
+      s"""{"metric":"$metric","value":$total,"unit":"sec","schema":3,""" +
+      onlyStamp +
       s""""total_with_contract_arms":${total + armTotal},""" +
       s""""n_engine":${results.size},"n_arms":${armResults.size},""" +
       s""""n_operators":${opResults.size},"reps":$reps,""" +

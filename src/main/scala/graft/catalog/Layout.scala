@@ -959,6 +959,7 @@ object Layout {
     Seq("_croots", "_cparents").foreach { sfx =>
       clearLedger(spark, s"$tableName$sfx") // fresh incarnation
       dropTable(spark, s"$tableName$sfx")
+      clearStreamOwner(spark, s"$tableName$sfx") // rebuild w/o drop (ADVICE r12)
     }
     val comps = graft.operators.Dedup.connectedComponentsStar(
       edges, srcCol, dstCol)
@@ -978,34 +979,42 @@ object Layout {
   /** Chase (key, lbl) rows through the `parents` merge log to their final
     * labels: replace lbl by its parent until no row's lbl has one. Chains
     * strictly descend (parent < child), so depth ≤ longest un-compacted
-    * merge chain; each round is one join against the (merge-log-sized)
-    * parents table + an eager localCheckpoint (the
-    * [[graft.operators.Dedup.connectedComponents]] lineage discipline). */
-  private def chaseParents(cur0: DataFrame, parents: DataFrame,
+    * merge chain. ONE join per round (ADVICE r12 low): the left join both
+    * advances the frame and, via a `_hit` flag counted off the
+    * checkpointed blocks, decides convergence — no separate inner-join
+    * job, half the per-round shuffle (the
+    * [[graft.operators.Dedup.connectedComponents]] discipline). The
+    * merge log itself is checkpointed once up front so its groupBy isn't
+    * re-planned and re-read every round. */
+  private def chaseParents(cur0: DataFrame, parents0: DataFrame,
                            maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftglue.Glue
+    import org.apache.spark.sql.functions.coalesce
+    val parents = parents0.localCheckpoint()
     var cur = cur0.localCheckpoint()
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val hits = cur.join(parents, cur("lbl") === parents("child")).count()
+      val next = cur.join(parents, cur("lbl") === parents("child"), "left")
+        .select(cur("key"),
+          coalesce(col("parent"), col("lbl")).as("lbl"),
+          col("parent").isNotNull.as("_hit"))
+        .localCheckpoint()
+      val hits = next.filter(col("_hit")).count() // scan of local blocks
+      // release superseded rounds deterministically — the per-batch
+      // fold path must not leave blocks for ContextCleaner-on-GC to
+      // find (they crowd the block store of whatever runs next)
+      Glue.releaseLocalCheckpoint(cur)
+      cur = next
       if (hits == 0) converged = true
-      else {
-        val next = cur.join(parents, cur("lbl") === parents("child"), "left")
-          .select(cur("key"),
-            org.apache.spark.sql.functions.coalesce(col("parent"), col("lbl"))
-              .as("lbl"))
-          .localCheckpoint()
-        // release superseded rounds deterministically — the per-batch
-        // fold path must not leave blocks for ContextCleaner-on-GC to
-        // find (they crowd the block store of whatever runs next)
-        Glue.releaseLocalCheckpoint(cur)
-        cur = next
-      }
       iter += 1
     }
     require(converged, s"component parent chase did not converge in " +
       s"$maxIter rounds — compact the index (componentsIndexCompact)")
+    Glue.releaseLocalCheckpoint(parents)
+    // returned AS the checkpointed frame (callers release it; a Project
+    // on top would hide the LogicalRDD from releaseLocalCheckpoint and
+    // leak the blocks) — callers select (key, lbl) and ignore `_hit`
     cur
   }
 
@@ -1086,12 +1095,21 @@ object Layout {
     // 4b. map rows for ids the index has never seen (their translated
     // label is themselves, so comps carries their final assignment);
     // eager checkpoint before the write — the plan anti-joins the very
-    // table it appends to (the paragraphKeyIndexAppend self-read rule)
+    // table it appends to (the paragraphKeyIndexAppend self-read rule).
+    // LEFT join + coalesce, not inner (ADVICE r12 high): on a crash
+    // replay where the _cparents append landed but the _croots one did
+    // not, a new id that became its component's new min resolves the
+    // standing roots to ITSELF through the just-applied merge rows, its
+    // edges collapse to self-edges, and it vanishes from comps — but an
+    // id absent from comps can only be absent because everything it
+    // touches already resolves to it, i.e. it IS its component's root,
+    // so self-labeling is exact.
     idempotently(spark, s"${tableName}_croots", batchTag) {
       val newRoots = nodes
         .join(croots, nodes("u") === croots("id"), "left_anti")
-        .join(comps, col("u") === comps("id"))
-        .select(col("u").as("id"), col("component").as("root"))
+        .join(comps, col("u") === comps("id"), "left")
+        .select(col("u").as("id"),
+          coalesce(col("component"), col("u")).as("root"))
         .localCheckpoint(true)
       newRoots.repartition(buckets, col("id"))
         .write.mode("append")
@@ -1147,13 +1165,17 @@ object Layout {
       swapInNew(spark, s"$tableName$sfx"))
   }
 
-  /** Drop a [[componentsIndex]] and its replay state. */
+  /** Drop a [[componentsIndex]] and its replay state. Owner markers are
+    * registered per side table ([[graft.streaming.StreamOps]] guards
+    * `_croots` AND `_cparents` independently), so both are cleared —
+    * leaving either would carry a dead query's ownership across the
+    * incarnation (ADVICE r12). */
   def dropComponentsIndex(spark: SparkSession,
                           tableName: String = "cmp_index"): Unit = {
     Seq("_croots", "_cparents").foreach { sfx =>
       dropTable(spark, s"$tableName$sfx")
       clearLedger(spark, s"$tableName$sfx")
+      clearStreamOwner(spark, s"$tableName$sfx")
     }
-    clearStreamOwner(spark, s"${tableName}_croots")
   }
 }

@@ -102,6 +102,45 @@ class ComponentsIndexSpec extends SparkSpec {
     Layout.dropComponentsIndex(spark, t)
   }
 
+  test("half-applied crash replay: new id that became the component min " +
+    "still gets its map row (ADVICE r12 high)") {
+    // The crash window: componentsIndexAppend applies the _cparents half
+    // (merge rows + marker), crashes before the _croots half. On replay
+    // the batch's known roots chase through the JUST-APPLIED merge rows —
+    // a new id that became its component's min turns its own edges into
+    // self-edges, vanishes from the batch CC, and an inner join would
+    // silently drop its _croots row, permanently diverging resolution.
+    val t = "cmp_spec_halfcrash"
+    Layout.dropComponentsIndex(spark, t)
+    Layout.componentsIndex(spark, edges((20L, 21L)), "a", "b",
+      buckets = 2, tableName = t)
+    // simulate the half-applied fold of batch (5, 20): the merge row
+    // (20 -> 5) lands in _cparents and its ledger marker is set, exactly
+    // as componentsIndexAppend would have left them mid-crash
+    edges((20L, 5L))
+      .select(col("a").as("child"), col("b").as("parent"))
+      .write.mode("append").format("parquet").saveAsTable(s"${t}_cparents")
+    spark.catalog.refreshTable(s"${t}_cparents")
+    val marker = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${t}_cparents_applied/b2")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(marker)
+    // replay the fold: the _cparents block is marker-skipped, the _croots
+    // block must self-label 5 (absent from the batch CC ⇒ it IS the root)
+    Layout.componentsIndexAppend(spark, edges((5L, 20L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("b2"))
+    val croots = spark.table(s"${t}_croots")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(croots.get(5L).contains(5L), s"got $croots")
+    assert(resolveMap(t) == batchMap(edges((20L, 21L), (5L, 20L))))
+    // a follow-up batch touching 5 must keep converging with the one-shot
+    Layout.componentsIndexAppend(spark, edges((3L, 5L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("b3"))
+    assert(resolveMap(t) ==
+      batchMap(edges((20L, 21L), (5L, 20L), (3L, 5L))))
+    assert(resolveMap(t).values.toSet == Set(3L))
+    Layout.dropComponentsIndex(spark, t)
+  }
+
   test("self-loops and isolated ids are excluded, like the batch operators") {
     val t = "cmp_spec_iso"
     Layout.dropComponentsIndex(spark, t)
