@@ -121,12 +121,52 @@ object Bench {
     // identical 24-merge output here (weight gaps keep created pairs
     // from overtaking), but the batched route runs ~batchK× fewer
     // sequential driver jobs — the production-vocabulary cost story
+    // the steady-state incremental-components cost: ONE batch folded
+    // into a STANDING component map (built on the first rep, the
+    // op_pipeline standing-index convention) + the resolve read. The
+    // dedup_components_incr gate (contract_arms) rebuilds the whole
+    // index 3 ways with a compaction — choreography, not operator cost.
+    "op_components_fold" -> ((s, dir) => componentsFoldOp(s, dir)),
     "op_bpe_train" -> ((s, dir) =>
       graft.operators.Bpe.train(bpeWords(s, dir), "word", "weight",
         numMerges = 24, minPairCount = 1L)),
     "op_bpe_train_batched" -> ((s, dir) =>
       graft.operators.Bpe.trainBatched(bpeWords(s, dir), "word", "weight",
         numMerges = 24, batchK = 8, minPairCount = 1L)))
+
+  /** The op_components_fold arm: fold one cosine-pair batch into a
+    * standing component map and resolve. The map and the batch are
+    * built once per (session, sf dir) — the standing-index cost model;
+    * later reps re-fold the same batch UNTAGGED, which the min-label
+    * semilattice absorbs: the measured steady state is the probe +
+    * merge-log chase (the map-scan-bound term SCALE.md pins as the
+    * operator's per-batch cost) plus the resolve read; the
+    * batch-proportional CC/append terms ride the first rep. Table names
+    * carry the sf-dir hash so a warehouse shared across scales never
+    * serves a stale map. */
+  def componentsFoldOp(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.Layout
+    val col = org.apache.spark.sql.functions.col _
+    val t = s"cmp_fold_opb_${Integer.toHexString(dir.hashCode)}"
+    val batchT = s"${t}_hist_batch"
+    if (!s.catalog.tableExists(s"${t}_croots") ||
+        !s.catalog.tableExists(s"${t}_cparents") ||
+        !s.catalog.tableExists(batchT)) {
+      Layout.dropComponentsIndex(s, t)
+      Layout.dropTable(s, batchT)
+      val pairs = SparkEntry.queries("dedup_embedding_cosine")(s, dir)
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint()
+      Layout.componentsIndex(s, pairs.filter(col("id_a") % 3 =!= 2),
+        "id_a", "id_b", buckets = 4, tableName = t)
+      pairs.filter(col("id_a") % 3 === 2)
+        .write.mode("overwrite").format("parquet").saveAsTable(batchT)
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(pairs)
+    }
+    Layout.componentsIndexAppend(s, s.table(batchT), "id_a", "id_b",
+      buckets = 4, tableName = t, batchTag = None)
+    Layout.componentsResolve(s, t)
+  }
 
   /** The text_bpe_train vocabulary (clean [a-z0-9]+ word counts). */
   private def bpeWords(s: SparkSession, dir: String): DataFrame =
@@ -197,9 +237,16 @@ object Bench {
     "dedup_semdedup_local",   // same global brute census arm as
                               // dedup_semdedup (r9); operator path
                               // alone is op_semdedup_local
-    "dedup_semdedup_chunked") // same arm again for the chunk-pair
+    "dedup_semdedup_chunked", // same arm again for the chunk-pair
                               // gather (r10); operator path alone is
                               // op_semdedup_chunked
+    "dedup_components_incr")  // 3-batch REBUILD + mid-sequence compaction
+                              // + full-labeling resolve choreography —
+                              // the gate, not the operator (r13, VERDICT
+                              // r12 next #4 / the r8 dedup_keep_best
+                              // precedent). The steady-state operator —
+                              // one batch folded into a STANDING map —
+                              // is op_components_fold.
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

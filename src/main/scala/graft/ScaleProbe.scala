@@ -1208,6 +1208,20 @@ object ScaleProbe {
       ks.foreach(k => componentsProbe(s"${k}x", k))
       spark.stop(); return
     }
+    if (probeOnly.contains("componentsdisk")) {
+      // the DEFAULT-HEAP arm (round-13, VERDICT r12 next #2; run WITHOUT
+      // SPARK_DRIVER_MEM — the entropyautodisk convention): the whole CC
+      // family routes its per-round blocks through the engine-wide
+      // graft.checkpointStorage conf, and the 100× history BUILD — the
+      // one memdisk-heap-bound step (48 GB at 30M edges, SCALE.md) —
+      // must pass at the default 8 GB on the DISK_ONLY tier. Gate
+      // semantics identical (componentsProbe's own deterministic
+      // require).
+      spark.conf.set(graft.Storage.CheckpointStorageConf, "disk")
+      try ks.foreach(k => componentsProbe(s"${k}x", k))
+      finally spark.conf.unset(graft.Storage.CheckpointStorageConf)
+      spark.stop(); return
+    }
     if (probeOnly.contains("entropyautodisk")) {
       ks.foreach(k => entropyAutoProbe(s"${k}x", k, diskArmOnly = true))
       spark.stop(); return

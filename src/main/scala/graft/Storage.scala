@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.Dataset
+
+/** Engine-wide storage policy for eager materializations of
+  * multiply-consumed or iteration-superseded corpus-scale frames.
+  *
+  * Round 12 proved the pattern winnow-first (`graft.winnow
+  * .checkpointStorage`, SCALE.md: the 100× entropy tier ran at the
+  * DEFAULT 8 GB heap on the `disk` tier, ~2× faster than the 48 GB
+  * memdisk run) — and round 12's verdict asked for the same knob behind
+  * the connected-components family, whose one-time 100× history build
+  * hit the identical local-mode heap wall (VERDICT r12 next #2). This
+  * object is that generalization: one session conf, one materializer,
+  * honored by every iterative/eager checkpoint site in the engine.
+  *
+  * Tiers (the lineage-free plan shape — and therefore every operator's
+  * output — is identical under all three; spec-gated per family):
+  *  - `memdisk`: executor-local `localCheckpoint` at MEMORY_AND_DISK —
+  *    fastest when the blocks fit; they compete with execution memory.
+  *  - `disk`: executor-local `localCheckpoint` at DISK_ONLY — zero heap
+  *    residency; the knob that lets 100×-scale builds run at default
+  *    heap in local mode, and measured FASTER than memdisk there.
+  *  - `reliable`: `sparkContext.setCheckpointDir`-backed `checkpoint()`
+  *    — one distributed write, blocks survive executor loss (clusters
+  *    where mid-query loss is routine; the localCheckpoint variants
+  *    recompute-from-nothing there).
+  */
+object Storage {
+
+  /** Engine-wide session conf: memdisk | disk | reliable. Families may
+    * layer a family-specific conf ON TOP (e.g. winnow's) — family conf
+    * wins, then this, then the family's own default. */
+  val CheckpointStorageConf = "graft.checkpointStorage"
+
+  /** Eagerly materialize `ds` per the storage policy. Resolution order:
+    * `familyConf` (if provided and set) → [[CheckpointStorageConf]] →
+    * `familyDefault`. Runs Spark jobs NOW. The returned plan is a bare
+    * `LogicalRDD`, so `Glue.releaseLocalCheckpoint` can free its blocks
+    * deterministically when superseded. */
+  def materializeOnce[T](ds: Dataset[T],
+                         familyConf: Option[String] = None,
+                         familyDefault: String = "memdisk"): Dataset[T] = {
+    val conf = ds.sparkSession.conf
+    val mode = familyConf.flatMap(conf.getOption)
+      .orElse(conf.getOption(CheckpointStorageConf))
+      .getOrElse(familyDefault)
+    mode match {
+      case "memdisk" => ds.localCheckpoint(true)
+      case "disk" =>
+        ds.localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      case "reliable" =>
+        require(
+          ds.sparkSession.sparkContext.getCheckpointDir.isDefined,
+          s"checkpointStorage=reliable requires " +
+            "sparkContext.setCheckpointDir to be set first")
+        ds.checkpoint(true)
+      case other => throw new IllegalArgumentException(
+        s"checkpointStorage must be memdisk|disk|reliable, got $other")
+    }
+  }
+}

@@ -990,16 +990,18 @@ object Layout {
                            maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftglue.Glue
     import org.apache.spark.sql.functions.coalesce
-    val parents = parents0.localCheckpoint()
-    var cur = cur0.localCheckpoint()
+    // storage behind the per-round blocks: the engine-wide
+    // graft.checkpointStorage conf (graft.Storage, round 13)
+    val parents = graft.Storage.materializeOnce(parents0)
+    var cur = graft.Storage.materializeOnce(cur0)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val next = cur.join(parents, cur("lbl") === parents("child"), "left")
-        .select(cur("key"),
-          coalesce(col("parent"), col("lbl")).as("lbl"),
-          col("parent").isNotNull.as("_hit"))
-        .localCheckpoint()
+      val next = graft.Storage.materializeOnce(
+        cur.join(parents, cur("lbl") === parents("child"), "left")
+          .select(cur("key"),
+            coalesce(col("parent"), col("lbl")).as("lbl"),
+            col("parent").isNotNull.as("_hit")))
       val hits = next.filter(col("_hit")).count() // scan of local blocks
       // release superseded rounds deterministically — the per-batch
       // fold path must not leave blocks for ContextCleaner-on-GC to
@@ -1057,10 +1059,10 @@ object Layout {
                             tableName: String = "cmp_index",
                             batchTag: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, min}
-    val fwd = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    val fwd = graft.Storage.materializeOnce(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     val nodes = fwd.select(col("u"))
       .union(fwd.select(col("v").as("u")))
       .distinct()
@@ -1079,9 +1081,9 @@ object Layout {
       .select(coalesce(col("ru"), col("u")).as("tu"),
         coalesce(col("rv"), col("v")).as("tv"))
       .filter(col("tu") =!= col("tv"))
-    val comps = graft.operators.Dedup.connectedComponentsStar(
-        translated, "tu", "tv")
-      .localCheckpoint() // reused twice: merge rows + new-id rows
+    val comps = graft.Storage.materializeOnce(
+      graft.operators.Dedup.connectedComponentsStar(
+        translated, "tu", "tv")) // reused twice: merge rows + new-id rows
     // 4a. merge log: standing roots relabeled smaller by this batch
     val mergedRoots = comps
       .join(resolved.select(col("lbl").as("id")).distinct(), "id")
@@ -1105,12 +1107,11 @@ object Layout {
     // touches already resolves to it, i.e. it IS its component's root,
     // so self-labeling is exact.
     idempotently(spark, s"${tableName}_croots", batchTag) {
-      val newRoots = nodes
+      val newRoots = graft.Storage.materializeOnce(nodes
         .join(croots, nodes("u") === croots("id"), "left_anti")
         .join(comps, col("u") === comps("id"), "left")
         .select(col("u").as("id"),
-          coalesce(col("component"), col("u")).as("root"))
-        .localCheckpoint(true)
+          coalesce(col("component"), col("u")).as("root")))
       newRoots.repartition(buckets, col("id"))
         .write.mode("append")
         .bucketBy(buckets, "id").sortBy("id")

@@ -692,26 +692,28 @@ object Dedup {
                           maxIter: Int = 20): DataFrame = {
     val fwd = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .filter(col("src") =!= col("dst"))
-    // localCheckpoint (eager) after each round: iterative plans otherwise
+    // eager materialization after each round: iterative plans otherwise
     // accumulate lineage — by round ~10 the logical plan is exponentially
     // nested and planning itself OOMs. Truncating lineage per round keeps
-    // every iteration's plan O(1); on a real cluster with flaky executors
-    // use reliable checkpoint(dir) instead (same call shape).
-    val und = fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = und.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("component"))
-      .localCheckpoint()
+    // every iteration's plan O(1). Storage behind the blocks is the
+    // engine-wide graft.checkpointStorage conf (graft.Storage, round 13:
+    // `disk` lets a 100×-scale history build run at default heap in
+    // local mode; `reliable` covers executor loss on real clusters).
+    val und = graft.Storage.materializeOnce(
+      fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct())
+    var labels = graft.Storage.materializeOnce(
+      und.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("component")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // push each node's label to its neighbors, keep the min seen
       val pushed = und.join(labels, col("src") === col("id"))
         .select(col("dst").as("id"), col("component"))
-      val next = labels.union(pushed)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint()
+      val next = graft.Storage.materializeOnce(
+        labels.union(pushed)
+          .groupBy(col("id")).agg(min(col("component")).as("component")))
       val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
         .filter(col("component") < col("prev")).count()
       // superseded round released deterministically (round-12): the
@@ -750,9 +752,6 @@ object Dedup {
     * node with at least one edge, component = min member id. */
   def connectedComponentsStar(edges: DataFrame, srcCol: String, dstCol: String,
                               maxIter: Int = 50): DataFrame = {
-    val spark = edges.sparkSession
-    import org.apache.spark.storage.StorageLevel
-
     def checksum(e: DataFrame): (Long, Long) = {
       // bit_xor: order-free AND overflow-free (sum of hashes trips the
       // ANSI long-overflow check); edges are distinct so no XOR cancel
@@ -784,16 +783,19 @@ object Dedup {
         .distinct()
     }
 
-    var e = edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .localCheckpoint()
+    // per-round storage via the engine-wide graft.checkpointStorage conf
+    // (graft.Storage; the 100× components-index history build needs the
+    // `disk` tier to run at default heap in local mode — VERDICT r12 #2)
+    var e = graft.Storage.materializeOnce(
+      edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct())
     var sig = checksum(e)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint()
+      e = graft.Storage.materializeOnce(smallStar(largeStar(e)))
       // superseded round released deterministically (round-12, the
       // connectedComponents discipline)
       org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(prev)

@@ -152,6 +152,30 @@ class ComponentsIndexSpec extends SparkSpec {
     Layout.dropComponentsIndex(spark, t)
   }
 
+  test("graft.checkpointStorage tiers yield identical labeling " +
+    "(memdisk/disk/reliable; VERDICT r12 next #2)") {
+    val t = "cmp_spec_storage"
+    val rnd = new scala.util.Random(7)
+    val all = Seq.fill(50)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val parts = all.grouped(25).toSeq
+    val expect = batchMap(edges(all: _*))
+    val ckDir = java.nio.file.Files.createTempDirectory("cc_reliable").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    val got = Seq("memdisk", "disk", "reliable").map { mode =>
+      spark.conf.set(graft.Storage.CheckpointStorageConf, mode)
+      try {
+        Layout.dropComponentsIndex(spark, t)
+        Layout.componentsIndex(spark, edges(parts.head: _*), "a", "b",
+          buckets = 2, tableName = t)
+        Layout.componentsIndexAppend(spark, edges(parts(1): _*), "a", "b",
+          buckets = 2, tableName = t, batchTag = Some(s"$mode-b1"))
+        mode -> resolveMap(t)
+      } finally spark.conf.unset(graft.Storage.CheckpointStorageConf)
+    }
+    got.foreach { case (mode, m) => assert(m == expect, s"mode $mode") }
+    Layout.dropComponentsIndex(spark, t)
+  }
+
   test("random edge batches equal the one-shot labeling (seeded sweep)") {
     val rnd = new scala.util.Random(12)
     val t = "cmp_spec_rand"
