@@ -618,8 +618,12 @@ object Text extends QueryPack {
     //    [[graft.operators.Winnow.winnowFingerprints]].
     "text_winnow" -> ((s, dir) => {
       import graft.operators.Winnow
+      // materialize = true (r13): the operational form — the selection
+      // lands on knob storage and the export sort reads the blocks,
+      // instead of one giant lazy explode→window→distinct→sort job
+      // (the session-history-sensitive shape; VERDICT r12 next #1)
       Winnow.winnowFingerprints(Tables(s, dir, "documents"), "doc_id", "text",
-          k = 8, w = 6)
+          k = 8, w = 6, materialize = true)
         .orderBy(col("doc_id"), col("pos"))
     }),
 
@@ -984,7 +988,8 @@ object Text extends QueryPack {
           translate(col("text"), "aeiou", UniVowels),
           when(col("doc_id") % 7 === 0, lit(UniTail)).otherwise(lit("")))
           .as("text"))
-      Winnow.winnowFingerprints(seeded, "doc_id", "text", k = 8, w = 6)
+      Winnow.winnowFingerprints(seeded, "doc_id", "text", k = 8, w = 6,
+          materialize = true) // the text_winnow operational form (r13)
         .orderBy(col("doc_id"), col("pos"))
     }),
 

@@ -253,4 +253,18 @@ class WinnowSpec extends SparkSpec {
         (if (batchIds.contains(a)) (b, a) else (a, b), s) }.toSet
     assert(incr.nonEmpty && incr == sym)
   }
+
+  test("materialized fingerprints equal the lazy relation under every storage tier") {
+    val lazyFps = Winnow.winnowFingerprints(docs, "doc_id", "text", k = 8, w = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    for (mode <- Seq("memdisk", "disk")) {
+      spark.conf.set(Winnow.CheckpointStorageConf, mode)
+      try {
+        val mat = Winnow.winnowFingerprints(docs, "doc_id", "text",
+            k = 8, w = 4, materialize = true)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+        assert(mat == lazyFps, s"mode $mode")
+      } finally spark.conf.unset(Winnow.CheckpointStorageConf)
+    }
+  }
 }
