@@ -141,6 +141,78 @@ class ComponentsIndexSpec extends SparkSpec {
     Layout.dropComponentsIndex(spark, t)
   }
 
+  test("half-applied replay sweep: random graphs, merge log landed first " +
+    "(window b), labeling always equals the one-shot") {
+    // Generalizes the dedicated half-crash case over random topologies:
+    // the merge rows a fold WOULD write are derivable test-side — for
+    // every pre-fold standing root r whose one-shot label E(r) over the
+    // union is smaller, the fold appends (r, E(r)) (the translated CC's
+    // component IS the final min, all batch effects land in one fold).
+    // Appending those rows + the _cparents marker manually and then
+    // re-folding is exactly the crash-between-appends replay.
+    val rnd = new scala.util.Random(31)
+    val t = "cmp_spec_sweep"
+    (0 until 3).foreach { trial =>
+      Layout.dropComponentsIndex(spark, t)
+      val all = Seq.fill(45)((rnd.nextInt(25).toLong + 1, rnd.nextInt(25).toLong + 1))
+      val Seq(b0, b1, b2) = all.grouped(15).toSeq
+      Layout.componentsIndex(spark, edges(b0: _*), "a", "b",
+        buckets = 2, tableName = t)
+      val pre = resolveMap(t)
+      val expect1 = batchMap(edges((b0 ++ b1): _*))
+      val mergeRows = pre.values.toSet.toSeq
+        .filter(r => expect1.getOrElse(r, r) < r)
+        .map(r => (r, expect1(r)))
+      if (mergeRows.nonEmpty) {
+        import spark.implicits._
+        mergeRows.toDF("child", "parent")
+          .write.mode("append").format("parquet")
+          .saveAsTable(s"${t}_cparents")
+        spark.catalog.refreshTable(s"${t}_cparents")
+      }
+      val marker = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") +
+          s"/${t}_cparents_applied/s$trial")
+      marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .mkdirs(marker)
+      Layout.componentsIndexAppend(spark, edges(b1: _*), "a", "b",
+        buckets = 2, tableName = t, batchTag = Some(s"s$trial"))
+      assert(resolveMap(t) == expect1, s"trial $trial after replay")
+      // the index keeps converging with the one-shot on a follow-up fold
+      Layout.componentsIndexAppend(spark, edges(b2: _*), "a", "b",
+        buckets = 2, tableName = t, batchTag = Some(s"s${trial}_f"))
+      assert(resolveMap(t) == batchMap(edges(all: _*)), s"trial $trial final")
+    }
+    Layout.dropComponentsIndex(spark, t)
+  }
+
+  test("crash window c: map rows landed but the _croots marker was lost — " +
+    "replay re-appends nothing and changes nothing") {
+    val t = "cmp_spec_winc"
+    Layout.dropComponentsIndex(spark, t)
+    Layout.componentsIndex(spark, edges((10L, 11L)), "a", "b",
+      buckets = 2, tableName = t)
+    Layout.componentsIndexAppend(spark, edges((5L, 10L), (20L, 21L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("wc"))
+    val labels = resolveMap(t)
+    val counts = (spark.table(s"${t}_croots").count(),
+      spark.table(s"${t}_cparents").count())
+    // lose ONLY the _croots marker (crash after the append, before the
+    // mark) and replay: the _cparents block is marker-skipped; the
+    // _croots block recomputes newRoots against a map that now KNOWS
+    // every batch id — the anti-join leaves nothing to append
+    val marker = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/${t}_croots_applied/wc")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(marker)); fs.delete(marker, true)
+    Layout.componentsIndexAppend(spark, edges((5L, 10L), (20L, 21L)), "a", "b",
+      buckets = 2, tableName = t, batchTag = Some("wc"))
+    assert(resolveMap(t) == labels)
+    assert((spark.table(s"${t}_croots").count(),
+      spark.table(s"${t}_cparents").count()) == counts)
+    Layout.dropComponentsIndex(spark, t)
+  }
+
   test("self-loops and isolated ids are excluded, like the batch operators") {
     val t = "cmp_spec_iso"
     Layout.dropComponentsIndex(spark, t)
