@@ -282,6 +282,18 @@ object Bench {
           // run (r5: medians 10× the mins). One explicit GC per rep keeps
           // each measurement starting from a clean block store.
           System.gc()
+          // …and the cleanup itself is ASYNCHRONOUS: the GC only
+          // enqueues the weak references — the ContextCleaner thread
+          // then drops blocks/shuffles/broadcasts concurrently with
+          // whatever runs next, which is how a heavy neighbor's
+          // teardown lands inside a sub-second query's measured window
+          // (r13: q19_date_trunc min 0.47 s isolated vs 2.08 s
+          // in-suite, the drift-tail signature). A short settle plus a
+          // second GC (the first collection ENQUEUES, the second
+          // collects what the cleaner just dereferenced) runs the
+          // teardown OUTSIDE the timed window.
+          Thread.sleep(250)
+          System.gc()
           dt
         }.sorted
         name -> times
