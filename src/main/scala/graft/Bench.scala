@@ -142,18 +142,40 @@ object Bench {
     * merge-log chase (the map-scan-bound term SCALE.md pins as the
     * operator's per-batch cost) plus the resolve read; the
     * batch-proportional CC/append terms ride the first rep. Table names
-    * carry the sf-dir hash so a warehouse shared across scales never
-    * serves a stale map. */
+    * carry the sf-dir hash for human-readable separation, and a marker
+    * table records the FULL dir string (ADVICE r13: a 32-bit hashCode
+    * collision between two sf dirs sharing a warehouse would otherwise
+    * silently serve a map built at the other scale) — any mismatch
+    * rebuilds. */
   def componentsFoldOp(s: SparkSession, dir: String): DataFrame = {
+    import graft.catalog.Layout
+    val t = componentsFoldFixture(s, dir)
+    Layout.componentsIndexAppend(s, s.table(s"${t}_hist_batch"),
+      "id_a", "id_b", buckets = 4, tableName = t, batchTag = None)
+    Layout.componentsResolve(s, t)
+  }
+
+  /** Ensure the op_components_fold standing fixture (index + held-out
+    * batch + dir marker) exists for `dir`; returns the index table name.
+    * SHARED with graft.Plans, whose audit arm emits the resolve read
+    * against this fixture WITHOUT folding (ADVICE r13: a plan audit
+    * should not mutate catalog state) — the imperative fold stays in
+    * [[componentsFoldOp]], the only entry Bench times. */
+  def componentsFoldFixture(s: SparkSession, dir: String): String = {
     import graft.catalog.Layout
     val col = org.apache.spark.sql.functions.col _
     val t = s"cmp_fold_opb_${Integer.toHexString(dir.hashCode)}"
     val batchT = s"${t}_hist_batch"
-    if (!s.catalog.tableExists(s"${t}_croots") ||
+    val markT = s"${t}_dirmark"
+    val markOk = s.catalog.tableExists(markT) &&
+      s.table(markT).collect().headOption.exists(_.getString(0) == dir)
+    if (!markOk ||
+        !s.catalog.tableExists(s"${t}_croots") ||
         !s.catalog.tableExists(s"${t}_cparents") ||
         !s.catalog.tableExists(batchT)) {
       Layout.dropComponentsIndex(s, t)
       Layout.dropTable(s, batchT)
+      Layout.dropTable(s, markT)
       val pairs = SparkEntry.queries("dedup_embedding_cosine")(s, dir)
         .select(col("id_a"), col("id_b"))
         .localCheckpoint()
@@ -162,10 +184,11 @@ object Bench {
       pairs.filter(col("id_a") % 3 === 2)
         .write.mode("overwrite").format("parquet").saveAsTable(batchT)
       org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(pairs)
+      import s.implicits._
+      Seq(dir).toDF("dir").write.mode("overwrite")
+        .format("parquet").saveAsTable(markT)
     }
-    Layout.componentsIndexAppend(s, s.table(batchT), "id_a", "id_b",
-      buckets = 4, tableName = t, batchTag = None)
-    Layout.componentsResolve(s, t)
+    t
   }
 
   /** The text_bpe_train vocabulary (clean [a-z0-9]+ word counts). */

@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.parquet.filterPushdown", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // reliable-tier reclamation (graft.Storage scaladoc, ADVICE r13):
+      // iterative loops under graft.checkpointStorage=reliable write one
+      // checkpoint FILE SET per round; without this the superseded sets
+      // are never deleted (releaseLocalCheckpoint is a no-op there) —
+      // with it the ContextCleaner removes checkpoint files of GC'd RDDs
+      .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
       // catalog tables (graft.catalog.Layout) materialize here; keep the
       // warehouse out of the repo checkout
       .config("spark.sql.warehouse.dir",
@@ -42,6 +48,20 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", cores.toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // dev knob (r14, the SPARK_GRAFT_BENCH_ONLY convention): session
+    // confs from the environment — "k=v,k2=v2" — so a storage-tier A/B
+    // (e.g. graft.components.checkpointStorage=memdisk vs disk) runs
+    // through the same harness entrypoints the driver grades, without
+    // code edits between arms. The driver sets no such env; official
+    // runs get the in-code defaults.
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach(_.split(",")
+      .map(_.trim).filter(_.nonEmpty).foreach { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SESSION_CONF entry not k=v: '$kv'")
+        }
+      })
     spark
   }
 

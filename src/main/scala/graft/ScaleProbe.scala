@@ -1226,6 +1226,38 @@ object ScaleProbe {
       ks.foreach(k => entropyAutoProbe(s"${k}x", k, diskArmOnly = true))
       spark.stop(); return
     }
+    if (probeOnly.contains("reliabletier")) {
+      // the `reliable` tier's cost anchor (VERDICT r13 next #3): the
+      // cluster-mode tier was spec-gated for labeling equality but had
+      // no recorded scale cost. ALL THREE tiers run in THIS one session
+      // — same JVM warmth, same box window — so the rows compare
+      // directly (the box-drift discipline): the CC family (build +
+      // fold + resolve at 10×, via the engine-wide conf the family
+      // resolves to) and the winnow auto route at 10×. Reliable
+      // checkpoints write one distributed file set per materialization
+      // under a temp checkpoint dir; GraftSession enables
+      // spark.cleaner.referenceTracking.cleanCheckpoints, so superseded
+      // sets are reclaimed on GC (graft.Storage scaladoc).
+      import graft.operators.Winnow
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-reliable-ckpt")
+      spark.sparkContext.setCheckpointDir(ckpt.toString)
+      val k = 10
+      Seq("memdisk", "disk", "reliable").foreach { tier =>
+        spark.conf.set(graft.Storage.CheckpointStorageConf, tier)
+        try {
+          componentsProbe(s"${k}x_$tier", k)
+          val c = entropyCorpus(spark, 5000L, k, dupEvery = 125)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c.count()
+          t(s"entropy_winnow_auto_${k}x_$tier")(
+            Winnow.overlapPairs(c, "doc_id", "text", k = 8, w = 6,
+              minShared = 3).count())
+          c.unpersist()
+        } finally spark.conf.unset(graft.Storage.CheckpointStorageConf)
+      }
+      spark.stop(); return
+    }
     val onlyLayout = probeOnly.contains("layout")
     if (onlyLayout) {
       ivfLayoutProbe("1x", "/tmp/graft-scale-1x", nCells = 8)

@@ -25,6 +25,18 @@ import org.apache.spark.sql.Dataset
   *    — one distributed write, blocks survive executor loss (clusters
   *    where mid-query loss is routine; the localCheckpoint variants
   *    recompute-from-nothing there).
+  *
+  * Reliable-tier reclamation (ADVICE r13): `Glue.releaseLocalCheckpoint`
+  * frees LOCAL checkpoint blocks only — it is a documented no-op on a
+  * reliable checkpoint, whose data is FILES under the checkpoint dir. An
+  * iterative loop on the reliable tier therefore writes up to maxIter
+  * corpus-scale checkpoint file sets per call, and Spark deletes a
+  * superseded set only when `spark.cleaner.referenceTracking
+  * .cleanCheckpoints=true` lets the ContextCleaner remove checkpoint
+  * files of GC'd RDDs. [[GraftSession.builder]] sets that conf, so
+  * engine-built sessions reclaim them; a caller embedding the engine in
+  * its own session should enable it too (or point the checkpoint dir at
+  * scratch space sized for maxIter × frame size and clear it per job).
   */
 object Storage {
 

@@ -990,34 +990,48 @@ object Layout {
                            maxIter: Int = 50): DataFrame = {
     import org.apache.spark.sql.graftglue.Glue
     import org.apache.spark.sql.functions.coalesce
-    // storage behind the per-round blocks: the engine-wide
-    // graft.checkpointStorage conf (graft.Storage, round 13)
-    val parents = graft.Storage.materializeOnce(parents0)
-    var cur = graft.Storage.materializeOnce(cur0)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      val next = graft.Storage.materializeOnce(
-        cur.join(parents, cur("lbl") === parents("child"), "left")
-          .select(cur("key"),
-            coalesce(col("parent"), col("lbl")).as("lbl"),
-            col("parent").isNotNull.as("_hit")))
-      val hits = next.filter(col("_hit")).count() // scan of local blocks
-      // release superseded rounds deterministically — the per-batch
-      // fold path must not leave blocks for ContextCleaner-on-GC to
-      // find (they crowd the block store of whatever runs next)
-      Glue.releaseLocalCheckpoint(cur)
-      cur = next
-      if (hits == 0) converged = true
-      iter += 1
+    // storage behind the per-round blocks: the CC family conf
+    // (graft.components.checkpointStorage -> graft.checkpointStorage ->
+    // `disk`; graft.operators.Dedup.ComponentsStorageConf, round 14)
+    val parents = graft.operators.Dedup.componentsMaterialize(parents0)
+    // error-path hygiene (ADVICE r13): the non-convergence throw below —
+    // and any mid-loop failure — must not orphan the round's blocks; a
+    // session that repeatedly hits the "compact the index" error would
+    // otherwise accumulate exactly the block-store crowding this
+    // release discipline exists to prevent. `cur` ownership transfers
+    // to the caller only on the success return.
+    var cur: DataFrame = null
+    var handedOff = false
+    try {
+      cur = graft.operators.Dedup.componentsMaterialize(cur0)
+      var iter = 0
+      var converged = false
+      while (!converged && iter < maxIter) {
+        val next = graft.operators.Dedup.componentsMaterialize(
+          cur.join(parents, cur("lbl") === parents("child"), "left")
+            .select(cur("key"),
+              coalesce(col("parent"), col("lbl")).as("lbl"),
+              col("parent").isNotNull.as("_hit")))
+        val hits = next.filter(col("_hit")).count() // scan of local blocks
+        // release superseded rounds deterministically — the per-batch
+        // fold path must not leave blocks for ContextCleaner-on-GC to
+        // find (they crowd the block store of whatever runs next)
+        Glue.releaseLocalCheckpoint(cur)
+        cur = next
+        if (hits == 0) converged = true
+        iter += 1
+      }
+      require(converged, s"component parent chase did not converge in " +
+        s"$maxIter rounds — compact the index (componentsIndexCompact)")
+      handedOff = true
+      // returned AS the checkpointed frame (callers release it; a Project
+      // on top would hide the LogicalRDD from releaseLocalCheckpoint and
+      // leak the blocks) — callers select (key, lbl) and ignore `_hit`
+      cur
+    } finally {
+      Glue.releaseLocalCheckpoint(parents)
+      if (!handedOff && cur != null) Glue.releaseLocalCheckpoint(cur)
     }
-    require(converged, s"component parent chase did not converge in " +
-      s"$maxIter rounds — compact the index (componentsIndexCompact)")
-    Glue.releaseLocalCheckpoint(parents)
-    // returned AS the checkpointed frame (callers release it; a Project
-    // on top would hide the LogicalRDD from releaseLocalCheckpoint and
-    // leak the blocks) — callers select (key, lbl) and ignore `_hit`
-    cur
   }
 
   /** Deduplicated merge log as (child, parent). Min-per-child: replay
@@ -1059,7 +1073,7 @@ object Layout {
                             tableName: String = "cmp_index",
                             batchTag: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, min}
-    val fwd = graft.Storage.materializeOnce(
+    val fwd = graft.operators.Dedup.componentsMaterialize(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
@@ -1081,7 +1095,7 @@ object Layout {
       .select(coalesce(col("ru"), col("u")).as("tu"),
         coalesce(col("rv"), col("v")).as("tv"))
       .filter(col("tu") =!= col("tv"))
-    val comps = graft.Storage.materializeOnce(
+    val comps = graft.operators.Dedup.componentsMaterialize(
       graft.operators.Dedup.connectedComponentsStar(
         translated, "tu", "tv")) // reused twice: merge rows + new-id rows
     // 4a. merge log: standing roots relabeled smaller by this batch
@@ -1107,7 +1121,7 @@ object Layout {
     // touches already resolves to it, i.e. it IS its component's root,
     // so self-labeling is exact.
     idempotently(spark, s"${tableName}_croots", batchTag) {
-      val newRoots = graft.Storage.materializeOnce(nodes
+      val newRoots = graft.operators.Dedup.componentsMaterialize(nodes
         .join(croots, nodes("u") === croots("id"), "left_anti")
         .join(comps, col("u") === comps("id"), "left")
         .select(col("u").as("id"),
