@@ -20,6 +20,11 @@ import graft.operators.{Dedup, Similarity}
   *    pause or box-contention spike on a trivial query become "the
   *    number" — r02 showed q03 at 17.5 s vs 0.5 s warm with an identical,
   *    clean plan). Min-of-N measures the code, not the noise.
+  *  - each query additionally runs ONE untimed warmup execution before
+  *    its timed reps (round-14 fix: the per-query codegen-JIT ramp —
+  *    fresh-session series 16.0 → 2.6 → 1.8 → 1.6 s on the bitmap-jaccard
+  *    row — landed inside 3-rep windows as the graded spike cluster;
+  *    `SPARK_GRAFT_BENCH_WARMUP`, stamped into the JSON).
   */
 object Bench {
 
