@@ -527,4 +527,51 @@ class DedupSpec extends SparkSpec {
     // (1,3) identical -> dist 0 -> excluded by contract; (1,2) and (2,3) are 1
     assert(got == Set((1L, 2L, 1L), (2L, 3L, 1L)), got.toString)
   }
+
+  test("jaccardPairs pair sets are identical under every storage tier " +
+    "(memdisk/disk/reliable; r14 eager materialization)") {
+    // gates the r14 eager-checkpoint rework: the shingle frame and the
+    // bitmap route's docSets build side materialize on the
+    // graft.jaccard.checkpointStorage tier — the answer must not depend
+    // on which tier holds the blocks, on either route
+    val expectLow = bruteJaccard(0.2)  // bitmap route at the default gates
+    val expectHigh = bruteJaccard(0.8) // prefix route past the vocab gate
+    val ckDir = java.nio.file.Files
+      .createTempDirectory("jac_reliable").toString
+    spark.sparkContext.setCheckpointDir(ckDir)
+    for (mode <- Seq("memdisk", "disk", "reliable")) {
+      spark.conf.set(Dedup.JaccardStorageConf, mode)
+      try {
+        val bm = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.2)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        val pf = Dedup.jaccardPairs(docs, "doc_id", "text", 2, 0.8,
+            maxBitmapVocab = 1L)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+        assert(bm == expectLow, s"bitmap route, mode $mode")
+        assert(pf == expectHigh, s"prefix route, mode $mode")
+      } finally spark.conf.unset(Dedup.JaccardStorageConf)
+    }
+  }
+
+  test("connected-components non-convergence releases the iteration's " +
+    "checkpoint blocks (error-path hygiene, ADVICE r13)") {
+    val sp = spark
+    import sp.implicits._
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    def persisted = spark.sparkContext.getPersistentRDDs.size
+    val before = persisted
+    // label propagation needs ~|chain| rounds; maxIter=2 throws, and the
+    // finally block must release und + the current labels frame — a
+    // session repeatedly hitting the error must not accumulate blocks
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
+    }
+    assert(persisted == before,
+      "label-propagation error path leaked checkpoint blocks")
+    intercept[IllegalArgumentException] {
+      Dedup.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 1)
+    }
+    assert(persisted == before,
+      "star error path leaked checkpoint blocks")
+  }
 }
