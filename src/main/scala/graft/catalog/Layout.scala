@@ -621,12 +621,16 @@ object Layout {
       graft.operators.Winnow.fingerprintSets(docs, idCol, textCol, k, w,
         unicodeForm)
         .toDF("id", "fp"), maxDf)
-    capped
+    // release in finally (r14 error-path hygiene, the chaseParents
+    // discipline): a failed index write must not orphan the auto-cap
+    // route's corpus-scale fps/census blocks
+    try capped
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_wfps")
-    mats.foreach(org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
+    finally mats.foreach(
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
   }
 
   /** Drop fingerprints whose document frequency exceeds the cap — the
@@ -717,12 +721,15 @@ object Layout {
                          tableName: String = "winnow_index"): Unit = {
     dropTable(spark, s"${tableName}_wfps_new")
     val (capped, mats) = dfCapped(spark.table(s"${tableName}_wfps"), maxDf)
-    capped
+    // release in finally (r14 error-path hygiene): a failed rewrite
+    // must not orphan the auto-cap route's fps/census blocks
+    try capped
       .repartition(buckets, col("fp"))
       .write.mode("overwrite")
       .bucketBy(buckets, "fp").sortBy("fp")
       .format("parquet").saveAsTable(s"${tableName}_wfps_new")
-    mats.foreach(org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
+    finally mats.foreach(
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
     swapInNew(spark, s"${tableName}_wfps")
   }
 
@@ -1073,7 +1080,19 @@ object Layout {
                             tableName: String = "cmp_index",
                             batchTag: Option[String] = None): Unit = {
     import org.apache.spark.sql.functions.{coalesce, min}
-    val fwd = graft.operators.Dedup.componentsMaterialize(
+    // error-path hygiene (r14, the chaseParents discipline one level
+    // up): chaseParents throws the RECOVERABLE "compact the index"
+    // error while `fwd` (and later frames) hold checkpointed blocks —
+    // a user who compacts and retries must not accumulate a leaked
+    // batch-scale frame per failed attempt. Every materialization
+    // registers here and the finally releases whatever landed.
+    val mats = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def mat(df: DataFrame): DataFrame = {
+      val m = graft.operators.Dedup.componentsMaterialize(df)
+      mats += m; m
+    }
+    try {
+    val fwd = mat(
       edges.select(col(srcCol).as("u"), col(dstCol).as("v"))
         .filter(col("u") =!= col("v"))
         .distinct())
@@ -1087,6 +1106,7 @@ object Layout {
     // chaseParents already returns a checkpointed frame — reused thrice
     // (two translations + merge detect) off that one materialization
     val resolved = chaseParents(known, parentLog(spark, tableName))
+    mats += resolved
     val ra = resolved.select(col("key").as("ku"), col("lbl").as("ru"))
     val rb = resolved.select(col("key").as("kv"), col("lbl").as("rv"))
     val translated = fwd
@@ -1095,7 +1115,7 @@ object Layout {
       .select(coalesce(col("ru"), col("u")).as("tu"),
         coalesce(col("rv"), col("v")).as("tv"))
       .filter(col("tu") =!= col("tv"))
-    val comps = graft.operators.Dedup.componentsMaterialize(
+    val comps = mat(
       graft.operators.Dedup.connectedComponentsStar(
         translated, "tu", "tv")) // reused twice: merge rows + new-id rows
     // 4a. merge log: standing roots relabeled smaller by this batch
@@ -1121,7 +1141,7 @@ object Layout {
     // touches already resolves to it, i.e. it IS its component's root,
     // so self-labeling is exact.
     idempotently(spark, s"${tableName}_croots", batchTag) {
-      val newRoots = graft.operators.Dedup.componentsMaterialize(nodes
+      val newRoots = mat(nodes
         .join(croots, nodes("u") === croots("id"), "left_anti")
         .join(comps, col("u") === comps("id"), "left")
         .select(col("u").as("id"),
@@ -1131,10 +1151,9 @@ object Layout {
         .bucketBy(buckets, "id").sortBy("id")
         .format("parquet").saveAsTable(s"${tableName}_croots")
       spark.catalog.refreshTable(s"${tableName}_croots")
-      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(newRoots)
     }
-    Seq(fwd, resolved, comps)
-      .foreach(org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
+    } finally mats.foreach(
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint)
   }
 
   /** Current labeling of a [[componentsIndex]]: (id, component) with

@@ -480,13 +480,21 @@ object Dedup {
     val sh = graft.Storage.materializeOnce(
       shingleRows(df, idCol, textCol, shingleN, unicodeForm),
       familyConf = Some(JaccardStorageConf), familyDefault = "disk")
-    val vocab = sh.select(col("sh")).distinct().count()
-    val nDocs = sh.select(col("id")).distinct().count()
-    if (vocab <= maxBitmapVocab && nDocs <= maxBruteDocs) {
-      val (dict, v) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
-      jaccardBitmapFrom(sh, dict, v.toInt, threshold, releaseShingles = true)
-    } else if (threshold >= prefixThreshold) jaccardPrefixFrom(sh, threshold)
-    else jaccardInvertedFrom(sh, threshold)
+    // a throw anywhere before the routed result exists must release the
+    // shingle blocks (r14 error-path hygiene; on the prefix/inverted
+    // routes the RETURNED plan reads sh, so success keeps them there)
+    try {
+      val vocab = sh.select(col("sh")).distinct().count()
+      val nDocs = sh.select(col("id")).distinct().count()
+      if (vocab <= maxBitmapVocab && nDocs <= maxBruteDocs) {
+        val (dict, v) = denseDictionary(sh, df.sparkSession.sparkContext.defaultParallelism)
+        jaccardBitmapFrom(sh, dict, v.toInt, threshold, releaseShingles = true)
+      } else if (threshold >= prefixThreshold) jaccardPrefixFrom(sh, threshold)
+      else jaccardInvertedFrom(sh, threshold)
+    } catch { case t: Throwable =>
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(sh)
+      throw t
+    }
   }
 
   /** Exact Jaccard pairs via PREFIX FILTERING (AllPairs/PPJoin family:

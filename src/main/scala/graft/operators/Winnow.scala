@@ -320,8 +320,15 @@ object Winnow {
     // when not; the pair self-join and per-doc count attachments route
     // on a census aggregate and the fps count respectively. No window,
     // no estimate, no recompute.
+    // error-path hygiene (r14, the chaseParents discipline): the eager
+    // census/count/cap actions below run while fps (then census) hold
+    // checkpointed blocks the RETURNED plan needs on success — a throw
+    // before the routed plan exists must release whatever landed
+    // instead of leaving corpus-scale blocks for ContextCleaner-on-GC
+    try {
     val census = materializeOnce(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
+    try {
     val censusBig = census.count() > BroadcastCensusMaxRows
     val cappedCensus = (if (auto) {
       val cap = autoCapFromCensus(census, autoDfQuantile, autoDfFloor)
@@ -361,6 +368,14 @@ object Winnow {
         col("n_a"), col("n_b"),
         round(col("shared_fps") / least(col("n_a"), col("n_b")), 4)
           .as("overlap"))
+    } catch { case t: Throwable =>
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(census)
+      throw t
+    }
+    } catch { case t: Throwable =>
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(fps)
+      throw t
+    }
   }
 
   /** Incremental overlap detection: a NEW batch against a standing

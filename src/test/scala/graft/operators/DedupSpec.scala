@@ -558,7 +558,10 @@ class DedupSpec extends SparkSpec {
     val sp = spark
     import sp.implicits._
     val chain = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    def persisted = spark.sparkContext.getPersistentRDDs.size
+    // set difference, not count equality: the ContextCleaner may
+    // concurrently unpersist unrelated GC'd RDDs from earlier tests —
+    // a leak means a NEW rdd id created during the call survives it
+    def persisted = spark.sparkContext.getPersistentRDDs.keySet
     val before = persisted
     // label propagation needs ~|chain| rounds; maxIter=2 throws, and the
     // finally block must release und + the current labels frame — a
@@ -566,12 +569,12 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Dedup.connectedComponents(chain, "id_a", "id_b", maxIter = 2)
     }
-    assert(persisted == before,
-      "label-propagation error path leaked checkpoint blocks")
+    assert((persisted -- before).isEmpty,
+      s"label-propagation error path leaked checkpoint blocks: ${persisted -- before}")
     intercept[IllegalArgumentException] {
       Dedup.connectedComponentsStar(chain, "id_a", "id_b", maxIter = 1)
     }
-    assert(persisted == before,
-      "star error path leaked checkpoint blocks")
+    assert((persisted -- before).isEmpty,
+      s"star error path leaked checkpoint blocks: ${persisted -- before}")
   }
 }
