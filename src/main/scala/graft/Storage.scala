@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.Dataset
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 
 /** Engine-wide storage policy for eager materializations of
   * multiply-consumed or iteration-superseded corpus-scale frames.
@@ -71,5 +71,25 @@ object Storage {
       case other => throw new IllegalArgumentException(
         s"checkpointStorage must be memdisk|disk|reliable, got $other")
     }
+  }
+
+  /** Spread a narrow frame across the session's cores when its scan
+    * parallelism is below them — the small-file guard (r14; guide §2.5
+    * "input skew": a sub-block-size parquet file scans as ONE task, and
+    * a narrow per-row pipeline — since r14 that is the whole winnow
+    * fingerprinting pass and the span posting generation — inherits
+    * that single partition all the way into its checkpointed blocks,
+    * serializing every downstream join; the r13 plans took incidental
+    * parallelism from their now-removed corpus-wide exchanges).
+    *
+    * Scale-adaptive by construction: a real corpus scan already has
+    * >= defaultParallelism partitions, so this is a NO-OP at 100 TB —
+    * the hash exchange (deterministic, keyed, REPARTITION_BY_NUM so AQE
+    * never re-coalesces it) exists only in the small-scan regime where
+    * it moves a few MB. Partition-count inspection plans the subtree
+    * but runs no job, so lazy audit paths stay lazy. */
+  def spread(df: DataFrame, key: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= par) df else df.repartition(par, key)
   }
 }

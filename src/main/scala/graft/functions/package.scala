@@ -120,4 +120,25 @@ package object functions {
     * was quadratic. */
   def wordShingles(toks: Column, n: Int): Column =
     toColumn(WordShinglesExpr(toExpr(toks), n))
+
+  /** Winnowing fingerprint selection over a normalized text column, per
+    * row: array<struct<pos,fp>> when `posMode`, else the distinct fp
+    * strings. One-pass expression — see [[WinnowSelectExpr]] for the
+    * exact-equivalence contract with the relational window formulation
+    * it replaces (r14). */
+  def winnowSelect(text: Column, k: Int, w: Int, posMode: Boolean): Column =
+    toColumn(WinnowSelectExpr(toExpr(text), k, w, posMode))
+
+  /** xxhash64 (seed 42) of every length-`gramLen` code-point window, one
+    * pass per row — the repeated-span census key; callers must confirm
+    * candidates exactly ([[GramHashesExpr]]). `prefixBytes` < 8
+    * truncates the key. */
+  def gramHashes(text: Column, gramLen: Int, prefixBytes: Int = 8): Column =
+    toColumn(GramHashesExpr(toExpr(text), gramLen, prefixBytes))
+
+  /** Full 16-byte md5 digest of every length-`gramLen` code-point window
+    * — value-identical to unhex(md5(substr(text, p, gramLen))), one pass
+    * per row ([[Md5GramPostingsExpr]]; the standing-census key). */
+  def md5GramPostings(text: Column, gramLen: Int): Column =
+    toColumn(Md5GramPostingsExpr(toExpr(text), gramLen))
 }

@@ -1330,53 +1330,47 @@ object Dedup {
     * al. semantics); pair it with [[dedupParagraphs]] when one surviving
     * copy is wanted at a coarser grain.
     *
-    * Plan shape, and why it survives 100 TB:
-    *  1. postings (id, pos, gram key) — one per character, built per-row
-    *     by a codegen'd transform (`substr` with column offsets), no
-    *     join against exploded characters;
-    *  2. the duplicate census is a hash agg on the key with map-side
-    *     partial combine, then a semi-join of postings against the
-    *     candidate-key set;
-    *  3. duplicated positions aggregate per document (sort_array over a
-    *     per-doc-bounded list) and join back by id; span merge, removal
-    *     counting and the string surgery are then pure per-row fold
-    *     expressions (`aggregate` HOFs) — no per-character rows ever
-    *     shuffle twice, unlike the naive formulation that windows over
-    *     an exploded character table.
-    *
-    * `prefixBytes` trades exchange width against a confirm pass. Below
-    * 16, the O(corpus-bytes) exchanges carry a TRUNCATED md5 prefix
-    * (8 bytes cuts the census row from 16+id+pos to 8+id+pos, ~30%
-    * narrower); a prefix collision can only ADD candidate positions, so
-    * a CONFIRM pass re-derives the FULL 16-byte keys for candidate
-    * positions only (a per-row transform over the candidate lists) and
-    * a second census keeps exactly the truly-duplicated ones — the
-    * answer is bit-identical to the full-key census (SubDocSpec asserts
-    * equality down at prefixBytes=1, where collisions are pigeonhole-
-    * certain). The confirm pass costs in proportion to the DUPLICATED
-    * fraction: at production dup fractions (a few percent of windows)
-    * the prefix route wins — ~30% narrower corpus-wide exchanges
-    * against a confirm pass over a small slice; on corpora where most
-    * windows repeat it loses — measured 2.4–2.6× slower on this repo's
-    * adversarial synthetic fixture, where nearly every window repeats
-    * and the confirm pass re-touches the whole corpus (SCALE.md r8
-    * notes). The default is therefore the full 16-byte key (exact in
-    * one pass, never worse); route to `prefixBytes = 8` when the
-    * corpus' duplicated fraction is known to be small — the same
-    * measure-then-route discipline as every other gate in the engine.
+    * Plan shape, and why it survives 100 TB (r14 rework; guide §2.3/§2.4):
+    *  1. postings (id, pos, key) — one per character, the key an
+    *     xxhash64 of the window's bytes computed by the ONE-PASS per-row
+    *     [[graft.functions.GramHashesExpr]] (no per-window substring
+    *     copies, no md5, no hex round-trip — the old form paid an MD5
+    *     digest plus hex encode+decode per corpus character, twice,
+    *     because the two census branches never canonicalized equal and
+    *     the posting subtree was derived once per branch);
+    *  2. the duplicate census is a hash agg over the posting KEYS ONLY
+    *     (an 8-byte exchange row vs the old 16-byte-key + id + pos —
+    *     project before the exchange, shuffle fewer bytes), sized by the
+    *     measured posting estimate; the candidate-key set then
+    *     semi-joins the postings WITHOUT repartitioning them (the old
+    *     plan repartitioned the full posting frame corpus-wide only to
+    *     feed a broadcast semi-join probe);
+    *  3. candidate positions aggregate per document and CONFIRM on the
+    *     GRAM STRINGS themselves: re-derive the candidate windows with
+    *     `substr`, census them by string equality, keep the truly
+    *     duplicated ones. The 64-bit census key can collide at corpus
+    *     scale (~10¹⁴ grams) — collisions only ADD candidates, and the
+    *     string confirm strips every false positive with NO hash in the
+    *     exactness argument at all (strictly stronger than the old
+    *     16-byte-md5-is-exact assumption; SubDocSpec asserts equality
+    *     against the naive per-character formulation and at
+    *     prefixBytes=1 where census collisions are pigeonhole-certain).
+    *     The confirm census groups by gram string with map-side partial
+    *     aggregation — on dup-heavy corpora the duplicates collapse
+    *     before the exchange, so confirm shuffle bytes stay ~distinct
+    *     candidate grams, not candidate positions;
+    *  4. span merge, removal counting and the string surgery are pure
+    *     per-row fold expressions ([[spanAssembly]]), unchanged.
     *
     * The census shuffle width is MEASURED, not inherited: one cheap
     * `sum(length(text))` agg estimates the posting count and sizes the
-    * census partitioning at `rowsPerPartition` postings each (the
-    * engine's measure-then-route discipline) — a 135M-posting census no
-    * longer funnels through whatever `spark.sql.shuffle.partitions`
-    * happens to be. Both census branches hang off the same explicit
-    * repartition, so ReuseExchange materializes the posting shuffle
-    * once.
+    * census partitioning at `rowsPerPartition` postings each — a
+    * 135M-posting census never funnels through whatever
+    * `spark.sql.shuffle.partitions` happens to be.
     *
-    * The full 16-byte confirm key keeps gram-hash collisions negligible
-    * at 10^14 grams (p ~ 10^-11); the truncated census key never
-    * affects the answer, only the candidate set. */
+    * `prefixBytes` < 8 truncates the 64-bit census key (the SubDocSpec
+    * collision gate keeps the confirm pass honest); >= 8 is the full
+    * key. The answer is identical at every setting. */
   def removeRepeatedSpans(docs0: DataFrame, idCol: String, textCol: String,
                           gramLen: Int, prefixBytes: Int = 16,
                           rowsPerPartition: Long = 2000000L,
@@ -1388,8 +1382,13 @@ object Dedup {
     // the normalized text — span offsets, n_chars and clean_text are all
     // of that form (canonically-equivalent NFD/NFC copies of a span now
     // census-collide). Must match the census form in the incremental pair.
-    val docs = docs0.withColumn(textCol,
-      graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm))
+    // spread: the posting-generation passes, the confirm explode and the
+    // assembly all hang off this frame and would otherwise inherit a
+    // small file's single-task scan (graft.Storage.spread scaladoc)
+    val docs = graft.Storage.spread(
+      docs0.withColumn(textCol,
+        graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm)),
+      col(idCol))
     val spark = docs.sparkSession
     val id = col(idCol)
     val text = col(textCol)
@@ -1401,48 +1400,28 @@ object Dedup {
     }
     val censusParts = math.max(spark.sessionState.conf.numShufflePartitions,
       (estPostings / rowsPerPartition + 1).toInt)
-    val confirm = prefixBytes < 16
-    val posting = spanPostings(docs, idCol, textCol, gramLen) { gram =>
-        val full = unhex(md5(gram))
-        if (confirm) substring(full, 1, prefixBytes) else full
-      }
+    val keys = graft.functions.gramHashes(text, gramLen,
+      math.min(prefixBytes, 8))
+    val candKeys = docs.select(explode(keys).as("g"))
       .repartition(censusParts, col("g"))
-    val candKeys = posting.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("g")).agg(count(lit(1)).as("c"))
       .filter(col("c") > 1).select(col("g"))
+    val posting = docs
+      .select(id, posexplode(keys).as(Seq("p0", "g")))
+      .select(id, (col("p0") + 1).cast("int").as("pos"), col("g"))
     val candPos = posting.join(candKeys, Seq("g"), "left_semi")
       .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
-    val dupPos = if (!confirm) candPos else {
-      // confirm candidates on the full 16-byte key: re-derive grams for
-      // candidate positions only (per-row transform over the candidate
-      // list — the corpus-wide per-character work is already done)
-      val candFull = docs.join(candPos, Seq(idCol))
-        .select(id, explode(transform(col("dps"),
-          p => struct(p.as("pos"),
-            unhex(md5(text.substr(p, lit(gramLen)))).as("g")))).as("pg"))
-        .select(id, col("pg.pos").as("pos"), col("pg.g").as("g"))
-      val dupKeys = candFull.groupBy(col("g")).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).select(col("g"))
-      candFull.join(dupKeys, Seq("g"), "left_semi")
-        .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
-    }
+    // confirm candidates on the gram STRINGS (exact by string equality;
+    // candidate positions only — the corpus-wide work is already done)
+    val candGrams = docs.join(candPos, Seq(idCol))
+      .select(id, explode(transform(col("dps"),
+        p => struct(p.as("pos"), text.substr(p, lit(gramLen)).as("g")))).as("pg"))
+      .select(id, col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val dupKeys = candGrams.groupBy(col("g")).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).select(col("g"))
+    val dupPos = candGrams.join(dupKeys, Seq("g"), "left_semi")
+      .groupBy(id).agg(sort_array(collect_list(col("pos"))).as("dps"))
     spanAssembly(docs, idCol, textCol, gramLen, dupPos)
-  }
-
-  /** Per-character gram postings of a document frame — one
-    * (id, pos, key) row per length-`gramLen` window, key derived from
-    * the window by `key` (full or truncated md5). Built per-row by a
-    * codegen'd transform; no exploded-character join. */
-  private def spanPostings(docs: DataFrame, idCol: String, textCol: String,
-                           gramLen: Int)(key: Column => Column): DataFrame = {
-    val text = col(textCol)
-    val n = length(text)
-    docs.select(col(idCol),
-        explode(when(n >= gramLen,
-          transform(sequence(lit(1), n - (gramLen - 1)),
-            p => struct(p.cast("int").as("pos"),
-              key(text.substr(p, lit(gramLen))).as("g"))))
-          .otherwise(array().cast("array<struct<pos:int,g:binary>>"))).as("pg"))
-      .select(col(idCol), col("pg.pos").as("pos"), col("pg.g").as("g"))
   }
 
   /** The shared tail of both span-removal forms: merge each document's
@@ -1501,10 +1480,15 @@ object Dedup {
     * a gram duplicated. */
   def gramCensus(docs: DataFrame, textCol: String, gramLen: Int,
                  unicodeForm: Option[String] = None): DataFrame =
-    spanPostings(docs.withColumn(textCol,
-        graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm)),
-        docs.columns.head, textCol, gramLen)(
-        g => unhex(md5(g)))
+    // r14: digests via the one-pass per-row expression (value-identical
+    // to unhex(md5(substr(...))) — Md5GramPostingsExpr contract); the
+    // census needs no positions, so only the 16-byte keys are exploded
+    // no spread here: the census-probe plan contract is ONE batch-side
+    // exchange (LayoutSpec asserts it); callers building a census from a
+    // narrow scan spread their input frame instead
+    docs.select(explode(graft.functions.md5GramPostings(
+        graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm),
+        gramLen)).as("g"))
       .groupBy(col("g")).agg(count(lit(1)).as("c"))
 
   /** Incremental repeated-span removal — [[removeRepeatedSpans]]'
@@ -1536,12 +1520,22 @@ object Dedup {
                                  unicodeForm: Option[String] = None): DataFrame = {
     require(gramLen >= 2, s"gramLen must be >= 2, got $gramLen")
     // must match the unicodeForm the standing census was built with
-    val batch = batch0.withColumn(textCol,
-      graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm))
+    val batch = graft.Storage.spread(
+      batch0.withColumn(textCol,
+        graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm)),
+      col(idCol))
     val id = col(idCol)
-    val posting = spanPostings(batch, idCol, textCol, gramLen)(
-      g => unhex(md5(g)))
-    val batchCounts = posting.groupBy(col("g")).agg(count(lit(1)).as("cb"))
+    // r14: one-pass per-row digests (Md5GramPostingsExpr — the standing
+    // census key must stay the collision-free 16-byte md5, see the
+    // SpanExpressions contract split); the batch count side explodes
+    // keys only, the position side posexplodes — neither pays the old
+    // per-window substr + md5 + hex round-trip
+    val digests = graft.functions.md5GramPostings(col(textCol), gramLen)
+    val posting = batch
+      .select(id, posexplode(digests).as(Seq("p0", "g")))
+      .select(id, (col("p0") + 1).cast("int").as("pos"), col("g"))
+    val batchCounts = batch.select(explode(digests).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("cb"))
     // appends may add several rows per key — fold them; on the bucketed
     // layout these aggregations are exchange-free (bucket-local: the g
     // hash distribution satisfies both the (g, src) and the g grouping).

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
@@ -18,12 +17,15 @@ import org.apache.spark.sql.functions._
   *
   * Determinism and cross-engine exactness: the gram hash is the first
   * 16 hex chars of md5 (identical in any engine), and the window
-  * minimum is taken over the STRING `hash ‖ lpad(10¹² − pos)` — its
-  * lexicographic order is (hash ASC, pos DESC), which encodes the
+  * minimum is taken over the composite (hash ASC, pos DESC) — the
   * paper's rightmost-tie rule with no engine-specific arg-min
   * semantics. This is plain winnowing (each window selects
   * independently), not the paper's stateful "robust" variant — same
-  * guarantee, order-free and hence relational.
+  * guarantee, order-free and hence relational. Since round 14 the
+  * selection runs per DOCUMENT ROW inside one custom expression
+  * ([[graft.functions.WinnowSelectExpr]] — exact-equivalence contract
+  * documented there, WinnowSpec-gated); the relational window-min
+  * formulation it replaces shuffled every gram of the corpus twice.
   *
   * ROBUST WINNOWING — considered and closed (round-10, VERDICT r9
   * next #6). The paper's §5 variant breaks a window's hash tie by
@@ -48,12 +50,12 @@ import org.apache.spark.sql.functions._
   *  A sequential fold bought by zero downstream change is the wrong
   *  trade; closed permanently unless a position-level consumer lands.
   *
-  * 100 TB shape: gram expansion is a per-row HOF over a ONCE-BOUND
-  * normalized string (the lambda-binding discipline — an unbound
-  * reference re-evaluates the normalization per gram); the window
-  * min runs per document (doc-bounded partitions, the reassembly-agg
-  * argument); output is ~2/(w+1) of corpus chars, each row 16 B + id +
-  * pos. No corpus-wide shuffle beyond the per-doc window exchange. */
+  * 100 TB shape: gram hashing, window-min selection and the per-doc
+  * distinct all run inside one per-row pass (r14) — no gram ever leaves
+  * its document's row; output is ~2/(w+1) of corpus chars, each row
+  * 16 B + id + pos. ZERO corpus-wide shuffles in the fingerprinting
+  * pass (the old per-doc window exchange and the distinct exchange are
+  * gone). */
 object Winnow {
 
   /** Sentinel for [[overlapPairs]]' `maxDf`: derive the boilerplate cap
@@ -115,53 +117,62 @@ object Winnow {
                          materialize: Boolean = false): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     require(w >= 1, s"w must be >= 1, got $w")
-    val normed = docs
+    // r14: selection is PER DOCUMENT by construction, so the whole
+    // gram → sliding-window-min → distinct pipeline runs inside one
+    // per-row expression (graft.functions.WinnowSelectExpr — the exact-
+    // equivalence contract, rightmost ties included, is documented and
+    // WinnowSpec-gated there). The previous relational form exploded one
+    // row per gram and shuffled the ENTIRE gram population twice (window
+    // partitioning + distinct) with a per-gram 28-char composite sort
+    // key; this form's only rows are the selected ~2/(w+1) density
+    // output and its plan has ZERO exchanges (guide §2.4).
+    val selected = normalized(docs, idCol, textCol, k, unicodeForm)
       .select(col(idCol),
-        lower(trim(regexp_replace(
-          graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm),
-          "\\s+", " "))).as("__t"))
-      .filter(length(col("__t")) >= k)
-      .withColumn("__m", (length(col("__t")) - k + 1).cast("long"))
-    val grams = normed
-      .select(col(idCol), col("__m"), explode(transform(
-        sequence(lit(1), col("__m").cast("int")),
-        p => struct(p.cast("long").as("p"),
-          substr(col("__t"), p, lit(k)).as("g")))).as("e"))
-      .select(col(idCol), col("__m"), col("e.p").as("p"),
-        concat(substring(md5(col("e.g")), 1, 16),
-          lpad((lit(999999999999L) - col("e.p")).cast("string"), 12, "0"))
-          .as("key"))
-    val win = Window.partitionBy(col(idCol)).orderBy(col("p"))
-      .rowsBetween(0, w - 1)
-    val selected = grams
-      .withColumn("__wk", min(col("key")).over(win))
-      .filter(col("p") <= greatest(col("__m") - w + 1, lit(1L)))
-      .select(col(idCol),
-        (lit(999999999999L) - substring(col("__wk"), 17, 12).cast("long"))
-          .as("pos"),
-        substring(col("__wk"), 1, 16).as("fp"))
-      .distinct()
+        explode(graft.functions.winnowSelect(col("__t"), k, w,
+          posMode = true)).as("__s"))
+      .select(col(idCol), col("__s.pos").as("pos"), col("__s.fp").as("fp"))
     // materialize = true is the OPERATIONAL form for direct consumers
     // (round 13, VERDICT r12 next #1): the selected relation lands on
     // [[CheckpointStorageConf]] storage (family default `disk`) and the
-    // caller's downstream (sort, export, join) reads the blocks — the
-    // fully lazy one-giant-job form was the last winnow plan whose wall
-    // time swung with session history in full-suite runs. Composing
-    // callers ([[fingerprintSets]] → [[overlapPairs]], the index
-    // builders) keep the default: they checkpoint their own narrower
-    // distinct-set projection instead of this wider (id, pos, fp) one.
+    // caller's downstream (sort, export, join) reads the blocks.
+    // Composing callers ([[fingerprintSets]] → [[overlapPairs]], the
+    // index builders) keep the default: they checkpoint their own
+    // narrower distinct-set projection instead of this wider
+    // (id, pos, fp) one.
     if (materialize) materializeOnce(selected) else selected
   }
+
+  /** The shared normalization prefix: (id, __t) with __t the lowercased,
+    * whitespace-collapsed (optionally unicode-normalized) text, rows
+    * shorter than k grams-wise dropped. */
+  private def normalized(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int, unicodeForm: Option[String]): DataFrame =
+    // spread: the per-row selection pass and everything downstream of it
+    // (including checkpointed fps blocks) inherit the scan partitioning
+    // — guard the small-scan regime (graft.Storage.spread scaladoc)
+    graft.Storage.spread(
+      docs.select(col(idCol),
+          lower(trim(regexp_replace(
+            graft.functions.unicodeNormalizeOpt(col(textCol), unicodeForm),
+            "\\s+", " "))).as("__t"))
+        .filter(length(col("__t")) >= k),
+      col(idCol))
 
   /** Distinct (id, fp) fingerprint SETS — the join currency of the
     * overlap detector and what a standing winnow index stores
     * (graft.catalog.Layout.winnowIndex): positions dropped, one row per
-    * (document, fingerprint), ~2/(w+1) of corpus grams × (16 B + id). */
+    * (document, fingerprint), ~2/(w+1) of corpus grams × (16 B + id).
+    * r14: the per-document distinct happens INSIDE the selection
+    * expression (posMode = false drops positions before deduping), so
+    * this plan too has zero exchanges — the old form paid a corpus-wide
+    * distinct exchange on top of winnowFingerprints' two. */
   def fingerprintSets(docs: DataFrame, idCol: String, textCol: String,
                       k: Int, w: Int,
                       unicodeForm: Option[String] = None): DataFrame =
-    winnowFingerprints(docs, idCol, textCol, k, w, unicodeForm)
-      .select(col(idCol), col("fp")).distinct()
+    normalized(docs, idCol, textCol, k, unicodeForm)
+      .select(col(idCol),
+        explode(graft.functions.winnowSelect(col("__t"), k, w,
+          posMode = false)).as("fp"))
 
   /** Cross-document partial-overlap detection — the CONSUMER the
     * fingerprints exist for (Schleimer et al. §4: index fingerprints,

@@ -924,14 +924,20 @@ object Text extends QueryPack {
     //    spec-asserted equivalent. [[graft.operators.Dedup
     //    .removeRepeatedSpansAgainst]].
     "text_span_dedup_incr" -> ((s, dir) => {
-      val seeded = Tables(s, dir, "documents").select(col("doc_id"),
-        concat(col("text"),
-          when(col("doc_id") % 6 === 0,
-            lit(" Exactly repeated boilerplate sentence planted for span removal."))
-            .otherwise(lit("")),
-          when(col("doc_id") % 11 === 0,
-            lit(" Another verbatim duplicated fragment appearing across documents."))
-            .otherwise(lit(""))).as("text"))
+      // spread at the query level: gramCensus itself must not add an
+      // exchange (its probe-join contract is one batch-side exchange),
+      // but the history census's digest pass would otherwise run on the
+      // small file's single scan task (graft.Storage.spread scaladoc)
+      val seeded = graft.Storage.spread(
+        Tables(s, dir, "documents").select(col("doc_id"),
+          concat(col("text"),
+            when(col("doc_id") % 6 === 0,
+              lit(" Exactly repeated boilerplate sentence planted for span removal."))
+              .otherwise(lit("")),
+            when(col("doc_id") % 11 === 0,
+              lit(" Another verbatim duplicated fragment appearing across documents."))
+              .otherwise(lit(""))).as("text")),
+        col("doc_id"))
       val history = seeded.filter(col("doc_id") % 2 === 0)
       val batch = seeded.filter(col("doc_id") % 2 === 1)
       Dedup.removeRepeatedSpansAgainst(batch, "doc_id", "text",

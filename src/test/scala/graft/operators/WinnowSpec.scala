@@ -103,6 +103,65 @@ class WinnowSpec extends SparkSpec {
     assert(run(docs) == run(docs.repartition(7)))
   }
 
+  test("per-row selection equals the relational window formulation, multi-byte text included (r14)") {
+    // The r14 WinnowSelectExpr replaced the explode → Window-min →
+    // distinct pipeline; this pins the two formulations equal on the
+    // adversarial corners the expression handles by hand: astral symbols
+    // (4-byte UTF-8, surrogate PAIRS on the JVM — code-point stepping
+    // must match substr), combining marks, constant-hash tie runs, the
+    // same fp selected at several positions, and sub-w documents.
+    val sp = spark
+    import sp.implicits._
+    val uni = Seq(
+      1L -> "café naïve 𐍈𝄞 résumé café naïve 𐍈𝄞 résumé tail",
+      2L -> "中文中文中文中文中文中文中文",
+      3L -> "aaaa😀aaaa😀aaaa😀aaaa😀",
+      4L -> "ééééé decomposed run",
+      5L -> "𝄞𝄞𝄞𝄞", // 4 code points: m < w at k = 3
+      6L -> "the quick brown fox jumps over the lazy dog")
+    val df = uni.toDF("doc_id", "text")
+    val (k, w) = (3, 4)
+    // the pre-r14 relational formulation, verbatim
+    def relational(docs: org.apache.spark.sql.DataFrame) = {
+      import org.apache.spark.sql.expressions.Window
+      val normed = docs
+        .select(col("doc_id"),
+          lower(trim(regexp_replace(col("text"), "\\s+", " "))).as("__t"))
+        .filter(length(col("__t")) >= k)
+        .withColumn("__m", (length(col("__t")) - k + 1).cast("long"))
+      val grams = normed
+        .select(col("doc_id"), col("__m"), explode(transform(
+          sequence(lit(1), col("__m").cast("int")),
+          p => struct(p.cast("long").as("p"),
+            substr(col("__t"), p, lit(k)).as("g")))).as("e"))
+        .select(col("doc_id"), col("__m"), col("e.p").as("p"),
+          concat(substring(md5(col("e.g")), 1, 16),
+            lpad((lit(999999999999L) - col("e.p")).cast("string"), 12, "0"))
+            .as("key"))
+      val win = Window.partitionBy(col("doc_id")).orderBy(col("p"))
+        .rowsBetween(0, w - 1)
+      grams
+        .withColumn("__wk", min(col("key")).over(win))
+        .filter(col("p") <= greatest(col("__m") - w + 1, lit(1L)))
+        .select(col("doc_id"),
+          (lit(999999999999L) - substring(col("__wk"), 17, 12).cast("long"))
+            .as("pos"),
+          substring(col("__wk"), 1, 16).as("fp"))
+        .distinct()
+    }
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    val got = rows(Winnow.winnowFingerprints(df, "doc_id", "text", k, w))
+    val expect = rows(relational(df))
+    assert(got == expect, s"per-row vs relational:\n got    $got\n expect $expect")
+    // posMode = false (fingerprintSets) equals the distinct (id, fp)
+    // projection of the positions output
+    val sets = Winnow.fingerprintSets(df, "doc_id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(sets == got.map { case (id, _, fp) => (id, fp) },
+      "fingerprintSets must equal the distinct (id, fp) projection")
+  }
+
   /** Overlap fixture: 1-2 share a long planted run, 3 is disjoint, and
     * every doc carries the same boilerplate banner (df = n). */
   private def overlapDocs = {
