@@ -17,6 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  // r14 note: a blanket Storage.spread here was built and MEASURED OUT.
+  // A sub-block-size single-file table scans as one task, and spreading
+  // it helps a single-pass per-row-heavy consumer — but the spread
+  // exchange is part of the plan, so every ACTION of a multi-job query
+  // re-pays scan + shuffle + task fan-out: the full-suite A/B read
+  // net-zero (documents-driven one-pass queries gained 1-2 s each;
+  // IVF driver loops, edit-distance density probes and other
+  // several-jobs-per-query operators lost the same total). The spread
+  // therefore lives at the OPERATOR/QUERY level, applied exactly where
+  // a measured win exists (winnow, span, DSIR, rule filters, PNG
+  // resize) — see Storage.spread.
   def apply(spark: SparkSession, dir: String, name: String): DataFrame =
     normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
 

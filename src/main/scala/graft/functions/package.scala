@@ -141,4 +141,10 @@ package object functions {
     * per row ([[Md5GramPostingsExpr]]; the standing-census key). */
   def md5GramPostings(text: Column, gramLen: Int): Column =
     toColumn(Md5GramPostingsExpr(toExpr(text), gramLen))
+
+  /** md5-prefix feature buckets of a string-array column, one pass per
+    * row — value-identical to conv(substring(md5(f),1,8),16,10) % B per
+    * element ([[Md5BucketsExpr]]; the DSIR bucket contract). */
+  def md5Buckets(features: Column, numBuckets: Int): Column =
+    toColumn(Md5BucketsExpr(toExpr(features), numBuckets))
 }

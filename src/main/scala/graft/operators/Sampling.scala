@@ -464,6 +464,12 @@ object Sampling {
       s"targetCount must be <= ${Int.MaxValue} (limit/TakeOrdered bound); " +
         s"got $targetCount — select by score threshold instead at that scale")
     import graft.functions.tokens
+    // r14: the feature-extraction + bucket passes are this operator's
+    // whole cost and run per row — spread a narrow small-file scan
+    // across the cores (no-op on real corpus scans; measured −2 s per
+    // dsir query at sf0.1, graft.Storage.spread scaladoc)
+    val rawS = graft.Storage.spread(raw, col(idCol))
+    val targetS = graft.Storage.spread(target, col(targetTextCol))
     // all unigram + bigram OCCURRENCES (not wordShingles' distinct set —
     // DSIR's bag-of-features LMs count occurrences); the token array is
     // bound ONCE behind a projection and the bigrams are a zip_with over
@@ -478,20 +484,25 @@ object Sampling {
             slice(col("__toks"), lit(2), n1),
             (a, b) => concat_ws(" ", a, b))).as("__fs"): _*)
     }
-    def bucketOf(f: Column): Column =
-      conv(substring(md5(f), 1, 8), 16, 10).cast("long") % numBuckets
+    // r14: bucket ids via the one-pass digest expression (value-identical
+    // to the conv(substring(md5(f),1,8),16,10) % B contract the oracle
+    // recomputes — Md5BucketsExpr scaladoc); the old form re-ran
+    // md5 → hex → string-parse per feature occurrence, interpreted,
+    // in the scoring fold and again in each census
+    def bucketsOf(fs: Column): Column =
+      graft.functions.md5Buckets(fs, numBuckets)
     def census(df: DataFrame, textC: String): Array[Long] = {
       val rows = withFeatures(df, textC, Nil)
-        .select(explode(col("__fs")).as("__f"))
-        .groupBy(bucketOf(col("__f")).as("__b"))
+        .select(explode(bucketsOf(col("__fs"))).as("__b"))
+        .groupBy(col("__b"))
         .agg(count(lit(1)).as("__c"))
         .collect()
       val arr = new Array[Long](numBuckets)
       rows.foreach(r => arr(r.getLong(0).toInt) = r.getLong(1))
       arr
     }
-    val rawCounts = census(raw, textCol)
-    val tgtCounts = census(target, targetTextCol)
+    val rawCounts = census(rawS, textCol)
+    val tgtCounts = census(targetS, targetTextCol)
     val rawTotal = rawCounts.sum.toDouble
     val tgtTotal = tgtCounts.sum.toDouble
     // log-ratio per bucket in integer micros; Laplace smoothing keeps
@@ -502,11 +513,12 @@ object Sampling {
       math.round((lt - lr) * 1e6)
     }
     val rArr = typedLit(rMicro)
-    // features bound ONCE per row; the fold adds Longs — exact, order-free
-    val scored = withFeatures(raw, textCol, Seq(col(idCol)))
+    // buckets computed ONCE per row by the digest expression; the fold
+    // adds Longs looked up in the literal micro table — exact, order-free
+    val scored = withFeatures(rawS, textCol, Seq(col(idCol)))
       .select(col(idCol),
-        aggregate(col("__fs"), lit(0L),
-          (acc, f) => acc + element_at(rArr, bucketOf(f).cast("int") + 1))
+        aggregate(bucketsOf(col("__fs")), lit(0L),
+          (acc, b) => acc + element_at(rArr, b.cast("int") + 1))
           .as("score_micro"))
     if (mode == "topk")
       scored.orderBy(col("score_micro").desc, col(idCol))

@@ -67,8 +67,13 @@ object MultimodalPack extends QueryPack {
     //    encode→decode roundtrip — a codec, geometry, or padding bug
     //    turns the hash red.
     "mm_img_png_roundtrip" -> ((s, dir) => {
-      val bin = Tables(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // spread (r14): the PNG codec passes are the whole cost and run
+      // per row on an otherwise single-task small-file scan (measured on
+      // the resize sibling: −0.8 s; graft.Storage.spread scaladoc)
+      val bin = graft.Storage.spread(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        col("doc_id"))
       val png = Multimodal.packGrayPng(bin, "doc_id", "payload")
       Multimodal.decodeImageFeatures(png, "media_id", "png")
         .toDF().orderBy(col("media_id"))
@@ -80,8 +85,12 @@ object MultimodalPack extends QueryPack {
     //    roundtrips; the oracle mirrors the NN index formula on the
     //    padded geometry.
     "mm_img_resize_png" -> ((s, dir) => {
-      val bin = Tables(s, dir, "documents")
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      // spread (r14): two full PNG codec roundtrips per row — measured
+      // −0.8 s at sf0.1 under the spread
+      val bin = graft.Storage.spread(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload")),
+        col("doc_id"))
       val png = Multimodal.packGrayPng(bin, "doc_id", "payload")
       val resized = Multimodal.resizePng(png, "media_id", "png", tw = 8, th = 8)
       Multimodal.decodeImageFeatures(resized, "media_id", "png")

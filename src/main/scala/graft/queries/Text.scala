@@ -512,8 +512,12 @@ object Text extends QueryPack {
     //    metrics so the rule outcomes are bit-identical cross-engine.
     "text_gopher_rules" -> ((s, dir) => {
       import graft.operators.Curation
+      // spread (r14): single-pass per-row rule metrics over a small-file
+      // scan — measured −1.4 s at sf0.1 (graft.Storage.spread scaladoc)
       Curation.withGopherMetrics(
-          Tables(s, dir, "documents").select(col("doc_id"), col("text")), "text")
+          graft.Storage.spread(
+            Tables(s, dir, "documents").select(col("doc_id"), col("text")),
+            col("doc_id")), "text")
         .drop("text")
         .orderBy(col("doc_id"))
     }),
@@ -548,8 +552,11 @@ object Text extends QueryPack {
         when(col("doc_id") % 37 === 0, lit("\nconfig { debug } done here now."))
           .otherwise(lit("")))
       import graft.operators.Curation
+      // spread (r14): same single-pass shape as text_gopher_rules
       Curation.withC4Rules(
-          Tables(s, dir, "documents").select(col("doc_id"), seeded.as("seeded")),
+          graft.Storage.spread(
+            Tables(s, dir, "documents").select(col("doc_id"), seeded.as("seeded")),
+            col("doc_id")),
           "seeded")
         .select(col("doc_id"), col("n_lines"), col("n_kept_lines"),
           md5(col("clean_text")).as("clean_fp"),
