@@ -137,7 +137,13 @@ object Bench {
         numMerges = 24, minPairCount = 1L)),
     "op_bpe_train_batched" -> ((s, dir) =>
       graft.operators.Bpe.trainBatched(bpeWords(s, dir), "word", "weight",
-        numMerges = 24, batchK = 8, minPairCount = 1L)))
+        numMerges = 24, batchK = 8, minPairCount = 1L)),
+    // the r14 per-row winnow fingerprinting pass alone (lazy form — the
+    // text_winnow gate adds the eager checkpoint + export sort): the
+    // zero-exchange selection cost the whole winnow family builds on
+    "op_winnow_fps" -> ((s, dir) =>
+      graft.operators.Winnow.winnowFingerprints(
+        Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 6)))
 
   /** The op_components_fold arm: fold one cosine-pair batch into a
     * standing component map and resolve. The map and the batch are
