@@ -15,7 +15,7 @@ import graft.operators.Dedup
   */
 class ScaleSpec extends SparkSpec {
 
-  test("minHash near-dup wall time grows near-linearly on a 5x sharded corpus") {
+  test("minHash near-dup wall time grows near-linearly on a 5x sharded corpus", SlowScale) {
     val src = "/root/testdata/sf0.1"
     val tmp = Files.createTempDirectory("graft-scale-ci")
     val (docs1, _) = ScaleProbe.shardedCorpus(spark, src, s"$tmp/1x", 1)
@@ -44,7 +44,7 @@ class ScaleSpec extends SparkSpec {
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
 
-  test("incremental dedup against the bucketed index stays batch-sized as the corpus grows") {
+  test("incremental dedup against the bucketed index stays batch-sized as the corpus grows", SlowScale) {
     import graft.catalog.Layout
     import org.apache.spark.sql.functions.{col, lit}
     val src = "/root/testdata/sf0.1"
@@ -87,7 +87,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("prefix-filtered exact jaccard grows near-linearly on a growing-vocabulary corpus") {
+  test("prefix-filtered exact jaccard grows near-linearly on a growing-vocabulary corpus", SlowScale) {
     // the prefix path's design regime: vocabulary grows WITH the corpus
     // (real text), so each document's rarest prefix tokens stay rare and
     // the candidate set stays ∝ corpus. The regression this trips on is a
@@ -137,7 +137,7 @@ class ScaleSpec extends SparkSpec {
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
 
-  test("bloom decontamination: answer stays exactly flat, survivors grow only by the fpp trickle") {
+  test("bloom decontamination: answer stays exactly flat, survivors grow only by the fpp trickle", SlowScale) {
     import graft.functions.{bloomMightContain, tokens, wordShingles}
     import org.apache.spark.sql.functions.{col, explode}
     val src = "/root/testdata/sf0.1"
@@ -182,7 +182,7 @@ class ScaleSpec extends SparkSpec {
         "the prefilter is admitting far more than the sketch's error rate")
   }
 
-  test("edit-distance blocking: candidates and answer grow ~linearly with q MEASURED from the corpus") {
+  test("edit-distance blocking: candidates and answer grow ~linearly with q MEASURED from the corpus", SlowScale) {
     // ScaleProbe.editCorpus plants one distance-1 variant per 10 titles;
     // the answer is ~n/10 and candidate cardinality is the deterministic
     // blowup signal (the jaccard-prefix gate pattern). q SCALES with the
@@ -225,7 +225,7 @@ class ScaleSpec extends SparkSpec {
       s"candidate cardinality $cand1 -> $cand5 grew superlinearly")
   }
 
-  test("composed pipeline: accepted count ~exactly linear, final draw ~exactly flat across 5x") {
+  test("composed pipeline: accepted count ~exactly linear, final draw ~exactly flat across 5x", SlowScale) {
     // the VERDICT_r06 #1 gate: every stage is individually measured, but
     // this asserts the COMPOSITION — C4 gate → line removal → index
     // dedup → decontamination → mix → shard shuffle as ONE job via
@@ -273,7 +273,7 @@ class ScaleSpec extends SparkSpec {
       s"scale-invariant quotas must repeat the draw (±#langs): $drawn1 -> $drawn5")
   }
 
-  test("composed pipeline WITH sub-document stages: accepted ~exactly linear, draw ~exactly flat") {
+  test("composed pipeline WITH sub-document stages: accepted ~exactly linear, draw ~exactly flat", SlowScale) {
     // the round-7 verdict "next round" #7 gate: same composition gate as
     // above but with paragraph keep-first + span removal switched on
     // between line removal and the index dedup (the full Dolma/Lee-et-
@@ -314,7 +314,7 @@ class ScaleSpec extends SparkSpec {
       s"scale-invariant quotas must repeat the draw (±#langs): $drawn1 -> $drawn5")
   }
 
-  test("composed pipeline WITH the trainer tail: packed-sequence count ~flat across tiers") {
+  test("composed pipeline WITH the trainer tail: packed-sequence count ~flat across tiers", SlowScale) {
     // round-9: the chain ending in token-budget mix + 512-token packing
     // (PipelineHarness.run(trainerTail = true, tailBpeMerges = None —
     // whitespace counts are replica-invariant, so the per-source token
@@ -353,7 +353,7 @@ class ScaleSpec extends SparkSpec {
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
 
-  test("incremental span removal: fully-admitted batch answer is exact at every census size") {
+  test("incremental span removal: fully-admitted batch answer is exact at every census size", SlowScale) {
     import org.apache.spark.sql.functions.{col, length, sum}
     import graft.operators.Dedup
     // the probe batch is an exact copy of replica 0 under fresh ids, so
@@ -387,7 +387,7 @@ class ScaleSpec extends SparkSpec {
     } finally batch.unpersist()
   }
 
-  test("boilerplate-line removal: removed-instance count is the exact seeded constant per doc") {
+  test("boilerplate-line removal: removed-instance count is the exact seeded constant per doc", SlowScale) {
     import org.apache.spark.sql.functions.{col, concat, lit, sum, when}
     import graft.operators.Curation
     val src = "/root/testdata/sf0.1"
@@ -430,7 +430,7 @@ class ScaleSpec extends SparkSpec {
     assert(rem5 == expected(docs5), s"5x removed $rem5 != seeded ${expected(docs5)}")
   }
 
-  test("span removal and paragraph keep-first replicate exactly across decoupled replicas") {
+  test("span removal and paragraph keep-first replicate exactly across decoupled replicas", SlowScale) {
     import org.apache.spark.sql.functions.{col, sum}
     // window-isomorphic salted replicas (ScaleProbe.subdocReplica): the
     // per-replica answer is EXACTLY replica 0's and replicas are char-
@@ -476,7 +476,7 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c5.unpersist() }
   }
 
-  test("winnow overlap: pair count exactly K-linear across decoupled replicas; incr answer index-size-invariant") {
+  test("winnow overlap: pair count exactly K-linear across decoupled replicas; incr answer index-size-invariant", SlowScale) {
     import org.apache.spark.sql.functions.col
     import graft.operators.Winnow
     // the winnow corpus's short-word salting means replicas never share
@@ -519,7 +519,7 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c3.unpersist() }
   }
 
-  test("hot-cell chunked gather: removal set identical to the whole-cell form on a planted mega-cell") {
+  test("hot-cell chunked gather: removal set identical to the whole-cell form on a planted mega-cell", SlowScale) {
     import org.apache.spark.sql.functions.{col, count, element_at, lit}
     import graft.operators.Similarity
     // round-10 (VERDICT r9 next #2): the fixture plants HALF the corpus
@@ -557,7 +557,7 @@ class ScaleSpec extends SparkSpec {
     } finally emb.unpersist()
   }
 
-  test("realistic-entropy corpus: span removals and winnow pairs exactly K-linear at a 2% dup fraction") {
+  test("realistic-entropy corpus: span removals and winnow pairs exactly K-linear at a 2% dup fraction", SlowScale) {
     import org.apache.spark.sql.functions.{col, sum}
     import graft.operators.{Dedup, Winnow}
     // round-10 (VERDICT r9 next #5): the production-regime generator —
@@ -592,7 +592,7 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c3.unpersist() }
   }
 
-  test("auto-capped winnow equals the uncapped run on a clean entropy corpus; floor keeps an under-floor dup cluster") {
+  test("auto-capped winnow equals the uncapped run on a clean entropy corpus; floor keeps an under-floor dup cluster", SlowScale) {
     import graft.operators.Winnow
     // round-11 (VERDICT r10 next #2): the AUTO cap derivation — census
     // checkpoint, exact-count routing, single-row histogram fold — had
@@ -641,7 +641,7 @@ class ScaleSpec extends SparkSpec {
     } finally { c1.unpersist(); c3.unpersist() }
   }
 
-  test("BPE merge sequence is scale-invariant under exact-copy replication") {
+  test("BPE merge sequence is scale-invariant under exact-copy replication", SlowScale) {
     import graft.operators.Bpe
     // K exact copies multiply every word weight by K uniformly, so the
     // per-merge argmax — and hence the whole merge table — must be
@@ -668,7 +668,7 @@ class ScaleSpec extends SparkSpec {
     assert(t5 < bound, f"5x took $t5%.1f s vs bound $bound%.1f s (1x $t1%.1f s)")
   }
 
-  test("SemDeDup: removed set is exactly the planted dups, K-linear across decoupled shards") {
+  test("SemDeDup: removed set is exactly the planted dups, K-linear across decoupled shards", SlowScale) {
     import org.apache.spark.sql.functions.col
     import graft.operators.Similarity
     // embReplica shards preserve within-shard cosines exactly and plant a
@@ -740,7 +740,7 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
-  test("bigram LM: replica scores identical within a tier, output exactly K-linear") {
+  test("bigram LM: replica scores identical within a tier, output exactly K-linear", SlowScale) {
     import org.apache.spark.sql.functions.{col, pmod, lit}
     import graft.operators.Curation
     // docReplica suffixes every token _rI: replica vocabularies are
