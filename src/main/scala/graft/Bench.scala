@@ -143,7 +143,14 @@ object Bench {
     // zero-exchange selection cost the whole winnow family builds on
     "op_winnow_fps" -> ((s, dir) =>
       graft.operators.Winnow.winnowFingerprints(
-        Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 6)))
+        Tables(s, dir, "documents"), "doc_id", "text", k = 8, w = 6)),
+    // the r15 fold-route Lloyd iteration (init jobs + ONE per-(partition,
+    // cell) normalized-vector-sum aggregate) — the per-iteration cost the
+    // IVF/semdedup training loops pay, with its plan shape audited in
+    // PLANS.md (the loop itself is driver-side and appears in no plan)
+    "op_ivf_lloyd" -> ((s, dir) =>
+      Similarity.lloydIterationFrame(Tables(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8, seed = 42)))
 
   /** The op_components_fold arm: fold one cosine-pair batch into a
     * standing component map and resolve. The map and the batch are

@@ -22,36 +22,22 @@ object Plans {
       .orderBy(col("w").desc, col("a"), col("b")).limit(limit)
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val out = args.headOption.getOrElse("PLANS.md")
-    // the composed-chain sections run real routing jobs during plan
-    // construction, and a SparkOutOfMemoryError in one of them kills the
-    // whole local context — every LATER section would then report
-    // "stopped SparkContext" instead of its plan (observed r14). The
-    // audit must degrade per-section, so `session()` replaces a dead
-    // context with a fresh one and `emit` retries the section once.
-    var spark = GraftSession.local("plans", 8)
-    def session(): org.apache.spark.sql.SparkSession = {
-      if (spark.sparkContext.isStopped) spark = GraftSession.local("plans", 8)
-      spark
-    }
-    val sb = new StringBuilder
-    sb ++= "# Physical plan audit (generated by graft.Plans; sf dir: " + sfDir + ")\n\n"
-    sb ++= "Checklist per query: parquet `PushedFilters`/narrow `ReadSchema`, " +
-      "broadcast joins on dimension tables, `WholeStageCodegen` spans over the hot path, " +
-      "no `BroadcastNestedLoopJoin` or `CartesianProduct` except the " +
-      "documented all-pairs operators (r14: the bitmap-jaccard pair loop " +
-      "is a CartesianProduct over checkpointed blocks — deliberately, " +
-      "BROADCASTS.md round-14 note: the stats-free build side is never " +
-      "implicitly broadcast).\n"
-    // the self-verifying gate queries materialize their operator arms
-    // eagerly (localCheckpoint — cache-release discipline), so their own
-    // entries below show truncated checkpoint scans; the true candidate-
-    // generation plans are audited here via the operators' lazy forms
-    // (materialize = false keeps the full lineage visible and runs no job)
+  /** Build one named operator-plan frame (the lazy audit forms below) —
+    * shared with graft.PlanDump so per-round before/after evidence files
+    * come from the identical builders the PLANS.md audit uses. */
+  def operatorPlan(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                   name: String): org.apache.spark.sql.DataFrame =
+    operatorPlanBuilders(spark, sfDir).toMap.apply(name)()
+
+  // the self-verifying gate queries materialize their operator arms
+  // eagerly (localCheckpoint — cache-release discipline), so their own
+  // entries show truncated checkpoint scans; the true candidate-
+  // generation plans are audited via the operators' lazy forms
+  // (materialize = false keeps the full lineage visible and runs no job)
+  private def operatorPlanBuilders(spark: => org.apache.spark.sql.SparkSession,
+                                   sfDir: String): Seq[(String, () => org.apache.spark.sql.DataFrame)] = {
     import graft.operators.{Dedup, Similarity}
-    val operatorPlans: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    Seq(
       "op_dedup_minhash" -> (() =>
         Dedup.minHashNearDups(Tables(spark, sfDir, "documents"), "doc_id", "text",
           shingleN = 2, numHashes = 128, bands = 32, estThreshold = 0.1)),
@@ -183,7 +169,41 @@ object Plans {
       // explode, no Window, no Sort, no distinct exchange
       "op_winnow_fps" -> (() =>
         graft.operators.Winnow.winnowFingerprints(
-          Tables(spark, sfDir, "documents"), "doc_id", "text", k = 8, w = 6)))
+          Tables(spark, sfDir, "documents"), "doc_id", "text", k = 8, w = 6)),
+      // the r15 fold-route Lloyd iteration: audit point is the shape —
+      // scan → map-side assignment → ONE (spark_partition_id, cell)
+      // aggregate with normalized_vector_sum, no posexplode, no
+      // dim-rows-per-member generate
+      "op_ivf_lloyd" -> (() =>
+        Similarity.lloydIterationFrame(Tables(spark, sfDir, "embeddings"),
+          "vec_id", "embedding", k = 8, seed = 42)))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val out = args.headOption.getOrElse("PLANS.md")
+    // the composed-chain sections run real routing jobs during plan
+    // construction, and a SparkOutOfMemoryError in one of them kills the
+    // whole local context — every LATER section would then report
+    // "stopped SparkContext" instead of its plan (observed r14). The
+    // audit must degrade per-section, so `session()` replaces a dead
+    // context with a fresh one and `emit` retries the section once.
+    var spark = GraftSession.local("plans", 8)
+    def session(): org.apache.spark.sql.SparkSession = {
+      if (spark.sparkContext.isStopped) spark = GraftSession.local("plans", 8)
+      spark
+    }
+    val sb = new StringBuilder
+    sb ++= "# Physical plan audit (generated by graft.Plans; sf dir: " + sfDir + ")\n\n"
+    sb ++= "Checklist per query: parquet `PushedFilters`/narrow `ReadSchema`, " +
+      "broadcast joins on dimension tables, `WholeStageCodegen` spans over the hot path, " +
+      "no `BroadcastNestedLoopJoin` or `CartesianProduct` except the " +
+      "documented all-pairs operators (r14: the bitmap-jaccard pair loop " +
+      "is a CartesianProduct over checkpointed blocks — deliberately, " +
+      "BROADCASTS.md round-14 note: the stats-free build side is never " +
+      "implicitly broadcast).\n"
+    val operatorPlans: Seq[(String, () => org.apache.spark.sql.DataFrame)] =
+      operatorPlanBuilders(session(), sfDir)
 
     def emit(name: String, mk: () => org.apache.spark.sql.DataFrame): Unit =
       try {

@@ -86,10 +86,32 @@ object Storage {
     * >= defaultParallelism partitions, so this is a NO-OP at 100 TB —
     * the hash exchange (deterministic, keyed, REPARTITION_BY_NUM so AQE
     * never re-coalesces it) exists only in the small-scan regime where
-    * it moves a few MB. Partition-count inspection plans the subtree
-    * but runs no job, so lazy audit paths stay lazy. */
+    * it moves a few MB.
+    *
+    * Laziness contract (ADVICE r14): `df.rdd` is only safe to probe on
+    * an exchange-FREE plan — under AQE, `Dataset.rdd` on a plan
+    * containing an exchange materializes every upstream query stage
+    * (real shuffle jobs run at DataFrame-CONSTRUCTION time and re-run
+    * at action time; there is no cross-execution exchange reuse). So
+    * the partition count is probed only when the optimized plan is a
+    * narrow chain (project/filter/generate/union) over leaves; a plan
+    * that already contains a repartition, join, aggregate, window or
+    * sort has session-governed shuffle parallelism anyway — spreading
+    * it again is redundant, and probing it would run hidden jobs (the
+    * text_span_dedup_incr double-spread was exactly that: the query
+    * spread the scan, the operator re-probed the spread frame, and the
+    * inner `.rdd` ran scan+shuffle eagerly during construction). */
   def spread(df: DataFrame, key: Column): DataFrame = {
+    import org.apache.spark.sql.catalyst.plans.logical._
     val par = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= par) df else df.repartition(par, key)
+    val shuffleGoverned = df.queryExecution.optimizedPlan.exists {
+      case _: RepartitionOperation => true // already spread/repartitioned
+      case _: Join | _: Aggregate | _: Window | _: Sort => true
+      case _: Deduplicate | _: GlobalLimit | _: SetOperation => true
+      case _ => false
+    }
+    if (shuffleGoverned) df
+    else if (df.rdd.getNumPartitions >= par) df // exchange-free: no job
+    else df.repartition(par, key)
   }
 }

@@ -49,6 +49,14 @@ package object functions {
   def bitmapFromInts(ids: Column, nBits: Int): Column =
     toColumn(BitmapFromIntsExpr(toExpr(ids), nBits))
 
+  /** AGGREGATE: elementwise sum of row-normalized numeric vectors
+    * (emb / sqrt(nsq), first `dim` slots) — the Lloyd per-(cell, dim)
+    * fold; see [[NormalizedVectorSumAgg]] for the summation-order
+    * contract. */
+  def normalizedVectorSum(emb: Column, nsq: Column, dim: Int): Column =
+    toColumn(NormalizedVectorSumAgg(toExpr(emb), toExpr(nsq), dim)
+      .toAggregateExpression())
+
   /** Unicode normalization of a string column (`java.text.Normalizer`):
     * form ∈ NFC|NFD|NFKC|NFKD. Codegen'd; already-normalized rows (all
     * of ASCII) allocate nothing. The opt-in behind the dedup canonical

@@ -34,6 +34,14 @@ object Similarity {
     * k-means‖-style oversample + driver-local refine. */
   val FarthestPointExactK: Int = 16
 
+  /** Session conf selecting [[trainIvfCentroids]]' Lloyd aggregation
+    * route: `fold` (default — per-row NormalizedVectorSumAgg, merge
+    * order pinned to ascending partition id) or `posexplode` (the
+    * replaced dim-rows-per-member route, kept as the fallback; r15,
+    * VERDICT r14 next #4). Bit-identical centroids under both
+    * (SimilaritySpec-gated). */
+  val LloydRouteConf = "graft.ivf.lloydRoute"
+
   /** Per-band numeric bucket keys from packed hyperplane sign bits:
     * band i covers bits [i*r, (i+1)*r); key packs (band, bits) so a single
     * equality join covers all bands after an explode. */
@@ -251,24 +259,53 @@ object Similarity {
       }
     val dim = cents.head.length
 
+    // Lloyd route (r15, VERDICT r14 next #4): per-(cell, dim) sums FOLD
+    // PER ROW inside one custom aggregate (NormalizedVectorSumAgg) — the
+    // posexplode route generated `dim` rows per member before its
+    // (cell, pos) hash aggregate (guide §2.3 "aggregate before you
+    // shuffle"). Grouping by (spark_partition_id, cell) makes the merge
+    // order FULLY pinned: each group holds exactly one real partial
+    // (accumulated in row order — the identical addition sequence the
+    // posexplode route's map-side partials performed), and the driver
+    // folds the partials in ascending partition id. The replaced route's
+    // final-aggregate merge followed shuffle fetch order, so the fold is
+    // strictly more deterministic; SimilaritySpec pins both routes
+    // bit-identical on the fixtures, and `graft.ivf.lloydRoute =
+    // posexplode` keeps the old route as the fallback.
+    val route = df.sparkSession.conf.getOption(LloydRouteConf)
+      .getOrElse("fold")
     for (_ <- 1 to lloydIters) {
-      // mean of row-normalized members per (cell, dim): partial+final agg,
-      // k×dim rows collected — the only driver-side data per iteration.
-      // pos < dim guards ragged rows (IvfAssignExpr clamps the same way).
-      val perDim = base
-        .select(element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
-          sqrt(col("nsq")).as("nrm"), col("emb"))
-        .select(col("cell"), col("nrm"), posexplode(col("emb")))
-        .filter(col("pos") < dim)
-        .groupBy(col("cell"), col("pos"))
-        .agg(sum(col("col") / col("nrm")).as("s"))
-        .collect()
       val acc = Array.fill(k, dim)(0.0)
       val seen = new Array[Boolean](k)
-      perDim.foreach { r =>
-        val cell = r.getInt(0) // centroid id (element_at(…, 1) of the 1-probe array)
-        acc(cell)(r.getInt(1)) = r.getDouble(2)
-        seen(cell) = true
+      if (route == "posexplode") {
+        // mean of row-normalized members per (cell, dim): partial+final
+        // agg, k×dim rows collected — the only driver-side data per
+        // iteration. pos < dim guards ragged rows (IvfAssignExpr clamps
+        // the same way).
+        val perDim = base
+          .select(element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
+            sqrt(col("nsq")).as("nrm"), col("emb"))
+          .select(col("cell"), col("nrm"), posexplode(col("emb")))
+          .filter(col("pos") < dim)
+          .groupBy(col("cell"), col("pos"))
+          .agg(sum(col("col") / col("nrm")).as("s"))
+          .collect()
+        perDim.foreach { r =>
+          val cell = r.getInt(0) // centroid id (element_at(…, 1) of the 1-probe array)
+          acc(cell)(r.getInt(1)) = r.getDouble(2)
+          seen(cell) = true
+        }
+      } else {
+        val perPart = lloydFoldFrame(base, cents, dim)
+          .collect()
+          .sortBy(_.getInt(0)) // ascending partition id — pinned merge order
+        perPart.foreach { r =>
+          val cell = r.getInt(1)
+          val s = r.getSeq[Double](2)
+          var j = 0
+          while (j < dim) { acc(cell)(j) += s(j); j += 1 }
+          seen(cell) = true
+        }
       }
       cents = cents.zipWithIndex.map { case (old, c) =>
         val m = normalized(acc(c))
@@ -277,6 +314,39 @@ object Similarity {
     }
     base.unpersist()
     cents
+  }
+
+  /** The fold-route Lloyd iteration frame: map-side cell assignment
+    * (centroids ride in the plan) + ONE per-(partition, cell) aggregate
+    * of row-normalized vector sums ([[graft.functions
+    * .NormalizedVectorSumAgg]]'s summation-order contract) — (pids × k)
+    * result rows, merged on the driver in ascending partition id. */
+  private def lloydFoldFrame(base: DataFrame, cents: Seq[Seq[Double]],
+                             dim: Int): DataFrame =
+    base
+      .select(element_at(ivfAssign(col("emb"), cents, 1), 1).as("cell"),
+        col("emb"), col("nsq"))
+      .groupBy(spark_partition_id().as("__pid"), col("cell"))
+      .agg(graft.functions.normalizedVectorSum(
+        col("emb"), col("nsq"), dim).as("s"))
+
+  /** One Lloyd iteration as a lazy frame over init-only centroids — the
+    * audit/bench surface of the r15 fold route (the training loop itself
+    * is a driver-side iteration, so the fold's plan shape would
+    * otherwise never appear in any audited plan): scan → assignment
+    * projection → (spark_partition_id, cell) aggregate with
+    * normalized_vector_sum. Construction runs the farthest-point init's
+    * jobs; the frame itself is lazy. */
+  def lloydIterationFrame(df: DataFrame, idCol: String, embCol: String,
+                          k: Int, seed: Long): DataFrame = {
+    val cents = trainIvfCentroids(df, idCol, embCol, k, lloydIters = 0,
+      seed = seed)
+    val base = df
+      .select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("emb"),
+        l2NormSq(col(embCol)).as("nsq"))
+      .filter(col("nsq") > 0)
+    lloydFoldFrame(base, cents, cents.head.length)
   }
 
   /** Candidate near-dup pairs via IVF (inverted-file) cell partitioning,

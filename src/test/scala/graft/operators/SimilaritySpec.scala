@@ -102,6 +102,27 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("Lloyd fold route yields bit-identical centroids to the posexplode route (r15)") {
+    // the r15 per-row fold (NormalizedVectorSumAgg, merge pinned to
+    // ascending partition id) vs the replaced posexplode + (cell, pos)
+    // aggregate — centroids must agree to the BIT on a multi-partition
+    // frame, or the candidate sets downstream could silently drift
+    def train(df: org.apache.spark.sql.DataFrame, route: String): Seq[Seq[Double]] = {
+      spark.conf.set(Similarity.LloydRouteConf, route)
+      try Similarity.trainIvfCentroids(df, "vec_id", "embedding",
+        k = 3, lloydIters = 3, seed = 42)
+      finally spark.conf.unset(Similarity.LloydRouteConf)
+    }
+    for (df <- Seq(clustered, clustered.repartition(7, col("vec_id")))) {
+      val fold = train(df, "fold").flatten
+        .map(java.lang.Double.doubleToRawLongBits)
+      val old = train(df, "posexplode").flatten
+        .map(java.lang.Double.doubleToRawLongBits)
+      assert(fold == old,
+        "fold-route centroids must be bit-identical to the posexplode route")
+    }
+  }
+
   test("ivfCandidatePairs (the scale-probe signal) matches the operator's candidate generation") {
     val cand = Similarity.ivfCandidatePairs(clustered, "vec_id", "embedding",
         k = 3, probes = 1, lloydIters = 3, seed = 42)

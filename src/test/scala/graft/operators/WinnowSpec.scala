@@ -194,6 +194,26 @@ class WinnowSpec extends SparkSpec {
     // shared fingerprint => with the banner's fps too, >= 2 and detected
   }
 
+  test("grouped pair generation equals the verbatim self-join formulation (r15)") {
+    // r15: the pair tier groups fingerprints into per-fp sorted id lists
+    // and explodes suffix slices (one exchange) — this pins the grouped
+    // (shared_fps per unordered pair) result against the REPLACED
+    // relational self-join computed from the same fingerprint sets, on a
+    // fixture with a df=n banner, a df=2 planted run and df=1 tails
+    val fps = Winnow.fingerprintSets(overlapDocs, "doc_id", "text", 8, 4)
+      .select(col("doc_id").as("id"), col("fp"))
+    val byJoin = fps.toDF("id_a", "fp")
+      .join(fps.toDF("id_b", "fp_b"),
+        col("fp") === col("fp_b") && col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("shared"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val byOp = Winnow.overlapPairs(overlapDocs, "doc_id", "text",
+        k = 8, w = 4, minShared = 1, maxDf = Long.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(byOp == byJoin,
+      s"grouped pair tier diverged from the self-join: op=$byOp join=$byJoin")
+  }
+
   test("overlapPairs maxDf gates boilerplate: banner-only pairs vanish, real overlap survives") {
     // without a cap, the shared banner makes EVERY pair overlap
     val uncapped = Winnow.overlapPairs(overlapDocs, "doc_id", "text",
