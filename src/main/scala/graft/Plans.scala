@@ -214,8 +214,15 @@ object Plans {
         }
         val plan =
           try explain()
-          catch { case _: Throwable if spark.sparkContext.isStopped =>
-            explain() // the section killed the context — once more, fresh
+          // ADVICE r14: retry only NonFatal failures (an executor-side
+          // SparkOutOfMemoryError surfaces driver-side wrapped in a
+          // SparkException) — a genuinely fatal DRIVER error
+          // (java.lang.OutOfMemoryError, LinkageError) must propagate,
+          // not re-run plan construction on a half-broken driver
+          catch {
+            case scala.util.control.NonFatal(_)
+                if spark.sparkContext.isStopped =>
+              explain() // the section killed the context — once more, fresh
           }
         // composed-chain trees repeat each stage's subtree at every
         // reference (Catalyst plans are trees, not DAGs), so a deep
@@ -231,7 +238,9 @@ object Plans {
             "composed tree repeats per-stage subtrees audited in their " +
             "own sections\n"
         sb ++= s"\n## $name\n\n```\n$body```\n"
-      } catch { case e: Throwable =>
+      } catch { case scala.util.control.NonFatal(e) =>
+        // fatal driver errors propagate and abort the audit run (the
+        // NonFatal retry above already handles a section-killed context)
         sb ++= s"\n## $name\n\nERROR: ${e.getMessage}\n"
       } finally
         // the measure-then-route constructions persist their routing

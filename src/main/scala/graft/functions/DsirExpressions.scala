@@ -25,8 +25,11 @@ import org.apache.spark.sql.types._
   * Input: the per-row feature array (unigrams ++ bigrams). Output:
   * array<long> of bucket ids, order-preserving (the scoring fold and
   * the census explode both only need occurrences). Null feature slots
-  * (impossible by construction — concat of tokens) hash as empty
-  * strings. */
+  * are impossible by construction (concat of tokens) — so a null slot
+  * THROWS rather than silently hashing as something (ADVICE r14: the
+  * replaced SQL `conv(substring(md5(f),1,8),16,10)` propagated null,
+  * and a silent divergence from the documented oracle bucket contract
+  * must surface, not score). */
 case class Md5BucketsExpr(child: Expression, numBuckets: Int)
     extends UnaryExpression with CodegenFallback {
   require(numBuckets >= 1, s"numBuckets must be >= 1, got $numBuckets")
@@ -47,8 +50,11 @@ case class Md5BucketsExpr(child: Expression, numBuckets: Int)
     val out = new Array[Long](n)
     var i = 0
     while (i < n) {
-      val f = if (arr.isNullAt(i)) org.apache.spark.unsafe.types.UTF8String.EMPTY_UTF8
-        else arr.getUTF8String(i)
+      if (arr.isNullAt(i)) throw new IllegalStateException(
+        "md5_buckets: null feature slot — the DSIR feature arrays are " +
+          "null-free by construction; a null here means the bucket " +
+          "contract diverged from the oracle")
+      val f = arr.getUTF8String(i)
       md.reset()
       val b = f.getBytes
       md.update(b, 0, b.length)
