@@ -176,7 +176,14 @@ object Plans {
       // dim-rows-per-member generate
       "op_ivf_lloyd" -> (() =>
         Similarity.lloydIterationFrame(Tables(spark, sfDir, "embeddings"),
-          "vec_id", "embedding", k = 8, seed = 42)))
+          "vec_id", "embedding", k = 8, seed = 42)),
+      // the r15 step-shape-invariant farthest-point init scan: audit
+      // point is the projection — ONE max_centroid_dot(emb)/sqrt(nsq)
+      // expression (chosen set in the references, not the tree) feeding
+      // TakeOrdered(1), identical source at every init step
+      "op_ivf_init_step" -> (() =>
+        Similarity.initStepFrame(Tables(spark, sfDir, "embeddings"),
+          "vec_id", "embedding", seed = 42)))
   }
 
   def main(args: Array[String]): Unit = {

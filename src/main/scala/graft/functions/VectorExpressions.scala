@@ -209,6 +209,63 @@ case class IvfAssignExpr(child: Expression, centroids: Seq[Seq[Double]], probes:
     copy(child = newChild)
 }
 
+/** Maximum dot product of a numeric array column against a small
+  * driver-supplied centroid matrix — the farthest-point init's per-step
+  * scan expression (r15). The init loop previously projected one
+  * `dot_product(emb, typedLit(c))` per chosen centroid under a growing
+  * `greatest(...)`: a DIFFERENT expression tree every step, so each of
+  * the k−1 TakeOrdered scans compiled a fresh whole-stage-codegen class
+  * (~100–200 ms per step at local job sizes). With the chosen set
+  * captured in ONE expression object the per-step plan SOURCE is
+  * step-invariant (the matrix rides in the references array), so the
+  * codegen cache hits from step 2 on and each step pays only its job.
+  *
+  * Value contract (the init is centroid-pinned): each per-centroid dot
+  * is the identical ascending-index Double fold [[DotProductExpr]]
+  * performs, and the max over them equals `greatest` over the same
+  * values — so the selected rows, and therefore the trained centroids,
+  * are bit-identical to the unfused form (SimilaritySpec pins this).
+  * Same CodegenFallback rationale as [[IvfAssignExpr]]. */
+case class MaxDotExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression with CodegenFallback {
+  require(centroids.nonEmpty, "need at least one centroid")
+  require(centroids.map(_.length).distinct.size == 1,
+    "centroids must share one dimensionality")
+
+  @transient private lazy val flat: Array[Double] = centroids.flatten.toArray
+  @transient private lazy val dim: Int = centroids.head.length
+  @transient private lazy val k: Int = centroids.size
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_centroid_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpr.checkArray(child, "input")
+      .map(TypeCheckResult.TypeCheckFailure)
+      .getOrElse(TypeCheckResult.TypeCheckSuccess)
+
+  override protected def nullSafeEval(v: Any): Any = {
+    import VectorExpr._
+    val a = v.asInstanceOf[ArrayData]
+    val t = elemType(child)
+    val n = math.min(a.numElements(), dim)
+    var best = Double.NegativeInfinity
+    var c = 0
+    while (c < k) {
+      var acc = 0.0
+      var i = 0
+      val off = c * dim
+      while (i < n) { acc += get(a, t, i) * flat(off + i); i += 1 }
+      if (acc > best) best = acc
+      c += 1
+    }
+    best
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxDotExpr =
+    copy(child = newChild)
+}
+
 /** Hamming distance between two equal-length bit-packed Long columns is just
   * `bit_count(a ^ b)` — no custom expression needed; kept in
   * [[graft.operators.Dedup]] as built-ins. */

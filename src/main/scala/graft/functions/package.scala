@@ -45,6 +45,13 @@ package object functions {
   def ivfAssign(emb: Column, centroids: Seq[Seq[Double]], probes: Int): Column =
     toColumn(IvfAssignExpr(toExpr(emb), centroids, probes))
 
+  /** Max dot product of an embedding column against a driver-side
+    * centroid matrix — the farthest-point init's step-shape-invariant
+    * scan expression (see [[MaxDotExpr]] for the bit-equality contract
+    * with `greatest` over per-centroid [[DotProductExpr]]s). */
+  def maxCentroidDot(emb: Column, centroids: Seq[Seq[Double]]): Column =
+    toColumn(MaxDotExpr(toExpr(emb), centroids))
+
   /** Dense-id set → bit-packed bitmap (array<long>, ceil(nBits/64) words). */
   def bitmapFromInts(ids: Column, nBits: Int): Column =
     toColumn(BitmapFromIntsExpr(toExpr(ids), nBits))

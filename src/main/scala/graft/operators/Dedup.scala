@@ -993,17 +993,12 @@ object Dedup {
     // the q-gram blocking and the verify see the same canonical string.
     val src = unicodeForm.fold(df)(f =>
       df.withColumn(strCol, graft.functions.unicodeNormalize(col(strCol), f)))
-    val s = src.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("str"), length(col(strCol)).as("len"))
-    val strs = s.select(col("id"), col("str"))
-    editDistanceCandidates(src, idCol, strCol, maxDist, q)
-      .join(strs.withColumnRenamed("id", "id_a")
-        .withColumnRenamed("str", "str_a"), "id_a")
-      .join(strs.withColumnRenamed("id", "id_b")
-        .withColumnRenamed("str", "str_b"), "id_b")
-      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
-      .filter(col("dist") >= 1 && col("dist") <= maxDist)
-      .select(col("id_a"), col("id_b"), col("dist"))
+    val s = strRelation(src, idCol, strCol)
+    try pairsFromStrs(s, maxDist, q)
+    catch { case t: Throwable =>
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(s)
+      throw t
+    }
   }
 
   /** [[editDistancePairs]] with the gram length q MEASURED from the data
@@ -1033,11 +1028,52 @@ object Dedup {
     // blocking run on the same canonical strings
     val src = unicodeForm.fold(df)(f =>
       df.withColumn(strCol, graft.functions.unicodeNormalize(col(strCol), f)))
-    editDistancePairs(src, idCol, strCol, maxDist,
-      measureEditQ(
-        if (probeFraction >= 1.0) src
-        else Sampling.stableSample(src, strCol, probeFraction), strCol),
-      None) // src already normalized above
+    // materialize the string relation FIRST so the density probe reads
+    // the checkpointed blocks instead of re-deriving the caller's
+    // subtree (r15: the gate query's derived-title subtree — tokenize +
+    // groupBy + union — was recomputed by every probe pass and ~5 more
+    // times inside the candidate/verify plan)
+    val s = strRelation(src, idCol, strCol)
+    try {
+      val probe =
+        if (probeFraction >= 1.0) s
+        else Sampling.stableSample(s, "str", probeFraction)
+      pairsFromStrs(s, maxDist, measureEditQ(probe, "str"))
+    } catch { case t: Throwable =>
+      org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(s)
+      throw t
+    }
+  }
+
+  /** The (id, str, len) distinct-string relation every edit-distance
+    * phase reads — materialized ONCE per call on the engine storage
+    * policy ([[graft.Storage.materializeOnce]]; r15, guide §1.2/§2.4):
+    * the q-density probe, the gram census, the rarest-gram window, the
+    * candidate join's build side and the verify's two str joins each
+    * re-derived the caller's subtree from scratch otherwise (the gate
+    * query paid ~10 derivations of a tokenize+groupBy+union plan). The
+    * relation is (id, string) scale — the same order as the operator's
+    * own candidate output — and lands on the session-conf tier, so the
+    * 100 TB posture is the standing checkpoint discipline, not a new
+    * memory class. */
+  private def strRelation(src: DataFrame, idCol: String,
+                          strCol: String): DataFrame =
+    graft.Storage.materializeOnce(
+      src.select(col(idCol).cast("long").as("id"),
+        col(strCol).as("str"), length(col(strCol)).as("len")))
+
+  /** Candidate generation + exact levenshtein verify over the
+    * materialized string relation. */
+  private def pairsFromStrs(s: DataFrame, maxDist: Int, q: Int): DataFrame = {
+    val strs = s.select(col("id"), col("str"))
+    candidatesFromStrs(s, maxDist, q)
+      .join(strs.withColumnRenamed("id", "id_a")
+        .withColumnRenamed("str", "str_a"), "id_a")
+      .join(strs.withColumnRenamed("id", "id_b")
+        .withColumnRenamed("str", "str_b"), "id_b")
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast("long"))
+      .filter(col("dist") >= 1 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
   }
 
   /** Measured gram length for the q-gram blocking: the smallest q in
@@ -1057,17 +1093,41 @@ object Dedup {
   private[graft] def measureEditQ(df: DataFrame, strCol: String,
                                   maxMeanPostings: Double = 16.0,
                                   minQ: Int = 2, maxQ: Int = 7): Int = {
-    def density(q: Int): Double = {
-      val r = df.filter(length(col(strCol)) >= q)
-        .select(explode(qgramArray(col(strCol), q)).as("gram"))
-        .agg(count(lit(1)).as("n"), approx_count_distinct(col("gram")).as("d"))
-        .head()
-      if (r.getLong(0) == 0L) 0.0
-      else r.getLong(0).toDouble / math.max(r.getLong(1), 1L)
+    if (minQ >= maxQ) return minQ
+    val qs = minQ until maxQ
+    // ONE fused probe job (r15; guide §1.2 "remove unnecessary passes"):
+    // the old loop ran up to (maxQ − minQ) sequential scan jobs, each
+    // re-deriving the probe relation's subtree, and the low-entropy
+    // regime this probe exists for is exactly the one that exhausts the
+    // loop (the gate corpus ran all 5). Every q's (count, HLL) pair is
+    // independent of the others, so they fuse into one aggregation over
+    // one scan: grams are tagged with their q and each q gets a
+    // conditional count + approx_count_distinct. The per-q numbers are
+    // IDENTICAL to the loop's — the count sees the same gram multiset
+    // (the when-guard reproduces the len >= q filter) and HLL++ is
+    // order-insensitive, so the conditional sketch equals the dedicated
+    // probe's — hence the selected q is unchanged (DedupSpec pins it).
+    // Worst-case compute is the same Σ_q grams the exhausted loop paid;
+    // the high-entropy regime trades ≤ (maxQ−minQ)× explode volume in
+    // exchange for probing the relation (and its upstream derivation)
+    // once instead of per q.
+    val tagged = df.select(explode(flatten(array(qs.map(q =>
+        when(length(col(strCol)) >= q,
+          transform(qgramArray(col(strCol), q),
+            g => struct(lit(q).as("q"), g.as("gram"))))
+          .otherwise(array().cast("array<struct<q:int,gram:string>>"))): _*)))
+        .as("qg"))
+      .select(col("qg.q").as("q"), col("qg.gram").as("gram"))
+    val aggs = qs.flatMap(q => Seq(
+      count(when(col("q") === q, lit(1))).as(s"n$q"),
+      approx_count_distinct(when(col("q") === q, col("gram"))).as(s"d$q")))
+    val r = tagged.agg(aggs.head, aggs.tail: _*).head()
+    def density(i: Int): Double = {
+      val n = r.getLong(2 * i)
+      if (n == 0L) 0.0 else n.toDouble / math.max(r.getLong(2 * i + 1), 1L)
     }
-    var q = minQ
-    while (q < maxQ && density(q) > maxMeanPostings) q += 1
-    q
+    qs.indices.find(density(_) <= maxMeanPostings)
+      .map(qs(_)).getOrElse(maxQ)
   }
 
   /** The candidate generator of [[editDistancePairs]] alone (deduped
@@ -1077,12 +1137,17 @@ object Dedup {
     * [[jaccardPrefixCandidates]]). */
   private[graft] def editDistanceCandidates(df: DataFrame, idCol: String,
                                             strCol: String, maxDist: Int,
-                                            q: Int = 2): DataFrame = {
+                                            q: Int = 2): DataFrame =
+    // lazy projection (no materialize): this entry exists for scale
+    // probes and CI gates that watch candidate cardinality in isolation
+    candidatesFromStrs(df.select(col(idCol).cast("long").as("id"),
+      col(strCol).as("str"), length(col(strCol)).as("len")), maxDist, q)
+
+  private def candidatesFromStrs(s: DataFrame, maxDist: Int,
+                                 q: Int): DataFrame = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     require(q >= 1, s"q must be >= 1, got $q")
     val minLong = (maxDist + 1) * q
-    val s = df.select(col(idCol).cast("long").as("id"),
-      col(strCol).as("str"), length(col(strCol)).as("len"))
 
     // LONG tier: inverted positional q-gram index with a PREFIX filter.
     // Both pair members must satisfy the pigeonhole (len >= (d+1)q);

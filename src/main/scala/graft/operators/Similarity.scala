@@ -210,12 +210,19 @@ object Similarity {
         var cs: Seq[Seq[Double]] =
           Seq(normalized(first.head.getSeq[Double](0).toArray).toSeq)
         while (cs.size < k) {
-          val cosines = cs.map { c =>
-            dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq"))
-          }
-          val maxCos =
-            if (cosines.size == 1) cosines.head
-            else greatest(cosines: _*)
+          // r15: ONE step-shape-invariant expression instead of a
+          // growing greatest(dot_product(emb, typedLit(c)) / sqrt(nsq))
+          // chain — the chain's expression tree differed every step, so
+          // each TakeOrdered scan compiled a fresh codegen class; with
+          // the chosen set captured inside MaxDotExpr the per-step plan
+          // source is identical and the codegen cache hits from step 2
+          // on. Bit-identical selection: max(d_c/s) == max(d_c)/s for
+          // the row's positive norm s (division by a positive double is
+          // monotone and the divided max IS the max divided value), and
+          // each d_c is the same ascending-index fold (MaxDotExpr
+          // scaladoc; SimilaritySpec pins the centroids equal).
+          val maxCos = graft.functions.maxCentroidDot(col("emb"), cs) /
+            sqrt(col("nsq"))
           val next = base
             .select(col("id"), col("emb"), maxCos.as("max_cos"))
             .orderBy(col("max_cos"), col("id"))
@@ -347,6 +354,36 @@ object Similarity {
         l2NormSq(col(embCol)).as("nsq"))
       .filter(col("nsq") > 0)
     lloydFoldFrame(base, cents, cents.head.length)
+  }
+
+  /** One farthest-point init step as a lazy frame over the first seed —
+    * the audit surface of the r15 step-shape-invariant init scan (the
+    * init loop is driver-side, so its per-step plan would otherwise
+    * appear in no audited plan): scan → `max_centroid_dot / sqrt(nsq)`
+    * projection → TakeOrdered(1). The projection's SOURCE is identical
+    * at every step (the chosen set rides in the expression's references,
+    * never in the tree shape), which is what lets the codegen cache hit
+    * from step 2 on — see [[graft.functions.MaxDotExpr]]. Construction
+    * runs only the first-seed job; the frame itself is lazy. */
+  def initStepFrame(df: DataFrame, idCol: String, embCol: String,
+                    seed: Long): DataFrame = {
+    val base = df
+      .select(col(idCol).as("id"),
+        col(embCol).cast("array<double>").as("emb"),
+        l2NormSq(col(embCol)).as("nsq"))
+      .filter(col("nsq") > 0)
+    val first = base.orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(1).select(col("emb")).collect()
+    require(first.nonEmpty, "empty training set for IVF centroids")
+    val v = first.head.getSeq[Double](0).toArray
+    val n = math.sqrt(v.map(x => x * x).sum)
+    val c0 = (if (n == 0) v else v.map(_ / n)).toSeq
+    base.select(col("id"), col("emb"),
+        (graft.functions.maxCentroidDot(col("emb"), Seq(c0)) /
+          sqrt(col("nsq"))).as("max_cos"))
+      .orderBy(col("max_cos"), col("id"))
+      .limit(1)
+      .select(col("emb"))
   }
 
   /** Candidate near-dup pairs via IVF (inverted-file) cell partitioning,

@@ -123,6 +123,33 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("farthest-point init expression: max_centroid_dot is bit-identical to the greatest-of-dots chain (r15)") {
+    // the r15 init replaces a per-step greatest(dot_product(emb,
+    // typedLit(c)) / sqrt(nsq), ...) chain with ONE step-shape-invariant
+    // MaxDotExpr — the selection values must agree to the BIT for every
+    // row and every chosen-set size, or the init (and every centroid
+    // downstream) silently drifts from the pinned contract
+    val cs = Similarity.trainIvfCentroids(clustered, "vec_id", "embedding",
+      k = 3, lloydIters = 1, seed = 42)
+    val base = clustered.select(
+        col("embedding").cast("array<double>").as("emb"),
+        graft.functions.l2NormSq(col("embedding")).as("nsq"))
+      .filter(col("nsq") > 0)
+    for (n <- 1 to cs.size) {
+      val chosen = cs.take(n)
+      val cosines = chosen.map(c =>
+        graft.functions.dotProduct(col("emb"), typedLit(c)) / sqrt(col("nsq")))
+      val oldCol = if (cosines.size == 1) cosines.head else greatest(cosines: _*)
+      val fused = graft.functions.maxCentroidDot(col("emb"), chosen) /
+        sqrt(col("nsq"))
+      base.select(fused.as("f"), oldCol.as("o")).collect().foreach { r =>
+        assert(java.lang.Double.doubleToRawLongBits(r.getDouble(0)) ==
+          java.lang.Double.doubleToRawLongBits(r.getDouble(1)),
+          s"n=$n: ${r.getDouble(0)} vs ${r.getDouble(1)}")
+      }
+    }
+  }
+
   test("ivfCandidatePairs (the scale-probe signal) matches the operator's candidate generation") {
     val cand = Similarity.ivfCandidatePairs(clustered, "vec_id", "embedding",
         k = 3, probes = 1, lloydIters = 3, seed = 42)
