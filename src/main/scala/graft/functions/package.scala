@@ -45,6 +45,13 @@ package object functions {
   def ivfAssign(emb: Column, centroids: Seq[Seq[Double]], probes: Int): Column =
     toColumn(IvfAssignExpr(toExpr(emb), centroids, probes))
 
+  /** Ordered BPE merge-list application over a symbol-array column —
+    * one tight per-row loop, the merge list in the expression object
+    * (see [[BpeApplyMergesExpr]] for the equivalence contract with a
+    * chained [[graft.operators.Bpe.mergeAdjacent]] fold). */
+  def bpeApplyMerges(syms: Column, merges: Seq[(String, String)]): Column =
+    toColumn(BpeApplyMergesExpr(toExpr(syms), merges))
+
   /** Max dot product of an embedding column against a driver-side
     * centroid matrix — the farthest-point init's step-shape-invariant
     * scan expression (see [[MaxDotExpr]] for the bit-equality contract

@@ -112,21 +112,37 @@ object Bpe {
     require(numMerges >= 1, s"numMerges must be >= 1, got $numMerges")
     val spark = words.sparkSession
     import spark.implicits._
-    var syms = words
+    var base = words
       .select(split(col(wordCol), "").as("syms"),
         col(weightCol).cast("long").as("weight"))
       .localCheckpoint(true)
+    // merges since the last checkpoint ride in ONE BpeApplyMergesExpr
+    // (r15): the census plan's SOURCE is then identical at every
+    // iteration (the list lives in the expression object, not the
+    // tree), so whole-stage codegen compiles once per checkpoint window
+    // instead of once per merge, and each pass rewrites a word in
+    // O(symbols) instead of the chained fold's O(symbols²) appends.
+    // Selection order, censuses and the merge table are unchanged
+    // (SubDocSpec: naive-reference parity, expression-vs-fold pin).
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def symsNow: DataFrame =
+      if (pending.isEmpty) base
+      else base.withColumn("syms",
+        graft.functions.bpeApplyMerges(col("syms"), pending.toList))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var done = false
     while (merges.size < numMerges && !done) {
-      val top = pairCounts(syms)
+      val top = pairCounts(symsNow)
         .orderBy(col("w").desc, col("a"), col("b")).limit(1).collect()
       if (top.isEmpty || top(0).getLong(2) < minPairCount) done = true
       else {
         val (a, b, w) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += ((merges.size + 1, a, b, w))
-        syms = syms.withColumn("syms", mergeAdjacent(col("syms"), a, b))
-        if (merges.size % checkpointEvery == 0) syms = syms.localCheckpoint(true)
+        pending += ((a, b))
+        if (merges.size % checkpointEvery == 0) {
+          base = symsNow.localCheckpoint(true)
+          pending.clear()
+        }
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "weight")
@@ -172,16 +188,23 @@ object Bpe {
     require(batchK >= 1, s"batchK must be >= 1, got $batchK")
     val spark = words.sparkSession
     import spark.implicits._
-    var syms = words
+    var base = words
       .select(split(col(wordCol), "").as("syms"),
         col(weightCol).cast("long").as("weight"))
       .localCheckpoint(true)
+    // same pending-merges discipline as [[train]] (r15): one
+    // BpeApplyMergesExpr carries every merge since the last checkpoint
+    val pending = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    def symsNow: DataFrame =
+      if (pending.isEmpty) base
+      else base.withColumn("syms",
+        graft.functions.bpeApplyMerges(col("syms"), pending.toList))
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var scans = 0
     var done = false
     while (merges.size < numMerges && !done) {
       val want = math.min(batchK, numMerges - merges.size)
-      val top = pairCounts(syms)
+      val top = pairCounts(symsNow)
         .orderBy(col("w").desc, col("a"), col("b")).limit(4 * want).collect()
       val used = scala.collection.mutable.Set.empty[String]
       val selected = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
@@ -208,28 +231,30 @@ object Bpe {
       else {
         selected.foreach { case (a, b, w) =>
           merges += ((merges.size + 1, a, b, w))
+          pending += ((a, b))
         }
-        syms = syms.withColumn("syms",
-          selected.foldLeft(col("syms")) {
-            case (s, (a, b, _)) => mergeAdjacent(s, a, b)
-          })
         scans += 1
-        if (scans % checkpointEvery == 0) syms = syms.localCheckpoint(true)
+        if (scans % checkpointEvery == 0) {
+          base = symsNow.localCheckpoint(true)
+          pending.clear()
+        }
       }
     }
     merges.toSeq.toDF("rank", "left", "right", "weight")
   }
 
   /** Encode one word column with a trained merge list, applying merges
-    * in rank order (the BPE inference rule). Expression depth =
-    * merges.size — fine for the tens-to-hundreds of merges an analysis
-    * pass uses; a production 30k-merge vocabulary goes through
-    * [[encodeVocab]] instead (one expression tree of 30k folds would
-    * blow codegen/constant-pool limits). */
+    * in rank order (the BPE inference rule). One
+    * [[graft.functions.BpeApplyMergesExpr]] node — the list rides in
+    * the expression object, so plan size is constant in merges.size
+    * (r15; the previous chain of merges.size folds grew the tree and
+    * ran each fold interpreted). A production 30k-merge vocabulary
+    * still goes through [[encodeVocab]]: per-ROW work is
+    * merges × symbols either way, and the vocab route pays it once per
+    * distinct word instead of once per corpus token. */
   def encode(word: Column, merges: Seq[(String, String)]): Column =
-    merges.foldLeft(split(word, ""): Column) {
-      case (s, (a, b)) => mergeAdjacent(s, a, b)
-    }
+    if (merges.isEmpty) split(word, "")
+    else graft.functions.bpeApplyMerges(split(word, ""), merges)
 
   /** Production-vocabulary encoding: apply a LARGE trained merge list to
     * a distinct-word frame in rank order, cutting lineage with
@@ -251,9 +276,9 @@ object Bpe {
     val start = words.select(col(wordCol),
       split(col(wordCol), "").as("pieces"))
     merges.grouped(checkpointEvery).foldLeft(start) { (acc, group) =>
-      group.foldLeft(acc) { case (df, (a, b)) =>
-        df.withColumn("pieces", mergeAdjacent(col("pieces"), a, b))
-      }.localCheckpoint(true)
+      acc.withColumn("pieces",
+          graft.functions.bpeApplyMerges(col("pieces"), group))
+        .localCheckpoint(true)
     }
   }
 

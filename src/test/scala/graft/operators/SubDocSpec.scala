@@ -281,6 +281,38 @@ class SubDocSpec extends SparkSpec {
       List("a"), Nil))
   }
 
+  test("bpeApplyMerges equals the chained mergeAdjacent folds, rank order and overlaps included (r15)") {
+    val sp = spark
+    import sp.implicits._
+    // chained-creation case: (a,a) then (aa,a) — the second merge only
+    // exists because the first created its left symbol; plus overlap
+    // runs, non-matches, short arrays and the empty array
+    val df = Seq(
+      Seq("a", "a", "a", "a", "a"),
+      Seq("a", "a", "a"),
+      Seq("b", "a", "a", "b", "a"),
+      Seq("x", "y", "z"),
+      Seq("a"), Seq.empty[String]).toDF("syms")
+    val merges = Seq(("a", "a"), ("aa", "a"), ("b", "aa"))
+    val chained = merges.foldLeft(col("syms")) {
+      case (s, (a, b)) => Bpe.mergeAdjacent(s, a, b)
+    }
+    val got = df.select(
+        graft.functions.bpeApplyMerges(col("syms"), merges).as("f"),
+        chained.as("c"))
+      .collect()
+      .map(r => (r.getSeq[String](0).toList, r.getSeq[String](1).toList))
+    got.foreach { case (f, c) =>
+      assert(f === c, "expression and fold chain diverged")
+    }
+    // and the fused result is the expected hand-derived sequence:
+    // aaaaa -(a,a)-> [aa,aa,a] -(aa,a)-> [aa,aaa] -(b,aa)-> [aa,aaa]
+    assert(got.head._1 === List("aa", "aaa"))
+    // the chained-creation + cross-symbol case:
+    // [b,a,a,b,a] -(a,a)-> [b,aa,b,a] -(aa,a)-> same -(b,aa)-> [baa,b,a]
+    assert(got(2)._1 === List("baa", "b", "a"))
+  }
+
   test("train matches the naive reference merge-for-merge, ties included") {
     val sp = spark
     import sp.implicits._
