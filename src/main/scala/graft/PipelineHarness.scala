@@ -83,10 +83,18 @@ object PipelineHarness {
       col("lang"), col("source"))
   }
 
-  /** K isomorphic, shingle-decoupled replicas of the seeded corpus. */
+  /** K isomorphic, shingle-decoupled replicas of the seeded corpus.
+    * Spread (r15 session 2, measured: PipeStageProbe): the seeding and
+    * the C4 gate are heavy per-row regex/transform passes that inherited
+    * the sub-block-size documents file's single scan task (the r14
+    * gopher/c4 signature — the gate alone ran ~4.6 s serial at sf0.1);
+    * the spread is the standing [[graft.Storage.spread]] small-scan
+    * guard, a no-op on real corpus scans. */
   def corpus(spark: SparkSession, dir: String, k: Int = 1): DataFrame =
-    (0 until k).map(i => replica(Tables(spark, dir, "documents"), i))
-      .reduce(_ unionAll _)
+    graft.Storage.spread(
+      (0 until k).map(i => replica(Tables(spark, dir, "documents"), i))
+        .reduce(_ unionAll _),
+      col("doc_id"))
 
   /** Decontamination eval set: 3-gram shingles of every 50th doc of
     * EVERY replica (IdStride % 50 == 0, so the residue survives the id

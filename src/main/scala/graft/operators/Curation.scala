@@ -314,9 +314,6 @@ object Curation {
       "bpeMerges without tokenBudget/packSeqLen counts tokens nothing consumes")
     val cols = docs.columns.map(col)
     val gate = qualityFilter.getOrElse(c4ThenGopherFilter(textCol))
-    val q = gate(docs).select(cols: _*)
-    val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs,
-      unicodeForm)
     // each text-rewriting stage joins its rewrite back to the surviving
     // rows, REFERENCING its input twice — on the materialized path every
     // enabled stage boundary therefore persists (computed once, both
@@ -331,6 +328,16 @@ object Curation {
         stagePersists += p
         p
       }
+    // the GATE is a stage boundary too (r15 session 2, measured:
+    // PipeStageProbe): the quality rewrite is the chain's heaviest
+    // per-row pass (regex/line transforms over every corpus byte) and
+    // the line-removal join references it THREE times — the line census,
+    // the per-doc reassembly's n_lines side, and the surviving-rows join
+    // side. Unpersisted, the composed arm paid the gate ~3× (≈9 s of
+    // op_pipeline_full's 41 s at sf0.1); persisted, it computes once.
+    val q = stageBoundary(gate(docs).select(cols: _*), needed = true)
+    val lineClean = removeBoilerplateLines(q, idCol, textCol, minLineDocs,
+      unicodeForm)
     val afterLines = stageBoundary(
       q.drop(textCol)
         .join(lineClean.filter(col("n_kept") >= 1)

@@ -778,14 +778,24 @@ object Dedup {
       var iter = 0
       var converged = false
       while (!converged && iter < maxIter) {
-        // push each node's label to its neighbors, keep the min seen
-        val pushed = und.join(labels, col("src") === col("id"))
+        // push each node's label to its neighbors, keep the min seen.
+        // ONE action per round (r15 session 2, the chaseParents one-join
+        // discipline): the prev-label comparison is folded INTO the
+        // materialized frame as a `__chg` flag, so convergence is read
+        // off the checkpointed blocks with a plain filter+count instead
+        // of a second join job re-reading `next` against `labels` —
+        // half the per-round job count, identical labels and identical
+        // round count (the flag is exactly the old join's predicate).
+        val cur = labels.select(col("id"), col("component"))
+        val pushed = und.join(cur, col("src") === col("id"))
           .select(col("dst").as("id"), col("component"))
         val next = componentsMaterialize(
-          labels.union(pushed)
-            .groupBy(col("id")).agg(min(col("component")).as("component")))
-        val changed = next.join(labels.withColumnRenamed("component", "prev"), "id")
-          .filter(col("component") < col("prev")).count()
+          cur.union(pushed)
+            .groupBy(col("id")).agg(min(col("component")).as("component"))
+            .join(cur.select(col("id"), col("component").as("__prev")), "id")
+            .select(col("id"), col("component"),
+              (col("component") < col("__prev")).as("__chg")))
+        val changed = next.filter(col("__chg")).count() // local-block scan
         // superseded round released deterministically (round-12): the
         // blocks are otherwise freed only when ContextCleaner notices the
         // frame is garbage, and across many CC calls in one session they
@@ -797,7 +807,11 @@ object Dedup {
       }
       require(converged, s"connectedComponents did not converge in $maxIter rounds")
       handedOff = true
-      labels
+      // callers consume (id, component); the flag column stays inside the
+      // returned checkpointed frame (a Project on top would hide the
+      // LogicalRDD from releaseLocalCheckpoint — the chaseParents rule),
+      // so it is selected away LAZILY here over the blocks
+      labels.select(col("id"), col("component"))
     } finally {
       org.apache.spark.sql.graftglue.Glue.releaseLocalCheckpoint(und)
       if (!handedOff && labels != null)
