@@ -371,7 +371,7 @@ object Curation {
       if (materialize)
         cleanedLazy.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else cleanedLazy
-    val afterDedup = indexTable match {
+    val afterDedup0 = indexTable match {
       case Some(table) =>
         val idxSurv = Dedup.curateBatchAgainstIndex(cleaned, spark, table,
           idCol, textCol, shingleN, numHashes, bands, buckets, estThreshold,
@@ -383,6 +383,13 @@ object Curation {
           Seq(idCol), "left_anti")
       case None => cleaned
     }
+    // decontamination references the deduped frame TWICE (the shingle
+    // explode and the anti-join's kept side) — unpersisted, the intra
+    // minhash signatures and both anti-joins computed twice per run
+    // (r15 session 2, PipeStageProbe: ~4 s per evaluation at sf0.1).
+    // Stage boundary only when that double reference exists.
+    val afterDedup = stageBoundary(afterDedup0,
+      needed = evalShingles.nonEmpty && indexTable.nonEmpty)
     var esPersisted: Option[DataFrame] = None
     val decon = evalShingles match {
       case Some(es) =>
